@@ -1,0 +1,51 @@
+"""Table loaders for the driver corpus.
+
+Parquet is self-describing; we read with the footer schema (vectorized
+scan + predicate pushdown + column pruning all come free from
+Catalyst), and assert it equals the declared contract in tests.
+
+The corpus stores timestamps as INT64 TIMESTAMP(NANOS), which Spark's
+vectorized reader rejects; we read them as longs
+(``spark.sql.legacy.parquet.nanosAsLong``) and convert to proper
+TimestampType via integer division to microseconds (integer ``div`` —
+float division would lose precision above 2**53 nanoseconds).
+
+At 100 TB each "table" would be a partitioned directory (e.g.
+``events/run_date=.../*.parquet``); ``load_table`` takes any path, so
+the same call works for a partitioned layout — Catalyst performs
+static and dynamic partition pruning on the partition columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import TABLE_NAMES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Columns stored as TIMESTAMP(NANOS) in the corpus parquet files.
+_NANO_TS_COLUMNS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in _NANO_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df

@@ -1,0 +1,93 @@
+"""Snapshot-pair operators — the reference's core semantics.
+
+The reference keeps exactly two snapshots (Today.xlsx / Yesterday.xlsx,
+rotated by file copy — aiesec.py:20-21) and computes an insert-only
+delta: rows of today whose key is absent from yesterday
+(``~today.ID.isin(yesterday.ID)`` — aiesec.py:143).  Updated rows and
+deleted rows are silently dropped (verified in the committed data:
+ID 1338078 changed applicants 39→49 and does not appear in New.xlsx).
+
+Spark-first re-expression:
+
+- The snapshot pair is two DataFrames; at scale, a single table
+  partitioned by ``run_date`` where "yesterday" is the lag-1 partition
+  (partition pruning makes reading exactly two days cheap at 100 TB).
+- The delta is a **left-anti join** on the key.  Catalyst picks
+  ``BroadcastHashJoin(LeftAnti)`` when the yesterday key set is small
+  (it is: keys only), which is exactly the hash-set probe the
+  reference's ``isin`` performs — and degrades gracefully to a
+  shuffled sort-merge anti join when both sides are huge.
+- Duplicate keys on the left are preserved, matching the reference
+  (it never dedups — SURVEY.md §1.2).
+- ``changed_rows`` is the operator the reference *lacks* (E8): same
+  key present in both snapshots with different attribute values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_delta(
+    today: DataFrame, yesterday: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Insert-only delta: today's rows whose key is absent yesterday.
+
+    Exact reference semantics (aiesec.py:137-145): left-anti on the
+    key, left duplicates preserved, all today columns carried through.
+    The right side is pruned to the key columns before the join so the
+    broadcast/shuffle payload is minimal.
+    """
+    right = yesterday.select(*keys).dropDuplicates(list(keys))
+    return today.join(F.broadcast(right), on=list(keys), how="left_anti")
+
+
+def changed_rows(
+    today: DataFrame,
+    yesterday: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str],
+) -> DataFrame:
+    """Keys present in BOTH snapshots whose compared attributes differ.
+
+    The correctness fix for the reference's lossy delta (SURVEY.md
+    §7.3): an inner join on the key + any-attribute-differs predicate.
+    Null-safe equality (``<=>``) so NULL→value transitions surface.
+    Output: keys, then (old_<c>, new_<c>) for each compared column.
+    """
+    t = today.select(*keys, *[F.col(c).alias(f"new_{c}") for c in compare])
+    y = yesterday.select(*keys, *[F.col(c).alias(f"old_{c}") for c in compare])
+    joined = t.join(y, on=list(keys), how="inner")
+    differs: Column = F.lit(False)
+    for c in compare:
+        differs = differs | ~F.col(f"new_{c}").eqNullSafe(F.col(f"old_{c}"))
+    cols = list(keys) + [x for c in compare for x in (f"old_{c}", f"new_{c}")]
+    return joined.filter(differs).select(*cols)
+
+
+def day_snapshots(events: DataFrame, ts_col: str = "ts") -> tuple[DataFrame, DataFrame]:
+    """Carve a (today, yesterday) snapshot pair out of an event table.
+
+    "Today" = rows on the max calendar day, "yesterday" = the day
+    before — the testdata re-expression of the reference's
+    Today.xlsx/Yesterday.xlsx rotation (S5).  The max-day scalar is a
+    1-row aggregate joined back via broadcast, keeping the whole plan
+    declarative (no driver-side collect).
+    """
+    day = F.to_date(F.col(ts_col))
+    maxd = events.agg(F.max(day).alias("_max_day"))
+    with_day = events.withColumn("_day", day)
+    today = (
+        with_day.join(F.broadcast(maxd), F.col("_day") == F.col("_max_day"))
+        .drop("_max_day", "_day")
+    )
+    yesterday = (
+        with_day.join(
+            F.broadcast(maxd), F.col("_day") == F.date_sub(F.col("_max_day"), 1)
+        )
+        .drop("_max_day", "_day")
+    )
+    return today, yesterday

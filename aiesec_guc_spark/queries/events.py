@@ -1,0 +1,239 @@
+"""Event-table queries: snapshot delta (reference parity J1/E2),
+change detection (E8), tumbling windows (E7), sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.snapshot import changed_rows, day_snapshots, snapshot_delta
+from . import query
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's one analytics query (aiesec.py:137-145)
+# re-expressed on the events table — today's rows whose key (user_id)
+# was absent from yesterday's snapshot.  Insert-only, duplicates kept.
+# ---------------------------------------------------------------------------
+
+_DELTA_EVENTS_ORACLE = """
+WITH maxd AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+today AS (
+  SELECT e.* FROM events e, maxd WHERE CAST(e.ts AS DATE) = maxd.d
+),
+yest_users AS (
+  SELECT DISTINCT user_id FROM events e, maxd
+  WHERE CAST(e.ts AS DATE) = maxd.d - 1
+)
+SELECT t.event_id  AS event_id,
+       t.user_id   AS user_id,
+       t.event_type AS event_type,
+       CAST(CAST(t.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+       epoch_us(t.ts) AS ts_us
+FROM today t
+ANTI JOIN yest_users y ON t.user_id = y.user_id
+"""
+
+
+@query("snapshot_delta_events", oracle=_DELTA_EVENTS_ORACLE)
+def snapshot_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/E2 parity: today's event rows for users not seen yesterday.
+
+    Left-anti join on the snapshot key — Catalyst broadcasts the
+    pruned yesterday key set (BroadcastHashJoin LeftAnti), the exact
+    hash-set probe of the reference's ``isin`` (aiesec.py:143).
+    """
+    today, yesterday = day_snapshots(load_table(spark, sf_dir, "events"))
+    delta = snapshot_delta(today, yesterday, keys=["user_id"])
+    return delta.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+_DELTA_USERS_ORACLE = """
+WITH maxd AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+today AS (
+  SELECT e.* FROM events e, maxd WHERE CAST(e.ts AS DATE) = maxd.d
+),
+yest_users AS (
+  SELECT DISTINCT user_id FROM events e, maxd
+  WHERE CAST(e.ts AS DATE) = maxd.d - 1
+)
+SELECT t.user_id AS user_id,
+       count(*)  AS n_events,
+       CAST(SUM(CAST(t.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       epoch_us(min(t.ts)) AS first_ts_us
+FROM today t
+ANTI JOIN yest_users y ON t.user_id = y.user_id
+GROUP BY t.user_id
+"""
+
+
+@query("snapshot_delta_users", oracle=_DELTA_USERS_ORACLE)
+def snapshot_delta_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped flagship: per new-today user, activity summary.
+
+    Same anti-join core as ``snapshot_delta_events`` plus a map-side
+    combinable aggregation (sum over exact decimals).
+    """
+    today, yesterday = day_snapshots(load_table(spark, sf_dir, "events"))
+    delta = snapshot_delta(today, yesterday, keys=["user_id"])
+    return delta.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8 — change detection with attribute diff: the thing the reference
+# silently misses (same key, changed value between snapshots).
+# ---------------------------------------------------------------------------
+
+_CHANGED_ORACLE = """
+WITH maxd AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+ranked AS (
+  SELECT e.user_id, e.event_type, e.value, e.ts,
+         CAST(e.ts AS DATE) = maxd.d AS is_today,
+         row_number() OVER (
+           PARTITION BY e.user_id, CAST(e.ts AS DATE)
+           ORDER BY e.ts DESC, e.event_id DESC
+         ) AS rn
+  FROM events e, maxd
+  WHERE CAST(e.ts AS DATE) IN (maxd.d, maxd.d - 1)
+),
+today AS (SELECT * FROM ranked WHERE is_today AND rn = 1),
+yest  AS (SELECT * FROM ranked WHERE NOT is_today AND rn = 1)
+SELECT t.user_id AS user_id,
+       y.event_type AS old_event_type,
+       t.event_type AS new_event_type,
+       CAST(CAST(y.value AS DECIMAL(18,2)) AS DOUBLE) AS old_value,
+       CAST(CAST(t.value AS DECIMAL(18,2)) AS DOUBLE) AS new_value
+FROM today t JOIN yest y ON t.user_id = y.user_id
+WHERE t.event_type IS DISTINCT FROM y.event_type
+   OR t.value IS DISTINCT FROM y.value
+"""
+
+
+@query("snapshot_changed_users", oracle=_CHANGED_ORACLE)
+def snapshot_changed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: users present in both snapshots whose latest event differs.
+
+    Each snapshot is reduced to one row per key (latest event,
+    deterministic tie-break on event_id) with a window, then the
+    generic ``changed_rows`` operator inner-joins and diffs null-safely.
+    """
+    today, yesterday = day_snapshots(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "event_type",
+                F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+            )
+        )
+
+    diff = changed_rows(
+        latest(today), latest(yesterday), keys=["user_id"], compare=["event_type", "value"]
+    )
+    return diff.select(
+        "user_id", "old_event_type", "new_event_type", "old_value", "new_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7 — tumbling-window aggregation (batch form of the streaming window).
+# ---------------------------------------------------------------------------
+
+_HOURLY_ORACLE = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_hourly_tumbling", oracle=_HOURLY_ORACLE)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: 1-hour tumbling window × event_type aggregate.
+
+    Batch equivalent of ``groupBy(window(ts, '1 hour'))`` — expressed
+    with date_trunc so the window start is a plain column (and the
+    oracle is exact).  Partial aggregation (map-side combine) applies;
+    the only shuffle is on (hour, event_type).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based sessions via lag + running sum (a classic
+# large-scale pattern; one shuffle on user_id, everything else within
+# the window).
+# ---------------------------------------------------------------------------
+
+_SESSIONS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id
+"""
+
+
+@query("events_sessionize", oracle=_SESSIONS_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): sessions and events per user.
+
+    lag(ts) over (user_id, ts) marks session starts; a running sum
+    assigns session ids.  Single hash-partition shuffle on user_id —
+    both window functions share it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sessions = ev.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

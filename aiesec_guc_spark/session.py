@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Local test profile runs ``local[$SPARK_GRAFT_CPUS]`` (default 32); the
+same builder settings are what we would ship to a 1000-executor
+cluster, minus the master URL:
+
+- AQE on (runtime coalesce, skew-join splitting, broadcast demotion).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalesces from a deliberately-high initial number, so the
+  setting is a floor not a tuning knob.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are cluster-location-independent.
+- Arrow enabled for any pandas-interop edge (fast toPandas, pandas
+  UDFs batch via Arrow).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "aiesec_guc_spark") -> SparkSession:
+    cpus = default_parallelism()
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to an externally-created session.
+
+    The driver hands us a SparkSession it built; only set what can be
+    changed post-start (shuffle partitions, AQE, timezone).
+    """
+    conf = {
+        "spark.sql.shuffle.partitions": str(default_parallelism()),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    return spark
