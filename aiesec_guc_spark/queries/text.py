@@ -1,1 +1,180 @@
-"""Placeholder — queries added in a later milestone."""
+"""Text-analysis queries over `documents` (EXT E5 + the training-data
+text operators: language-ID, quality scoring, token counting,
+fingerprinting).  All JVM-side built-ins — no Python in the scan path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    bpe_token_count,
+    fingerprint_md5,
+    hash32,
+    lang_id,
+    n_tokens,
+    stopword_ratio,
+    ws_tokens,
+)
+from . import query
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _hits_sql(markers: list[str]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKENS_SQL}, t -> t IN ({inlist})))"
+
+
+# ---------------------------------------------------------------------------
+# E5 — corpus statistics by language.
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       CAST(max(len({_TOKENS_SQL})) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("text_stats_by_lang", oracle=_STATS_ORACLE)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: per-language corpus statistics (token/char counts).
+
+    Tokenization is a codegen'd split over the scan — the group-by
+    shuffle carries 5 keys."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens("text")).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.max(n_tokens("text")).cast("bigint").alias("max_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length/punctuation/stopword heuristics per doc.
+# ---------------------------------------------------------------------------
+
+_STOP_IN = ", ".join(f"'{m}'" for m in STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       len({_TOKENS_SQL}) AS n_tokens,
+       CAST(n_chars AS DOUBLE) / len({_TOKENS_SQL}) AS avg_token_len,
+       CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+         / len({_TOKENS_SQL}) AS stopword_ratio,
+       CASE WHEN len({_TOKENS_SQL}) BETWEEN 20 AND 1000
+             AND CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+                 / len({_TOKENS_SQL}) BETWEEN 0.01 AND 0.5
+            THEN 'keep' ELSE 'drop' END AS quality_bucket
+FROM documents
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token counts, avg token length, stopword
+    ratio, and a keep/drop bucket — the standard pre-training corpus
+    filter shape."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = n_tokens("text")
+    ratio = stopword_ratio("text")
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / nt).alias("avg_token_len"),
+        ratio.alias("stopword_ratio"),
+        F.when(
+            nt.between(20, 1000) & ratio.between(0.01, 0.5), "keep"
+        ).otherwise("drop").alias("quality_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID (n-gram / stopword-hit heuristic).
+# ---------------------------------------------------------------------------
+
+def _langid_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = {lang: _hits_sql(LANG_MARKERS[lang]) for lang in langs}
+    best = "greatest(" + ", ".join(hits[lang] for lang in langs) + ")"
+    whens = "\n       ".join(
+        f"WHEN {hits[lang]} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+SELECT doc_id,
+       lang,
+       CASE {whens}
+       ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+@query("text_lang_id", oracle=_langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic argmax tie-break.
+
+    (The corpus is a synthetic shared-vocabulary word salad, so the
+    prediction is mostly 'en'/'und' regardless of the label — the
+    operator shape is what's exercised.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Token counting with a BPE-ish regex.
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = r"""
+SELECT doc_id,
+       len({toks}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+""".replace("{toks}", _TOKENS_SQL)
+
+
+@query("text_token_counts", oracle=_BPE_ORACLE)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regexp token counts per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(ws_tokens("text")).alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (md5 canonical form + portable 32-bit hash).
+# ---------------------------------------------------------------------------
+
+_FP_ORACLE = """
+SELECT doc_id,
+       md5(lower(trim(text))) AS fingerprint,
+       ('0x' || substr(md5(lower(trim(text))), 1, 8))::BIGINT AS h32
+FROM documents
+"""
+
+
+@query("text_fingerprint", oracle=_FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form md5 fingerprint + portable 32-bit hash — the
+    primitive under exact dedup and minhash."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fingerprint"),
+        hash32(F.lower(F.trim(F.col("text")))).alias("h32"),
+    )
