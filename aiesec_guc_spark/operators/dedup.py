@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all pure DataFrame composition (no Python UDFs):
+
+- **Exact**: canonical-form fingerprint → keep one row per group
+  (hash group-by; at 100 TB this is one shuffle on the fingerprint).
+- **MinHash + LSH**: shingle → portable 32-bit hash → k min-hash
+  signatures → banded keys → bucket self-join for candidates → exact
+  Jaccard verify on candidates only.  The self-join touches only
+  bucket-colliding pairs, never the full cross product — this is the
+  scale path for near-dup at 100 TB.
+- **SimHash**: per-token hash bit votes → fingerprint; equal (or
+  low-Hamming) fingerprints are near-dup buckets.
+- **n-gram Jaccard (blocked)**: exact character-n-gram Jaccard within
+  a blocking key — the verify-side primitive, also usable standalone
+  when a cheap blocking key exists.
+
+Determinism: all hashing goes through ``functions.text.hash32`` (md5
+based) so the DuckDB oracle replicates signatures bit-for-bit; minhash
+coefficients are fixed small odd integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash32
+
+# MinHash configuration (shared with the oracle-SQL generator).
+MINHASH_NUM_HASHES = 8
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_NUM_HASHES // MINHASH_BANDS
+MINHASH_PRIME = 2147483647  # 2^31 - 1; a*h + b stays well under 2^63
+SHINGLE_WORDS = 3
+
+
+def minhash_coeffs() -> list[tuple[int, int]]:
+    """(a_j, b_j) for sig_j = min((a_j * h32 + b_j) mod P)."""
+    return [(2 * j + 3, 12345 * j + 6789) for j in range(MINHASH_NUM_HASHES)]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, key: Column, order_col: str) -> DataFrame:
+    """One row per key, deterministically the lowest ``order_col``.
+
+    row_number over (key) — identical semantics to SQL QUALIFY.  At
+    scale this is a single hash shuffle on the (usually md5) key.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = SHINGLE_WORDS) -> Column:
+    """Word n-gram shingles of whitespace-tokenized text.
+
+    Requires at least ``n`` tokens (callers filter; Spark's
+    ``sequence`` would run backwards on shorter docs).
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+
+
+def char_ngrams_expr(text_col: str, n: int = 4) -> Column:
+    """Character n-gram shingles (requires length >= n).
+
+    Expression form: ``substring`` takes a dynamic start index, which
+    is only expressible through the SQL transform lambda.
+    """
+    return F.expr(
+        f"transform(sequence(1, length({text_col}) - {n - 1}), i -> substring({text_col}, i, {n}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc minhash signature columns sig_0..sig_{k-1}.
+
+    explode(shingles) → hash32 → k parallel min-aggregations.  The
+    explode happens map-side; the only shuffle is the group-by on the
+    doc id with partial min combine — shuffle rows = #docs, not
+    #shingles.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col))).alias("shingle"),
+    )
+    h = sh.withColumn("h32", hash32(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"sig_{j}"
+        )
+        for j, (a, b) in enumerate(minhash_coeffs())
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Explode signatures into (doc, band, band_key) rows."""
+    bands = []
+    for band in range(MINHASH_BANDS):
+        cols = [
+            F.col(f"sig_{band * MINHASH_ROWS + r}").cast("string")
+            for r in range(MINHASH_ROWS)
+        ]
+        bands.append(
+            F.struct(F.lit(band).alias("band"), F.concat_ws("_", *cols).alias("band_key"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(band_rows: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any band bucket.
+
+    Equi-join on (band, band_key): Spark hash-partitions both sides on
+    the bucket key, so only colliding docs meet — the cross product is
+    never materialized.
+    """
+    a = band_rows.select(
+        F.col(id_col).alias("doc_a"), "band", "band_key"
+    )
+    b = band_rows.select(
+        F.col(id_col).alias("doc_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingle_rows: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs.
+
+    intersection via shingle equi-join restricted to candidates;
+    |A ∪ B| = |A| + |B| - |A ∩ B|.  Cost scales with candidate count,
+    not corpus size.
+    """
+    shd = shingle_rows.select(F.col(id_col), "shingle").distinct()
+    sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    xa = shd.select(F.col(id_col).alias("doc_a"), "shingle")
+    xb = shd.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(xa, on="doc_a")
+        .join(xb, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, on=["doc_a", "doc_b"], how="left")
+        .withColumn("icnt", F.coalesce(F.col("icnt"), F.lit(0)))
+        .join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("icnt").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("icnt"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash fingerprint per doc.
+
+    Token bit votes (+1/-1 per token per bit) summed in one grouped
+    aggregation; fingerprint bit b set iff the vote sum is positive.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h32", hash32(F.col("tok")))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h32"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))

@@ -1,1 +1,311 @@
-"""Placeholder — queries added in a later milestone."""
+"""Dedup queries over `documents` / `embeddings` (EXT: exact dedup,
+MinHash+LSH near-dup, SimHash, blocked n-gram Jaccard, embedding
+cosine near-dup).
+
+The DuckDB oracles are generated from the SAME constants
+(`operators.dedup.minhash_coeffs` etc.), so Spark and the oracle
+compute identical signatures — any drift in the pipeline shows up as
+a hash mismatch, not a silent semantic change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import fingerprint_md5
+from ..operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_PRIME,
+    MINHASH_ROWS,
+    SHINGLE_WORDS,
+    SIMHASH_BITS,
+    dedup_exact,
+    jaccard_verify,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_coeffs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from . import query
+
+_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# E1 — exact dedup by canonical fingerprint.
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint, lang, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+) = 1
+"""
+
+
+@query("dedup_exact_docs", oracle=_EXACT_ORACLE)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: exact dedup — one row per canonical-form fingerprint,
+    deterministically the lowest doc_id.  One hash shuffle on the
+    fingerprint regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("fingerprint", fingerprint_md5("text"))
+    return dedup_exact(d, F.col("fingerprint"), "doc_id").select(
+        "doc_id", "fingerprint", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates with exact-Jaccard verification.
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle() -> str:
+    n = SHINGLE_WORDS
+    shingle_expr = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    sig_exprs = ",\n         ".join(
+        f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS sig_{j}"
+        for j, (a, b) in enumerate(minhash_coeffs())
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, {key} AS band_key FROM sig".format(
+            band=band,
+            key=" || '_' || ".join(
+                f"CAST(sig_{band * MINHASH_ROWS + r} AS VARCHAR)"
+                for r in range(MINHASH_ROWS)
+            ),
+        )
+        for band in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= {n}
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - {n - 1}),
+                               i -> {shingle_expr})) AS shingle
+  FROM docs
+),
+h AS (
+  SELECT doc_id, shingle, {_H32.format(x='shingle')} AS h32 FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS icnt
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.doc_a
+  JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(COALESCE(i.icnt, 0) AS DOUBLE)
+         / (sa.sz + sb.sz - COALESCE(i.icnt, 0)) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 8 minhashes → 4 banded buckets
+    → bucket-join candidates → exact Jaccard on candidates only.
+
+    The scale path: no all-pairs comparison anywhere; cost is
+    O(#bucket collisions), tunable via bands×rows."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
+    ).select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    return jaccard_verify(pairs, sh, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints.
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"SUM(((h32 >> {b}) & 1) * 2 - 1) AS v_{b}" for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {_H32.format(x='tok')} AS h32 FROM toks),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document — equal/low-Hamming fingerprints
+    are near-dup buckets; the fingerprint is a single grouped
+    aggregation over token bit votes."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d.select("doc_id", "text"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard: exact char-4-gram Jaccard within a blocking
+# key (lang, source) — the no-LSH variant for when a cheap blocking
+# key exists.
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = """
+WITH g AS (
+  SELECT doc_id, lang, source,
+         unnest(list_transform(generate_series(1, length(text) - 3),
+                               i -> substr(text, i, 4))) AS gram
+  FROM documents WHERE length(text) >= 4
+),
+gd AS (SELECT DISTINCT doc_id, lang, source, gram FROM g),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gd GROUP BY doc_id),
+pairs AS (
+  SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS icnt
+  FROM gd a JOIN gd b
+    ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT p.lang, p.source, p.doc_a, p.doc_b,
+       CAST(p.icnt AS DOUBLE) / (sa.sz + sb.sz - p.icnt) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.icnt AS DOUBLE) / (sa.sz + sb.sz - p.icnt) >= 0.2
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: char-4-gram sets compared only
+    within (lang, source) blocks; pairs over the 0.2 threshold.
+
+    The gram equi-join is restricted by the blocking key, so the
+    shuffle is per-block — never an all-pairs cross product."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
+    from ..operators.dedup import char_ngrams_expr
+
+    g = d.select(
+        "doc_id", "lang", "source", F.explode(char_ngrams_expr("text")).alias("gram")
+    )
+    gd = g.distinct()
+    sizes = gd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = gd.select(
+        "lang", "source", F.col("doc_id").alias("doc_a"), "gram"
+    )
+    b = gd.select(
+        "lang", "source", F.col("doc_id").alias("doc_b"), "gram"
+    )
+    pairs = (
+        a.join(b, on=["lang", "source", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("lang", "source", "doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("icnt").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("icnt")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.2).select(
+        "lang", "source", "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (blocked by cluster label; the unblocked
+# scale path is the LSH variant in queries/similarity.py).
+# ---------------------------------------------------------------------------
+
+_EMB_NEARDUP_ORACLE = """
+WITH pairs AS (
+  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+           AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, vec_a, vec_b, round(cosine, 9) AS cosine
+FROM pairs WHERE cosine > 0.3
+"""
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairwise cosine within cluster-label blocks,
+    pairs above 0.3 (the synthetic corpus has no tight near-dups; max within-label cosine ≈ 0.45, so 0.3 surfaces the genuinely-closest pairs).  Dot/norms via zip_with+aggregate (sequential
+    double accumulation — bit-identical to the oracle's list_sum)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        "label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = e.select(
+        "label", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    pairs = a.join(b, on="label").filter(F.col("vec_a") < F.col("vec_b"))
+    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+    )
+    return (
+        pairs.withColumn("cosine", cosine)
+        .filter(F.col("cosine") > 0.3)
+        .select("label", "vec_a", "vec_b", F.round("cosine", 9).alias("cosine"))
+    )

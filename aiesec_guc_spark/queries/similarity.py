@@ -1,1 +1,235 @@
-"""Placeholder — queries added in a later milestone."""
+"""Similarity search over `embeddings` (EXT E6): exact brute-force
+cosine top-k as the baseline, and a random-hyperplane-LSH bucketed
+variant as the 100 TB path (candidates come from one bucket, never an
+all-pairs scan).
+
+Both engines compute dot products as sequential double accumulation
+(Spark aggregate/zip_with ≡ DuckDB list_sum/list_transform), so
+cosines are bit-identical and the oracle hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+TOPK = 10
+LSH_PLANES = 8
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# ---------------------------------------------------------------------------
+# E6 baseline — exact top-k cosine against a probe vector (the
+# embedding with the smallest vec_id, so the query is self-contained
+# and deterministic).
+# ---------------------------------------------------------------------------
+
+_COSINE_TOPK_ORACLE = f"""
+WITH probe AS (
+  SELECT embedding AS p FROM embeddings ORDER BY vec_id LIMIT 1
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {_DOT_SQL.format(a='e.embedding', b='probe.p')}
+           / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+              * sqrt({_DOT_SQL.format(a='probe.p', b='probe.p')})) AS cosine
+  FROM embeddings e, probe
+  WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+)
+SELECT vec_id, label, round(cosine, 9) AS cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT {TOPK}
+"""
+
+
+@query("similarity_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: exact brute-force cosine top-k to a probe vector.
+
+    The 1-row probe is broadcast; scoring is a single scan with a
+    codegen'd higher-order dot product; top-k is orderBy+limit with a
+    unique-key tie-break (Spark runs it as TakeOrderedAndProject — a
+    per-partition heap + driver merge, no full sort shuffle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+    scored = (
+        e.join(F.broadcast(probe))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "vec_id",
+            "label",
+            _cosine(F.col("embedding"), F.col("p")).alias("cosine"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+        .select("vec_id", "label", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6 scale path — random-hyperplane LSH bucketing.  Plane components
+# are md5-derived pseudo-randoms in [-1, 1], reproducible in any
+# engine; the bucket is the 8-bit sign pattern of the plane dots.
+# ---------------------------------------------------------------------------
+
+def _plane_component_sql(p: int, i_expr: str) -> str:
+    # Deterministic pseudo-random weight for (plane p, dim i).
+    h = f"('0x' || substr(md5('plane{p}_' || CAST({i_expr} AS VARCHAR)), 1, 8))::BIGINT"
+    return f"(({h}) % 2001 - 1000) / 1000.0"
+
+
+def _plane_dot_sql(p: int, vec: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({vec})), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({_plane_component_sql(p, 'i - 1')})))"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = " + ".join(
+        f"CASE WHEN {_plane_dot_sql(p, vec)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(LSH_PLANES)
+    )
+    return f"({bits})"
+
+
+def _ann_oracle() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+probe AS (SELECT * FROM b WHERE vec_id = (SELECT min(vec_id) FROM b)),
+cand AS (
+  SELECT b.* FROM b, probe
+  WHERE b.bucket = probe.bucket AND b.vec_id <> probe.vec_id
+),
+scored AS (
+  SELECT c.vec_id, c.label, c.bucket,
+         {_DOT_SQL.format(a='c.embedding', b='probe.embedding')}
+           / (sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})
+              * sqrt({_DOT_SQL.format(a='probe.embedding', b='probe.embedding')})) AS cosine
+  FROM cand c, probe
+)
+SELECT vec_id, label, CAST(bucket AS INT) AS bucket, round(cosine, 9) AS cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT {TOPK}
+"""
+
+
+def _plane_component(p: int, i: Column) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"plane{p}_"), i.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % 2001 - 1000) / F.lit(1000.0)
+
+
+def _plane_dot(p: int, vec: Column) -> Column:
+    # dot(vec, plane_p) with the plane materialized positionally:
+    # zip vec with its index via transform over a 0..n-1 sequence.
+    idx = F.sequence(F.lit(1), F.size(vec))
+    prods = F.transform(
+        idx,
+        lambda i: F.element_at(vec, i).cast("double") * _plane_component(p, i - 1),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _bucket(vec: Column) -> Column:
+    out = F.lit(0)
+    for p in range(LSH_PLANES):
+        out = out + F.when(_plane_dot(p, vec) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
+@query("similarity_ann_lsh", oracle=_ann_oracle())
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 scale path: 8-plane random-hyperplane LSH → probe-bucket
+    candidates → exact cosine top-k on candidates only.
+
+    At 100 TB the bucket column is precomputed at ingest and the
+    candidate fetch is a partition-pruned read of one bucket; here the
+    bucket assignment runs inline (one scan, codegen'd HOFs)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "label", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    probe = b.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    cand = (
+        b.join(F.broadcast(probe), b.bucket == F.col("probe_bucket"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    scored = cand.select(
+        "vec_id",
+        "label",
+        F.col("bucket").cast("int").alias("bucket"),
+        _cosine(F.col("embedding"), F.col("p")).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+        .select("vec_id", "label", "bucket", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector hygiene stats — cheap per-vector diagnostics (norms, moments).
+# ---------------------------------------------------------------------------
+
+_NORMS_ORACLE = """
+SELECT vec_id, label,
+       CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 9) AS l2_norm,
+       round(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE))) / len(embedding), 9) AS mean_component
+FROM embeddings
+"""
+
+
+@query("embedding_norms", oracle=_NORMS_ORACLE)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector hygiene stats (dimension, L2 norm, component mean) —
+    the cheap scan every embedding pipeline runs before indexing."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(emb).cast("int").alias("dim"),
+        F.round(F.sqrt(_dot(emb, emb)), 9).alias("l2_norm"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+            / F.size(emb),
+            9,
+        ).alias("mean_component"),
+    )
