@@ -1,0 +1,92 @@
+"""HTML card extraction — the reference's parser (aiesec.py:67-126)
+as a declarative DataFrame transform.
+
+The reference walks a BeautifulSoup tree per card; here each card is
+one HTML string column and every field is a JVM-side regexp/string
+expression (codegen'd, no Python in the loop).  Field semantics are
+pinned to the reference's behavior:
+
+- filter: only anchors whose href contains "/opportunity/"
+  (aiesec.py:84-86)
+- opportunity_id: last path segment of href (aiesec.py:89)
+- opportunity_link: absolute URL prefix + href (aiesec.py:88)
+- title: <h3> text, trimmed, "N/A" when missing (aiesec.py:91-92)
+- country: first <span> text (aiesec.py:96-102)
+- premium: case-sensitive "Premium" containment → "Yes"/"No"
+  (aiesec.py:94)
+- applicants: lower-cased "... applicant(s)" text, "N/A" when
+  missing (aiesec.py:108-113)
+- duration: last <span> text; literal "." → "N/A" (aiesec.py:97-105)
+- organization: org div text, "N/A" when missing (aiesec.py:115-116)
+
+Regexes use no engine-specific syntax so the DuckDB oracle (RE2) and
+Spark (java.util.regex) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BASE_URL = "https://aiesec.org"
+
+_HREF_RE = 'href="([^"]+)"'
+_H3_RE = "<h3[^>]*>([^<]*)</h3>"
+_SPAN_RE = "<span[^>]*>([^<]*)</span>"
+_ORG_RE = '<div class="org"[^>]*>([^<]*)</div>'
+_APPLICANTS_RE = "([0-9]+ applicants?)"
+
+
+def _na_if_empty(c: Column) -> Column:
+    return F.coalesce(F.nullif(F.trim(c), F.lit("")), F.lit("N/A"))
+
+
+def extract_cards(cards: DataFrame, html_col: str = "html") -> DataFrame:
+    """One opportunity row per card row (8-column reference schema)."""
+    h = F.col(html_col)
+    href = F.regexp_extract(h, _HREF_RE, 1)
+    spans = F.regexp_extract_all(h, F.lit(_SPAN_RE), 1)
+    last_span = F.element_at(spans, -1)
+    duration = F.when(F.trim(last_span) == ".", "N/A").otherwise(F.trim(last_span))
+    return (
+        cards.filter(href.contains("/opportunity/"))
+        .select(
+            F.element_at(F.split(href, "/"), -1).alias("opportunity_id"),
+            F.concat(F.lit(BASE_URL), href).alias("opportunity_link"),
+            _na_if_empty(F.regexp_extract(h, _H3_RE, 1)).alias("title"),
+            _na_if_empty(F.element_at(spans, 1)).alias("country"),
+            F.when(h.contains("Premium"), "Yes").otherwise("No").alias("premium"),
+            _na_if_empty(
+                F.regexp_extract(F.lower(h), _APPLICANTS_RE, 1)
+            ).alias("applicants"),
+            F.coalesce(F.nullif(duration, F.lit("")), F.lit("N/A")).alias("duration"),
+            _na_if_empty(F.regexp_extract(h, _ORG_RE, 1)).alias("organization"),
+        )
+    )
+
+
+def extract_cards_oracle_sql(values_sql: str) -> str:
+    """DuckDB twin of ``extract_cards`` over a VALUES list of
+    (page_id, html) rows."""
+    return f"""
+WITH cards(page_id, html) AS (VALUES {values_sql}),
+x AS (
+  SELECT page_id, html,
+         regexp_extract(html, '{_HREF_RE}', 1) AS href,
+         regexp_extract_all(html, '{_SPAN_RE}', 1) AS spans
+  FROM cards
+),
+f AS (SELECT * FROM x WHERE contains(href, '/opportunity/'))
+SELECT string_split(href, '/')[-1] AS opportunity_id,
+       '{BASE_URL}' || href AS opportunity_link,
+       COALESCE(NULLIF(trim(regexp_extract(html, '{_H3_RE}', 1)), ''), 'N/A') AS title,
+       COALESCE(NULLIF(trim(spans[1]), ''), 'N/A') AS country,
+       CASE WHEN contains(html, 'Premium') THEN 'Yes' ELSE 'No' END AS premium,
+       COALESCE(NULLIF(trim(regexp_extract(lower(html), '{_APPLICANTS_RE}', 1)), ''), 'N/A')
+         AS applicants,
+       COALESCE(NULLIF(CASE WHEN trim(spans[-1]) = '.' THEN 'N/A'
+                            ELSE trim(spans[-1]) END, ''), 'N/A') AS duration,
+       COALESCE(NULLIF(trim(regexp_extract(html, '{_ORG_RE}', 1)), ''), 'N/A')
+         AS organization
+FROM f
+"""

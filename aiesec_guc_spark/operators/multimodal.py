@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, with decode/feature-extraction as Arrow-batched pandas
+stages over ``mapInPandas``.
+
+The image/audio decode libraries are not in this container, so the
+actual decode is STUBBED (``decode_image_stub`` raises
+``NotImplementedError`` unless ``fake=True``); everything around it —
+schema, batch iteration, partitioning, deterministic fake features —
+is real and tested.  At 100 TB the pattern is: binary column stays
+opaque through the scan, ``mapInPandas`` processes Arrow batches with
+bounded memory (no per-row Python), and extracted features land in
+typed columns for downstream relational ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum16", T.LongType(), True),
+        T.StructField("decode_status", T.StringType(), True),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
+    """Placeholder for a real image decode (PIL/libvips not in this
+    container).  With ``fake=True`` returns deterministic pseudo
+    features derived from the bytes; otherwise raises."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this "
+            "environment; run with fake=True for the deterministic stub"
+        )
+    return {
+        "n_bytes": len(payload),
+        "checksum16": int(sum(payload[:16])),
+    }
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Re-shape the documents table into a media table: the utf-8
+    bytes of the text stand in for an opaque image/audio payload."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("fake/utf8").alias("media_type"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("n_bytes"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload.
+
+    ``mapInPandas``: each partition arrives as an iterator of pandas
+    batches; output is a typed feature row per media row.  The decode
+    itself is the stub (deterministic fake), the batch plumbing is the
+    real pattern.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_image_stub(bytes(p), fake=True) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series(
+                        [f["n_bytes"] for f in feats], dtype="int64"
+                    ),
+                    "checksum16": pd.Series(
+                        [f["checksum16"] for f in feats], dtype="int64"
+                    ),
+                    "decode_status": "stubbed",
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_offsets(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """'Video frame sampling' shape: evenly-spaced byte offsets into
+    the payload — the partition/batch pattern for frame extraction,
+    minus the actual codec."""
+    step = (F.col("n_bytes") / n_frames).cast("bigint")
+    return media.select(
+        "doc_id",
+        "n_bytes",
+        F.when(
+            F.col("n_bytes") >= n_frames,
+            F.sequence(F.lit(0), F.col("n_bytes") - 1, F.greatest(step, F.lit(1))),
+        )
+        .otherwise(F.array(F.lit(0)))
+        .alias("offsets"),
+    )

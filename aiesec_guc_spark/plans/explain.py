@@ -1,0 +1,54 @@
+"""Plan inspection helpers — assertions about the *physical* plan, so
+scale properties (broadcast vs shuffle join, pushdown, partial agg)
+are pinned by tests instead of hoped for.
+
+``formatted_plan`` returns the same text as
+``df.explain("formatted")`` prints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def uses_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in formatted_plan(df)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """Two-phase agg: a partial HashAggregate below the exchange."""
+    plan = formatted_plan(df)
+    return plan.count("HashAggregate") >= 2 or "partial" in plan
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section of the scan node ('' when absent)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line:
+            return line.strip()
+    return ""
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from parquet (column pruning check)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            return [c.split(":")[0].strip() for c in inner.split(",") if ":" in c]
+    return []

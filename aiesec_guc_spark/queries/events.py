@@ -237,3 +237,30 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("session_id").cast("bigint").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E7 (streaming form) — the same tumbling-window aggregation run as a
+# Structured Streaming job (readStream → watermark → window →
+# writeStream, drained with availableNow) and checked against the
+# same batch oracle: streaming and batch must agree exactly.
+# ---------------------------------------------------------------------------
+
+_STREAM_HOURLY_ORACLE = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_hourly_tumbling", oracle=_STREAM_HOURLY_ORACLE)
+def streaming_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 streaming: windowed agg over a parquet stream, drained to
+    completion with trigger(availableNow) — results must equal the
+    batch plan (the oracle is the batch SQL)."""
+    from ..streaming.incremental import run_streaming_hourly
+
+    return run_streaming_hourly(spark, sf_dir)

@@ -1,1 +1,63 @@
-"""Placeholder — queries added in a later milestone."""
+"""Multimodal queries: binary payload columns with Arrow-batched
+feature extraction (the one place a pandas stage is the right tool —
+opaque bytes cannot be processed by relational builtins).
+
+The corpus has no real media, so `documents.text` bytes stand in for
+payloads; the decode is a deterministic stub (see
+operators/multimodal.py).  Because the fake features are pure byte
+arithmetic over ASCII text, the DuckDB oracle can replicate them —
+giving a REAL correctness check on the mapInPandas plumbing (schema,
+batching, row alignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.multimodal import as_media_table, extract_features, frame_offsets
+from . import query
+
+# checksum16 = sum of the first 16 payload bytes.  The corpus text is
+# ASCII, so byte values == character codes — expressible in SQL.
+_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(
+              generate_series(1, least(16, length(text))),
+              i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum16,
+       'stubbed' AS decode_status
+FROM documents
+"""
+
+
+@query("multimodal_features", oracle=_FEATURES_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas feature extraction (stub decode).
+
+    Oracle-checked end-to-end: any batching/alignment bug in the
+    Arrow exchange shows up as a value mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(as_media_table(docs))
+
+
+_OFFSETS_ORACLE = """
+WITH m AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT doc_id, n_bytes,
+       CASE WHEN n_bytes >= 4
+            THEN generate_series(0, n_bytes - 1, greatest(n_bytes // 4, 1))
+            ELSE [0] END AS offsets
+FROM m
+"""
+
+
+@query("multimodal_frame_offsets", oracle=_OFFSETS_ORACLE)
+def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Frame sampling' offsets into the payload — array-typed output
+    (sequence with stride), the plumbing under video frame extraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_offsets(as_media_table(docs))

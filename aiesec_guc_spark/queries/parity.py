@@ -198,3 +198,60 @@ def count_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# S2 — HTML card extraction over the recorded fixture cards, and the
+# literal reference delta over the golden snapshot pair.  Both are
+# hermetic (createDataFrame from fixtures; the oracle inlines the same
+# literals via VALUES) — sf_dir is unused by design.
+# ---------------------------------------------------------------------------
+
+def _html_cards_oracle() -> str:
+    from ..functions.html_cards import extract_cards_oracle_sql
+    from ..sources.fixtures import cards_values_sql
+
+    return extract_cards_oracle_sql(cards_values_sql())
+
+
+@query("html_extract_cards", oracle=_html_cards_oracle())
+def html_extract_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: per-card field extraction (aiesec.py:83-126) as regexp
+    built-ins over recorded HTML fixtures — filter, id-from-href,
+    link concat, N/A sentinels, Premium flag, "." duration mapping."""
+    from ..functions.html_cards import extract_cards
+    from ..sources.fixtures import fixture_cards_df
+
+    return extract_cards(fixture_cards_df(spark))
+
+
+def _opportunity_delta_oracle() -> str:
+    from ..sources.fixtures import TODAY_ROWS, YESTERDAY_ROWS
+
+    def values(rows):
+        return ", ".join(
+            "(" + ", ".join("'" + v.replace("'", "''") + "'" for v in r) + ")"
+            for r in rows
+        )
+
+    cols = ("opportunity_id, opportunity_link, title, country, premium, "
+            "applicants, duration, organization")
+    return f"""
+WITH today({cols}) AS (VALUES {values(TODAY_ROWS)}),
+yesterday({cols}) AS (VALUES {values(YESTERDAY_ROWS)})
+SELECT t.* FROM today t
+ANTI JOIN (SELECT DISTINCT opportunity_id FROM yesterday) y
+  ON t.opportunity_id = y.opportunity_id
+"""
+
+
+@query("opportunity_snapshot_delta", oracle=_opportunity_delta_oracle())
+def opportunity_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 exact parity on the golden pair: insert-only delta — the
+    update (1338078, applicants 39→49) and the deletion must NOT
+    appear; left-side duplicates are preserved (aiesec.py:137-145)."""
+    from ..operators.snapshot import snapshot_delta
+    from ..sources.fixtures import snapshot_pair
+
+    today, yesterday = snapshot_pair(spark)
+    return snapshot_delta(today, yesterday, keys=["opportunity_id"])

@@ -1,0 +1,109 @@
+"""Structured Streaming re-expression of the reference's scheduled
+batch (S8): the daily cron + snapshot diff becomes an incremental
+pipeline with ``trigger(availableNow=True)`` — process everything new,
+then stop; re-running picks up only new files via checkpointing.
+
+Also carries the streaming form of the tumbling-window aggregation
+(E7): ``readStream → withWatermark → groupBy(window(...)) →
+writeStream``.  For hermetic runs the sink is the in-memory table and
+the trigger drains the source synchronously.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events parquet with the same nano-ts
+    handling as the batch catalog (schema must be declared up front
+    for streaming sources)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file-stream source wants a directory; select just the events
+    # file out of the sf dir with a glob.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_streaming_hourly(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_hourly"
+) -> DataFrame:
+    """Windowed streaming aggregation drained to completion.
+
+    complete output mode (windows never finalize under availableNow
+    for a bounded historical file); watermark declared anyway — it is
+    what bounds state at 100 TB with a live source.
+    """
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name).select(
+        F.unix_micros(F.col("window.start")).alias("hour_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def run_incremental_delta(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_delta"
+) -> DataFrame:
+    """The snapshot-delta pipeline in incremental form: each
+    micro-batch anti-joins arriving "today" rows against the static
+    yesterday key set via foreachBatch — the streaming analogue of
+    aiesec.py:137-145 (S7's guarded sink maps to the per-batch hook).
+    """
+    from ..catalog import load_table
+    from ..operators.snapshot import day_snapshots, snapshot_delta
+
+    _, yesterday = day_snapshots(load_table(spark, sf_dir, "events"))
+    yesterday_keys = yesterday.select("user_id").distinct()
+    maxd = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.to_date("ts")).alias("d"))
+        .collect()[0]["d"]
+    )
+
+    src = _events_stream(spark, sf_dir).filter(F.to_date("ts") == F.lit(maxd))
+    out: list[DataFrame] = []
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = snapshot_delta(batch_df, yesterday_keys, keys=["user_id"])
+        # Guarded side-effect (the reference's "send iff non-empty"):
+        n = delta.count()
+        if n > 0:
+            delta.createOrReplaceGlobalTempView(query_name)
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            src.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(f"global_temp.{query_name}")

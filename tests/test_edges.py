@@ -1,0 +1,83 @@
+"""Edge components: scrape-source connector, multimodal plumbing,
+report sinks, incremental streaming delta."""
+
+from __future__ import annotations
+
+import pytest
+
+from aiesec_guc_spark.operators.multimodal import (
+    as_media_table,
+    decode_image_stub,
+    extract_features,
+)
+from aiesec_guc_spark.sinks.report import notify_if_nonempty, render_cards_html
+from aiesec_guc_spark.sources.fixtures import snapshot_pair
+from aiesec_guc_spark.sources.listing_scrape import register_listing_source
+
+
+def test_listing_scrape_datasource(spark):
+    assert register_listing_source(spark), "Python DataSource API missing"
+    df = spark.read.format("listing_scrape").load()
+    rows = df.collect()
+    assert len(rows) == 6
+    assert df.columns == ["page_id", "html"]
+    # partitioned per page
+    assert {r["page_id"] for r in rows} == {1, 2}
+
+
+def test_scrape_to_delta_pipeline(spark):
+    """S1→S2→J1 end to end: scrape source → card extraction →
+    snapshot delta against an empty yesterday (everything is new)."""
+    from aiesec_guc_spark.functions.html_cards import extract_cards
+    from aiesec_guc_spark.operators.snapshot import snapshot_delta
+
+    register_listing_source(spark)
+    cards = spark.read.format("listing_scrape").load()
+    today = extract_cards(cards)
+    _, yesterday = snapshot_pair(spark)
+    delta = snapshot_delta(today, yesterday, keys=["opportunity_id"])
+    assert delta.count() == 5  # fixture IDs don't collide with the pair
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"bytes")
+
+
+def test_multimodal_feature_batch_alignment(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "hello world")], "doc_id long, text string"
+    )
+    feats = {r["doc_id"]: r for r in extract_features(as_media_table(docs)).collect()}
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["checksum16"] == sum(b"abc")
+    assert feats[2]["checksum16"] == sum(b"hello world"[:16])
+    assert feats[2]["decode_status"] == "stubbed"
+
+
+def test_notify_guard(spark):
+    today, yesterday = snapshot_pair(spark)
+    sent: list[str] = []
+    from aiesec_guc_spark.operators.snapshot import snapshot_delta
+
+    delta = snapshot_delta(today, yesterday, keys=["opportunity_id"])
+    assert notify_if_nonempty(delta, send=sent.append)
+    assert len(sent) == 1 and "Fresh Opening" in sent[0]
+    empty = delta.filter("1 = 0")
+    assert not notify_if_nonempty(empty, send=sent.append)
+    assert len(sent) == 1
+
+
+def test_render_cards_contains_premium_badge(spark):
+    today, _ = snapshot_pair(spark)
+    html = render_cards_html(today.filter(today.premium == "Yes"))
+    assert "badge" in html and "Premium" in html
+
+
+def test_incremental_streaming_delta(spark, sf_dir):
+    from aiesec_guc_spark.queries import spark_queries
+    from aiesec_guc_spark.streaming.incremental import run_incremental_delta
+
+    got = run_incremental_delta(spark, sf_dir)
+    want = spark_queries()["snapshot_delta_events"](spark, sf_dir)
+    assert got.count() == want.count()

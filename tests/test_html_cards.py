@@ -1,0 +1,48 @@
+"""HTML card extraction semantics (FIXTURES.md §A2) — each selector
+edge case the reference handles (aiesec.py:83-126)."""
+
+from __future__ import annotations
+
+from aiesec_guc_spark.functions.html_cards import extract_cards
+from aiesec_guc_spark.sources.fixtures import fixture_cards_df
+
+
+def _rows(spark):
+    out = extract_cards(fixture_cards_df(spark)).collect()
+    return {r["opportunity_id"]: r.asDict() for r in out}
+
+
+def test_non_opportunity_anchor_filtered(spark):
+    rows = _rows(spark)
+    assert len(rows) == 5  # the /about-us anchor is gone
+
+
+def test_full_card(spark):
+    r = _rows(spark)["1000001"]
+    assert r["opportunity_link"].endswith("/opportunity/global-talent/1000001")
+    assert r["title"] == "Data Engineering Intern"
+    assert r["country"] == "Berlin, Germany"
+    assert r["premium"] == "No"
+    assert r["applicants"] == "12 applicants"
+    assert r["duration"] == "6 - 18 Months"
+    assert r["organization"] == "Acme GmbH"
+
+
+def test_premium_and_singular_applicant(spark):
+    r = _rows(spark)["1000002"]
+    assert r["premium"] == "Yes"
+    assert r["applicants"] == "1 applicant"
+
+
+def test_missing_title_is_na(spark):
+    assert _rows(spark)["1000003"]["title"] == "N/A"
+
+
+def test_dot_duration_is_na(spark):
+    assert _rows(spark)["1000004"]["duration"] == "N/A"
+
+
+def test_missing_org_and_applicants_are_na(spark):
+    r = _rows(spark)["1000005"]
+    assert r["organization"] == "N/A"
+    assert r["applicants"] == "N/A"

@@ -19,6 +19,8 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        v = v.tolist()
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v

@@ -1,0 +1,54 @@
+"""Physical-plan assertions: the scale properties the engine is
+designed around must actually appear in the executed plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aiesec_guc_spark.catalog import load_table
+from aiesec_guc_spark.plans.explain import (
+    formatted_plan,
+    has_partial_aggregation,
+    pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from aiesec_guc_spark.queries import spark_queries
+
+
+def test_snapshot_delta_is_broadcast_anti_join(spark, sf_dir):
+    df = spark_queries()["snapshot_delta_events"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = spark_queries()["star_revenue_by_nation"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_partial_agg_and_pruning(spark, sf_dir):
+    df = spark_queries()["pricing_summary"](spark, sf_dir)
+    assert has_partial_aggregation(df)
+    cols = read_schema_columns(df)
+    # only the needed lineitem columns are read, not all 11
+    assert 0 < len(cols) <= 7
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    pf = pushed_filters(df)
+    assert "l_returnflag" in pf
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = spark_queries()["similarity_cosine_topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_broadcast_probe_in_cosine_topk(spark, sf_dir):
+    df = spark_queries()["similarity_cosine_topk"](spark, sf_dir)
+    assert uses_broadcast_join(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)

@@ -32,6 +32,8 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        v = v.tolist()
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return v
