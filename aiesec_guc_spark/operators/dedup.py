@@ -136,8 +136,11 @@ def lsh_candidate_pairs(band_rows: DataFrame, id_col: str) -> DataFrame:
 
     Equi-join on (band, band_key): Spark hash-partitions both sides on
     the bucket key, so only colliding docs meet — the cross product is
-    never materialized.
+    never materialized.  The band rows feed both join sides, so they
+    are persisted: without it the whole minhash pipeline (explode +
+    md5 + 8 min-aggs) executes once per side.
     """
+    band_rows = band_rows.persist()
     a = band_rows.select(
         F.col(id_col).alias("doc_a"), "band", "band_key"
     )
@@ -161,7 +164,9 @@ def jaccard_verify(
     |A ∪ B| = |A| + |B| - |A ∩ B|.  Cost scales with candidate count,
     not corpus size.
     """
-    shd = shingle_rows.select(F.col(id_col), "shingle").distinct()
+    # The distinct shingle set feeds three consumers (sizes + both
+    # join sides) — persist so the explode/distinct runs once.
+    shd = shingle_rows.select(F.col(id_col), "shingle").distinct().persist()
     sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     xa = shd.select(F.col(id_col).alias("doc_a"), "shingle")
     xb = shd.select(F.col(id_col).alias("doc_b"), "shingle")

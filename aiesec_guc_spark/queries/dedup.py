@@ -226,7 +226,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select(
         "doc_id", "lang", "source", F.explode(char_ngrams_expr("text")).alias("gram")
     )
-    gd = g.distinct()
+    # gd feeds four consumers (both join sides + two size lookups) —
+    # persist so the explode+distinct runs once, not four times.
+    gd = g.distinct().persist()
     sizes = gd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = gd.select(
         "lang", "source", F.col("doc_id").alias("doc_a"), "gram"
@@ -280,11 +282,11 @@ FROM pairs WHERE cosine > 0.3
 
 
 def _dot(a, b) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    from ..operators.similarity import EMBEDDING_DIM, unrolled_dot
+
+    # Unrolled for codegen — bit-identical to the HOF fold / the
+    # oracle's list_sum (see operators/similarity.py).
+    return unrolled_dot(a, b, EMBEDDING_DIM)
 
 
 @query("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
@@ -293,16 +295,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs above 0.3 (the synthetic corpus has no tight near-dups; max within-label cosine ≈ 0.45, so 0.3 surfaces the genuinely-closest pairs).  Dot/norms via zip_with+aggregate (sequential
     double accumulation — bit-identical to the oracle's list_sum)."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        "label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    # Precompute each vector's norm once (N sqrt-dots instead of 2
+    # per pair); the per-pair work is then a single dot product.
+    # sqrt(dot(v,v)) is the same double whether computed per-vector
+    # or per-pair, so the oracle (which inlines the norms) matches.
+    with_norm = e.select(
+        "label",
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    ).persist()
+    a = with_norm.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    b = e.select(
-        "label", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    b = with_norm.select(
+        "label",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(b, on="label").filter(F.col("vec_a") < F.col("vec_b"))
     cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
-        * F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+        F.col("nrm_a") * F.col("nrm_b")
     )
     return (
         pairs.withColumn("cosine", cosine)

@@ -14,6 +14,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.similarity import (
+    EMBEDDING_DIM,
+    plane_weights,
+    unrolled_dot,
+    unrolled_weighted_sum,
+)
 from . import query
 
 TOPK = 10
@@ -26,11 +32,10 @@ _DOT_SQL = (
 
 
 def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Statically-unrolled for the corpus dimension — stays inside
+    # whole-stage codegen (the generic HOF fold is interpreted and
+    # ~100x slower in all-pairs loops; see operators/similarity.py).
+    return unrolled_dot(a, b, EMBEDDING_DIM)
 
 
 def _cosine(a: Column, b: Column) -> Column:
@@ -142,24 +147,12 @@ LIMIT {TOPK}
 """
 
 
-def _plane_component(p: int, i: Column) -> Column:
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"plane{p}_"), i.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return (h % 2001 - 1000) / F.lit(1000.0)
-
-
 def _plane_dot(p: int, vec: Column) -> Column:
-    # dot(vec, plane_p) with the plane materialized positionally:
-    # zip vec with its index via transform over a 0..n-1 sequence.
-    idx = F.sequence(F.lit(1), F.size(vec))
-    prods = F.transform(
-        idx,
-        lambda i: F.element_at(vec, i).cast("double") * _plane_component(p, i - 1),
-    )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    # The plane components are row-independent constants — compute
+    # them once in Python (same md5 formula as the oracle SQL, see
+    # operators.similarity.plane_weight) and unroll the dot into a
+    # constant-folded codegen expression instead of hashing per row.
+    return unrolled_weighted_sum(vec, plane_weights(p, EMBEDDING_DIM))
 
 
 def _bucket(vec: Column) -> Column:
