@@ -44,8 +44,18 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Queries must not depend on the caller's session timezone
+    # (to_date/date_trunc and the NTZ→TZ cast below are tz-sensitive;
+    # the DuckDB oracle treats naive timestamps as UTC).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _NANO_TS_COLUMNS.get(name, ()):
-        if isinstance(df.schema[c].dataType, T.LongType):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            # TIMESTAMP(NANOS) read as int64 nanos → micros timestamp.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # TIMESTAMP_NTZ → session-TZ timestamp (session is pinned
+            # UTC, so the instant is unchanged and unix_micros works).
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

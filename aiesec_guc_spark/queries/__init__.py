@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     "dedup",
     "similarity",
     "multimodal",
+    "udaf",
 ]
 
 

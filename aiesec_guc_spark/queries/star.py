@@ -310,3 +310,80 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_only = c.exceptAll(s).withColumn("membership", F.lit("customer_only"))
     s_only = s.exceptAll(c).withColumn("membership", F.lit("supplier_only"))
     return both.unionAll(c_only).unionAll(s_only)
+
+
+# ---------------------------------------------------------------------------
+# Cube — all grouping-set combinations (completes the rollup family).
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("cube_orders", oracle=_CUBE_ORACLE)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over (priority, status): all four grouping sets in one
+    pass (Spark expands the sets map-side; one shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frame — running (cumulative) revenue per customer.
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       epoch_us(o_orderdate) AS orderdate_us,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+@query("running_revenue_per_customer", oracle=_RUNNING_ORACLE)
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame: cumulative order revenue per customer
+    (rowsBetween unboundedPreceding..current), deterministic order via
+    the (orderdate, orderkey) tie-break; exact-decimal partial sums."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros("o_orderdate").alias("orderdate_us"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )

@@ -1,0 +1,154 @@
+"""Custom aggregation surfaces: the as-of join (temporal operator
+Spark lacks), and a grouped-map ``applyInPandas`` UDAF — both still
+oracle-checked.
+
+The UDAF (per-user value trend slope) does all its arithmetic in
+exact Python integers and only converts to double at the very end,
+mirroring the oracle's exact-BIGINT sums → CAST AS DOUBLE division,
+so even a pandas aggregation hash-matches DuckDB.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from . import query
+
+# ---------------------------------------------------------------------------
+# As-of join: for every click, the latest error of the same user at
+# or before the click time.  DuckDB has a native ASOF JOIN — the
+# oracle uses it, pinning our union+window implementation to the real
+# temporal-join semantics.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, ts, event_id AS err_id,
+         CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS err_value
+  FROM events WHERE event_type = 'error'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT c.event_id AS event_id,
+       c.user_id AS user_id,
+       epoch_us(c.ts) AS ts_us,
+       epoch_us(e.ts) AS asof_ts_us,
+       e.err_id AS asof_err_id,
+       e.err_value AS asof_err_value
+FROM clicks c
+ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+@query("asof_click_error", oracle=_ASOF_ORACLE)
+def asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union+window (operators/asof.py): each click
+    paired with the user's most recent error at ts <= click.ts.
+
+    One shuffle on user_id; no range cross-product.  The oracle is
+    DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    wr = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("err_id"),
+            F.col("value").cast("decimal(18,2)").cast("double").alias("err_value"),
+        )
+    )
+    joined = asof_join(
+        clicks, errors, keys=["user_id"], ts_col="ts",
+        right_value_cols=["err_id", "err_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        F.col("asof_err_id"),
+        F.col("asof_err_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map UDAF: per-user least-squares slope of event value over
+# time.  Exact integer sums (x = seconds since the user's first
+# event, y = value in cents), double conversion only at the final
+# division — deterministic across pandas and DuckDB.
+# ---------------------------------------------------------------------------
+
+_SLOPE_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000
+           - min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY user_id
+)
+SELECT user_id,
+       n AS n_events,
+       CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+         / NULLIF(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE), 0)
+         AS slope_cents_per_sec
+FROM s
+"""
+
+
+def _slope_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    secs = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+    x0 = min(secs)
+    xs = [s - x0 for s in secs]
+    # Decimal(str(v)) is the shortest round-trip representation — the
+    # same 2-decimal value DuckDB's double→DECIMAL(18,2) cast lands on
+    # for this corpus.
+    ys = [int(Decimal(str(v)) * 100) for v in pdf["value"]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    # float(int)/float(int): both casts are correctly rounded, same
+    # as the oracle's CAST(BIGINT AS DOUBLE) division.
+    slope = float(num) / float(den) if den != 0 else None
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [n],
+            "slope_cents_per_sec": [slope],
+        }
+    )
+
+
+@query("udaf_user_trend_slope", oracle=_SLOPE_ORACLE)
+def udaf_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF (applyInPandas): per-user OLS slope with
+    exact-integer accumulation.  The grouped shuffle is the only
+    exchange; each group is one Arrow batch in pandas."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        _slope_group,
+        schema="user_id long, n_events long, slope_cents_per_sec double",
+    )

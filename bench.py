@@ -58,6 +58,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # Release DataFrames persisted inside operators (LSH band
+        # rows, shingle sets, ...) so accumulated cache doesn't
+        # squeeze later queries.
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
