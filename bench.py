@@ -57,7 +57,7 @@ def main() -> None:
         # column (count() would let Catalyst skip computing them).
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
         # Release DataFrames persisted inside operators (LSH band
         # rows, shingle sets, ...) so accumulated cache doesn't
         # squeeze later queries.
