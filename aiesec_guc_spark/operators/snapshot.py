@@ -91,3 +91,33 @@ def day_snapshots(events: DataFrame, ts_col: str = "ts") -> tuple[DataFrame, Dat
         .drop("_max_day", "_day")
     )
     return today, yesterday
+
+
+def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
+    """Append one day's snapshot as a ``run_date`` partition.
+
+    Replaces the reference's file rotation (Today→Yesterday copy,
+    aiesec.py:20-21): nothing is copied or overwritten — each run
+    appends its partition, history is retained (the reference's
+    git-commit versioning, main.yml:37-52, falls out for free), and
+    readers prune to the partitions they need.
+    """
+    (
+        df.withColumn("run_date", F.lit(run_date))
+        .write.mode("append")
+        .partitionBy("run_date")
+        .parquet(base_path)
+    )
+
+
+def read_snapshot_pair(spark, base_path: str) -> tuple[DataFrame, DataFrame]:
+    """(today, yesterday) = the two most recent ``run_date``
+    partitions.  Both reads are partition-pruned — at 100 TB this
+    touches two days of files, never the table."""
+    snaps = spark.read.parquet(base_path)
+    days = [r[0] for r in snaps.select("run_date").distinct().orderBy(F.desc("run_date")).limit(2).collect()]
+    if len(days) < 2:
+        raise ValueError(f"need at least two run_date partitions at {base_path}, found {days}")
+    today = snaps.filter(F.col("run_date") == days[0]).drop("run_date")
+    yesterday = snaps.filter(F.col("run_date") == days[1]).drop("run_date")
+    return today, yesterday

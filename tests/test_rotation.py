@@ -1,0 +1,42 @@
+"""Snapshot rotation as a partitioned table (S5/S9): append-only
+run_date partitions replace the reference's file copy; the delta over
+the latest pair equals the golden fixture delta."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from aiesec_guc_spark.operators.snapshot import (
+    read_snapshot_pair,
+    snapshot_delta,
+    write_snapshot,
+)
+from aiesec_guc_spark.sources.fixtures import EXPECTED_DELTA_ROWS, snapshot_pair
+
+
+def test_partitioned_rotation_roundtrip(spark):
+    today, yesterday = snapshot_pair(spark)
+    with tempfile.TemporaryDirectory(prefix="snaps_") as base:
+        write_snapshot(yesterday, base, "2026-08-12")
+        write_snapshot(today, base, "2026-08-13")
+        t2, y2 = read_snapshot_pair(spark, base)
+        assert t2.count() == today.count()
+        assert y2.count() == yesterday.count()
+        delta = snapshot_delta(t2, y2, keys=["opportunity_id"])
+        got = sorted(tuple(r) for r in delta.select(*today.columns).collect())
+        assert got == sorted(EXPECTED_DELTA_ROWS)
+
+
+def test_rotation_reads_prune_partitions(spark):
+    today, yesterday = snapshot_pair(spark)
+    with tempfile.TemporaryDirectory(prefix="snaps_") as base:
+        for d in ["2026-08-10", "2026-08-11", "2026-08-12"]:
+            write_snapshot(yesterday, base, d)
+        write_snapshot(today, base, "2026-08-13")
+        t2, _ = read_snapshot_pair(spark, base)
+        # partition filter appears in the scan
+        plan = t2._jdf.queryExecution().executedPlan().toString()
+        assert "run_date" in plan
+        assert t2.count() == today.count()
