@@ -27,6 +27,28 @@ from pyspark.sql import functions as F
 
 from ..functions.text import hash32
 
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a reused subtree, breaking lineage.
+
+    A lazily-persisted DataFrame that feeds BOTH sides of a self-join
+    (or several consumers in one action) hits a Spark cache-
+    materialization race: every consumer races to build the same
+    InMemoryRelation and the upstream pipeline re-executes per
+    consumer (observed: 432 s for a 20 k-row LSH band self-join at
+    sf0.1 that takes <1 s once the cache is materialized first).
+    ``localCheckpoint(eager=True)`` computes the subtree exactly once,
+    truncates the lineage, and the blocks are released automatically
+    when the DataFrame is garbage-collected — callers carry no
+    unpersist bookkeeping.
+
+    On a multi-executor cluster the same pattern holds (blocks live on
+    executors); for fault-tolerance-critical pipelines swap in
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` — the
+    operator shape is identical.
+    """
+    return df.localCheckpoint(eager=True)
+
 # MinHash configuration (shared with the oracle-SQL generator).
 MINHASH_NUM_HASHES = 8
 MINHASH_BANDS = 4
@@ -62,13 +84,16 @@ def dedup_exact(df: DataFrame, key: Column, order_col: str) -> DataFrame:
 # Shingling
 # ---------------------------------------------------------------------------
 
-def word_shingles(text: Column, n: int = SHINGLE_WORDS) -> Column:
-    """Word n-gram shingles of whitespace-tokenized text.
+def shingles_from_tokens(toks: Column, n: int = SHINGLE_WORDS) -> Column:
+    """Word n-gram shingles from an already-tokenized array column.
 
-    Requires at least ``n`` tokens (callers filter; Spark's
-    ``sequence`` would run backwards on shorter docs).
+    Callers must project the tokenization into a real column first
+    (``F.split(...).alias("toks")``): inlining the split expression
+    here would re-run the regex split for every ``element_at`` of
+    every array element — Catalyst does no common-subexpression
+    elimination inside lambda bodies (measured 17 s vs ~2 s for the
+    sf0.1 shingle explode).
     """
-    toks = F.split(F.trim(text), r"\s+")
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     return F.transform(
         idx,
@@ -76,6 +101,17 @@ def word_shingles(text: Column, n: int = SHINGLE_WORDS) -> Column:
             " ", *[F.element_at(toks, i + k) for k in range(n)]
         ),
     )
+
+
+def word_shingles(text: Column, n: int = SHINGLE_WORDS) -> Column:
+    """Word n-gram shingles of whitespace-tokenized text.
+
+    Requires at least ``n`` tokens (callers filter; Spark's
+    ``sequence`` would run backwards on shorter docs).  Prefer the
+    two-step ``split → shingles_from_tokens`` projection in hot paths
+    (see that function's docstring).
+    """
+    return shingles_from_tokens(F.split(F.trim(text), r"\s+"), n)
 
 
 def char_ngrams_expr(text_col: str, n: int = 4) -> Column:
@@ -93,6 +129,21 @@ def char_ngrams_expr(text_col: str, n: int = 4) -> Column:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def shingle_rows(
+    docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_WORDS
+) -> DataFrame:
+    """(id, shingle) rows: tokenize once into a projected column, then
+    explode the n-gram shingles built from it (see
+    ``shingles_from_tokens`` for why the two-step projection matters)."""
+    toked = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    return toked.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
+    )
+
+
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc minhash signature columns sig_0..sig_{k-1}.
 
@@ -101,10 +152,7 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     doc id with partial min combine — shuffle rows = #docs, not
     #shingles.
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col))).alias("shingle"),
-    )
+    sh = shingle_rows(docs, id_col, text_col)
     h = sh.withColumn("h32", hash32(F.col("shingle")))
     aggs = [
         F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
@@ -137,10 +185,10 @@ def lsh_candidate_pairs(band_rows: DataFrame, id_col: str) -> DataFrame:
     Equi-join on (band, band_key): Spark hash-partitions both sides on
     the bucket key, so only colliding docs meet — the cross product is
     never materialized.  The band rows feed both join sides, so they
-    are persisted: without it the whole minhash pipeline (explode +
-    md5 + 8 min-aggs) executes once per side.
+    are eagerly materialized first: a lazy persist here triggers the
+    cache race described in ``materialize``.
     """
-    band_rows = band_rows.persist()
+    band_rows = materialize(band_rows)
     a = band_rows.select(
         F.col(id_col).alias("doc_a"), "band", "band_key"
     )
@@ -156,7 +204,7 @@ def lsh_candidate_pairs(band_rows: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingle_rows: DataFrame, id_col: str
+    pairs: DataFrame, shingles: DataFrame, id_col: str
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs.
 
@@ -164,9 +212,13 @@ def jaccard_verify(
     |A ∪ B| = |A| + |B| - |A ∩ B|.  Cost scales with candidate count,
     not corpus size.
     """
-    # The distinct shingle set feeds three consumers (sizes + both
-    # join sides) — persist so the explode/distinct runs once.
-    shd = shingle_rows.select(F.col(id_col), "shingle").distinct().persist()
+    # Both reused subtrees are eagerly materialized: `pairs` feeds the
+    # intersection aggregation AND the final left join, and the
+    # distinct shingle set feeds three consumers (sizes + both join
+    # sides) — each would otherwise recompute per consumer (and a
+    # *lazy* persist hits the cache race described in `materialize`).
+    pairs = materialize(pairs)
+    shd = materialize(shingles.select(F.col(id_col), "shingle").distinct())
     sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     xa = shd.select(F.col(id_col).alias("doc_a"), "shingle")
     xb = shd.select(F.col(id_col).alias("doc_b"), "shingle")

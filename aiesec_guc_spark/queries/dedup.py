@@ -25,10 +25,11 @@ from ..operators.dedup import (
     jaccard_verify,
     lsh_band_keys,
     lsh_candidate_pairs,
+    materialize,
     minhash_coeffs,
     minhash_signatures,
+    shingle_rows,
     simhash,
-    word_shingles,
 )
 from . import query
 
@@ -141,9 +142,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
     sigs = minhash_signatures(docs, "doc_id", "text")
     pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-    )
+    sh = shingle_rows(docs, "doc_id", "text")
     return jaccard_verify(pairs, sh, "doc_id")
 
 
@@ -227,8 +226,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", F.explode(char_ngrams_expr("text")).alias("gram")
     )
     # gd feeds four consumers (both join sides + two size lookups) —
-    # persist so the explode+distinct runs once, not four times.
-    gd = g.distinct().persist()
+    # eagerly materialized so the explode+distinct runs once, not four
+    # times (a lazy persist hits the cache race; see
+    # operators.dedup.materialize).
+    gd = materialize(g.distinct())
     sizes = gd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = gd.select(
         "lang", "source", F.col("doc_id").alias("doc_a"), "gram"
@@ -299,12 +300,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per pair); the per-pair work is then a single dot product.
     # sqrt(dot(v,v)) is the same double whether computed per-vector
     # or per-pair, so the oracle (which inlines the norms) matches.
-    with_norm = e.select(
-        "label",
-        "vec_id",
-        "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    ).persist()
+    with_norm = materialize(
+        e.select(
+            "label",
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+    )
     a = with_norm.select(
         "label",
         F.col("vec_id").alias("vec_a"),

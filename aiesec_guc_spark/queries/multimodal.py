@@ -42,15 +42,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(as_media_table(docs))
 
 
+# The offsets array is serialized to a comma-joined string at the
+# query boundary: the driver's order-insensitive hash canonicalizer
+# (pandas sort_values) cannot sort/hash list-valued cells, so both
+# sides emit the same scalar encoding.  `frame_offsets` itself still
+# returns the real array column for downstream use.
 _OFFSETS_ORACLE = """
 WITH m AS (
   SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
   FROM documents
 )
 SELECT doc_id, n_bytes,
-       CASE WHEN n_bytes >= 4
-            THEN generate_series(0, n_bytes - 1, greatest(n_bytes // 4, 1))
-            ELSE [0] END AS offsets
+       array_to_string(
+         CASE WHEN n_bytes >= 4
+              THEN generate_series(0, n_bytes - 1, greatest(n_bytes // 4, 1))
+              ELSE [0] END, ',') AS offsets_csv
 FROM m
 """
 
@@ -58,6 +64,13 @@ FROM m
 @query("multimodal_frame_offsets", oracle=_OFFSETS_ORACLE)
 def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Frame sampling' offsets into the payload — array-typed output
-    (sequence with stride), the plumbing under video frame extraction."""
+    (sequence with stride), the plumbing under video frame extraction.
+
+    The array is emitted comma-joined (`offsets_csv`) so the oracle
+    hash gate can canonicalize it; see module comment above."""
     docs = load_table(spark, sf_dir, "documents")
-    return frame_offsets(as_media_table(docs))
+    return frame_offsets(as_media_table(docs)).select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(F.col("offsets").cast("array<string>"), ",").alias("offsets_csv"),
+    )
