@@ -97,6 +97,54 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("chunk_len", T.LongType(), True),
+        T.StructField("first_byte", T.LongType(), True),
+    ]
+)
+
+
+def chunk_payload(media: DataFrame, chunk_size: int = 256) -> DataFrame:
+    """Fixed-size payload chunking — the audio-segmentation /
+    shard-for-embedding shape: one input row fans out to N chunk rows
+    inside the SAME ``mapInPandas`` pass (Arrow batch in, longer
+    batch out; no explode of a materialized array column, so a huge
+    payload never exists as a single array cell).
+
+    Empty payloads produce no chunks.  The chunk content here is
+    summarized (length + first byte) instead of decoded — the codec
+    is the stubbed part, the fan-out plumbing is real.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            firsts: list[int] = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range((len(b) + chunk_size - 1) // chunk_size):
+                    chunk = b[i * chunk_size : (i + 1) * chunk_size]
+                    ids.append(int(did))
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    firsts.append(chunk[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                    "first_byte": pd.Series(firsts, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=CHUNK_SCHEMA)
+
+
 def frame_offsets(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """'Video frame sampling' shape: evenly-spaced byte offsets into
     the payload — the partition/batch pattern for frame extraction,

@@ -74,3 +74,50 @@ def plane_weight(plane: int, dim_index: int) -> float:
 
 def plane_weights(plane: int, dim: int = EMBEDDING_DIM) -> list[float]:
     return [plane_weight(plane, i) for i in range(dim)]
+
+
+def hyperplane_bucket(vec: Column, n_planes: int, dim: int = EMBEDDING_DIM) -> Column:
+    """Sign-pattern LSH bucket: bit p set iff dot(vec, plane_p) > 0.
+
+    Plane components are md5-derived constants (``plane_weight``), so
+    the whole expression constant-folds into codegen and is
+    reproducible in SQL engines.
+    """
+    out = F.lit(0)
+    for p in range(n_planes):
+        dot = unrolled_weighted_sum(vec, plane_weights(p, dim))
+        out = out + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
+def subdivide_oversized_blocks(
+    df,
+    block_cols: list[str],
+    vec_col: str,
+    max_block_size: int,
+    n_planes: int = 4,
+    dim: int = EMBEDDING_DIM,
+):
+    """Append a ``sub_block`` column that caps within-block pairing.
+
+    Blocked all-pairs comparison is O(n²) in the block size — one hot
+    block (a skewed label) dominates the whole job at scale.  This
+    guard keeps ``sub_block = 0`` for blocks within the cap (exact
+    all-pairs downstream) and assigns a hyperplane-LSH bucket to rows
+    of oversized blocks, so pairing on (block, sub_block) splits a hot
+    block into ~2^n_planes buckets — trading recall for a bounded
+    worst case, the same contract as the MinHash-LSH path.
+
+    Block sizes come from a group-by (tiny result: one row per block)
+    joined back broadcast — no full-table window shuffle.
+    """
+    sizes = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_blk_n"))
+    oversized = sizes.filter(F.col("_blk_n") > max_block_size).select(
+        *block_cols, F.lit(True).alias("_oversized")
+    )
+    flagged = df.join(F.broadcast(oversized), on=list(block_cols), how="left")
+    bucket = hyperplane_bucket(F.col(vec_col), n_planes, dim)
+    return flagged.withColumn(
+        "sub_block",
+        F.when(F.col("_oversized").isNull(), F.lit(0)).otherwise(bucket),
+    ).drop("_oversized")

@@ -40,9 +40,14 @@ def snapshot_delta(
     key, left duplicates preserved, all today columns carried through.
     The right side is pruned to the key columns before the join so the
     broadcast/shuffle payload is minimal.
+
+    No forced broadcast hint: AQE broadcasts the pruned key set when
+    its runtime size is under the threshold (the common case — keys
+    only) and falls back to a shuffled sort-merge anti join when the
+    key set is genuinely huge, instead of OOMing on a hint.
     """
     right = yesterday.select(*keys).dropDuplicates(list(keys))
-    return today.join(F.broadcast(right), on=list(keys), how="left_anti")
+    return today.join(right, on=list(keys), how="left_anti")
 
 
 def changed_rows(

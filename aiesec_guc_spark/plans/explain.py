@@ -21,6 +21,21 @@ def simple_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def analyzed_plan(df: DataFrame) -> str:
+    """The analyzed logical plan — where explicit join hints
+    (``ResolvedHint``) are still visible before the optimizer
+    consumes them."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def final_adaptive_plan(df: DataFrame) -> str:
+    """Execute the query and return the AQE *final* physical plan —
+    the join strategies actually used at runtime, which with AQE can
+    differ from the static ``explain`` output."""
+    df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 

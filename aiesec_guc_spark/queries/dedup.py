@@ -147,6 +147,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: verified LSH pairs → connected components →
+# one canonical doc per dup group (the step that actually *removes*
+# duplicates at corpus scale).
+# ---------------------------------------------------------------------------
+
+CC_JACCARD_THRESHOLD = 0.5
+
+
+def _cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE verified AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+  WHERE jaccard >= {CC_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT id AS doc_id,
+       min(r) AS cluster_id,
+       (min(r) = id) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups: MinHash-LSH candidates → exact-Jaccard verify
+    (≥ CC_JACCARD_THRESHOLD) → connected components (iterative
+    min-label propagation) → cluster id + canonical flag per doc.
+
+    The oracle computes the same components with a recursive CTE
+    (min reachable id ≡ min label at fixpoint).  At 100 TB each
+    propagation round is one hash-partitioned join + grouped min on
+    the node id; rounds = component diameter (short for dup chains).
+    """
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
+    ).select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
+    sh = shingle_rows(docs, "doc_id", "text")
+    verified = jaccard_verify(pairs, sh, "doc_id").filter(
+        F.col("jaccard") >= CC_JACCARD_THRESHOLD
+    )
+    cc = connected_components(verified.select("doc_a", "doc_b"))
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints.
 # ---------------------------------------------------------------------------
 
@@ -290,19 +354,38 @@ def _dot(a, b) -> F.Column:
     return unrolled_dot(a, b, EMBEDDING_DIM)
 
 
+# Any label block above this row count is subdivided by hyperplane-LSH
+# sub-buckets before pairing (bounded worst case instead of O(n²) on a
+# hot label).  Testdata blocks are far below the cap at every SF, so
+# the guard is semantics-preserving there and the all-pairs oracle
+# stays exact.
+EMB_BLOCK_CAP = 4096
+
+
 @query("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairwise cosine within cluster-label blocks,
     pairs above 0.3 (the synthetic corpus has no tight near-dups; max within-label cosine ≈ 0.45, so 0.3 surfaces the genuinely-closest pairs).  Dot/norms via zip_with+aggregate (sequential
-    double accumulation — bit-identical to the oracle's list_sum)."""
+    double accumulation — bit-identical to the oracle's list_sum).
+
+    Blocks above ``EMB_BLOCK_CAP`` are split into hyperplane-LSH
+    sub-buckets (``subdivide_oversized_blocks``) so a skewed label
+    cannot go quadratic; under the cap the pairing is exact all-pairs
+    and matches the oracle bit-for-bit."""
+    from ..operators.similarity import subdivide_oversized_blocks
+
     e = load_table(spark, sf_dir, "embeddings")
+    guarded = subdivide_oversized_blocks(
+        e, ["label"], "embedding", max_block_size=EMB_BLOCK_CAP
+    )
     # Precompute each vector's norm once (N sqrt-dots instead of 2
     # per pair); the per-pair work is then a single dot product.
     # sqrt(dot(v,v)) is the same double whether computed per-vector
     # or per-pair, so the oracle (which inlines the norms) matches.
     with_norm = materialize(
-        e.select(
+        guarded.select(
             "label",
+            "sub_block",
             "vec_id",
             "embedding",
             F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -310,17 +393,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = with_norm.select(
         "label",
+        "sub_block",
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
     b = with_norm.select(
         "label",
+        "sub_block",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    pairs = a.join(b, on="label").filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = a.join(b, on=["label", "sub_block"]).filter(F.col("vec_a") < F.col("vec_b"))
     cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )

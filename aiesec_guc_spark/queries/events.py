@@ -222,20 +222,73 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag(ts) over (user_id, ts) marks session starts; a running sum
     assigns session ids.  Single hash-partition shuffle on user_id —
     both window functions share it.
+
+    The gap is computed in microseconds (``unix_micros``), not
+    seconds: ``ts.cast('long')`` truncates sub-second precision, so a
+    gap within ~1 s of the 1800 s boundary could classify differently
+    from the oracle's exact INTERVAL comparison.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     sessions = ev.withColumn(
         "new_session",
-        F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1)),
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
     ).withColumn("session_id", F.sum("new_session").over(wrun))
     return sessions.groupBy("user_id").agg(
         F.max("session_id").cast("bigint").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — click → purchase within 5 minutes, banded
+# into an equi-join so no per-user cross product exists at scale
+# (operators/interval.py).
+# ---------------------------------------------------------------------------
+
+_CLICK_PURCHASE_ORACLE = """
+SELECT c.user_id   AS user_id,
+       c.event_id  AS click_id,
+       p.event_id  AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS latency_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= 300000000
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+@query("events_click_purchase_window", oracle=_CLICK_PURCHASE_ORACLE)
+def events_click_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 5 min after a click by the same
+    user.  The oracle states the naive range join; the Spark plan is
+    the banded equi-join (quantized time buckets, left side duplicated
+    into two buckets) — linear shuffle instead of a per-user cross
+    product, identical semantics."""
+    from ..operators.interval import banded_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = banded_interval_join(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts", 300_000_000
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("latency_us"),
     )
 
 

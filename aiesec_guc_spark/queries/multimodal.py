@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.multimodal import as_media_table, extract_features, frame_offsets
+from ..operators.multimodal import (
+    as_media_table,
+    chunk_payload,
+    extract_features,
+    frame_offsets,
+)
 from . import query
 
 # checksum16 = sum of the first 16 payload bytes.  The corpus text is
@@ -59,6 +64,35 @@ SELECT doc_id, n_bytes,
               ELSE [0] END, ',') AS offsets_csv
 FROM m
 """
+
+
+_CHUNKS_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, n_bytes,
+         unnest(generate_series(0, CAST((n_bytes - 1) // 256 AS BIGINT))) AS i
+  FROM m WHERE n_bytes > 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(least(256, n_bytes - i * 256) AS BIGINT) AS chunk_len,
+       CAST(ascii(substr(text, CAST(i * 256 + 1 AS INT), 1)) AS BIGINT) AS first_byte
+FROM c
+"""
+
+
+@query("multimodal_chunks", oracle=_CHUNKS_ORACLE)
+def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size payload chunking: each media row fans out to N chunk
+    rows inside one mapInPandas pass (the audio-segmentation shape).
+    The ASCII corpus lets the oracle recompute chunk length and first
+    byte in SQL — a real check on the fan-out row alignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_payload(as_media_table(docs))
 
 
 @query("multimodal_frame_offsets", oracle=_OFFSETS_ORACLE)

@@ -195,6 +195,68 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch k-NN join: top-k neighbors for a SET of probe vectors in one
+# pass — the many-query form of similarity search (retrieval eval,
+# near-dup audit samples).
+# ---------------------------------------------------------------------------
+
+KNN_PROBES = 5
+KNN_K = 3
+
+_KNN_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS p
+  FROM embeddings ORDER BY vec_id LIMIT {KNN_PROBES}
+),
+scored AS (
+  SELECT pr.probe_id, e.vec_id,
+         {_DOT_SQL.format(a='e.embedding', b='pr.p')}
+           / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+              * sqrt({_DOT_SQL.format(a='pr.p', b='pr.p')})) AS cosine
+  FROM embeddings e JOIN probes pr ON e.vec_id <> pr.probe_id
+)
+SELECT probe_id, vec_id, round(cosine, 9) AS cosine, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cosine DESC, vec_id
+  ) AS rk FROM scored
+) WHERE rk <= {KNN_K}
+"""
+
+
+@query("similarity_knn_join", oracle=_KNN_ORACLE)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-3 cosine neighbors for each of the 5
+    lowest-id probe vectors.
+
+    The probe set broadcasts (it is small by construction); scoring is
+    one corpus scan producing |probes|×N rows map-side; the ranking
+    window shuffles on probe_id only.  At 100 TB with a large probe
+    set, the same plan holds with the probe side bucketed instead of
+    broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.orderBy("vec_id").limit(KNN_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+    scored = (
+        e.join(F.broadcast(probes), e.vec_id != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            _cosine(F.col("embedding"), F.col("p")).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= KNN_K)
+        .select("probe_id", "vec_id", F.round("cosine", 9).alias("cosine"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vector hygiene stats — cheap per-vector diagnostics (norms, moments).
 # ---------------------------------------------------------------------------
 

@@ -145,11 +145,15 @@ def topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Aggregate first (shrinks to one row per customer), then a window
     over the small aggregate — the window shuffle moves #customers
     rows, not #orders.
+
+    No broadcast hint on ``customer``: it is fact-sized (scales with
+    SF), so a forced broadcast would OOM at 100×.  AQE still picks a
+    broadcast join when the side is genuinely small.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     cust_rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_nationkey").alias("nationkey"), F.col("c_custkey").alias("custkey")
         )
@@ -235,17 +239,48 @@ def distinct_customers_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("approx_distinct_customers", oracle=None)
+_APPROX_RSD = 0.02
+
+# The estimate itself is engine-specific (HLL++ sketch), so the oracle
+# checks the exact count plus a tolerance flag: |approx - exact| must
+# be within 3·rsd·exact, which for a correctly-functioning HLL++ at
+# rsd=0.02 holds with overwhelming probability.  The oracle's
+# within_tolerance is the literal TRUE the Spark side must reproduce.
+_APPROX_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_tolerance
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("approx_distinct_customers", oracle=_APPROX_ORACLE)
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E10 (approx half): HyperLogLog++ distinct estimate (rows-only —
-    HLL sketches differ across engines by construction; the scale
-    rationale is that the approx version needs no distinct shuffle,
-    only mergeable sketches).
+    """E10 (approx half): HyperLogLog++ distinct estimate, verified.
+
+    The sketch value is not comparable across engines, so the query
+    emits the exact distinct count alongside and folds the estimate
+    into a ``within_tolerance`` boolean (|approx − exact| ≤
+    3·rsd·exact).  The oracle checks the exact columns and expects the
+    flag to be TRUE — a broken sketch turns the row red.  At scale the
+    approx path needs no distinct shuffle, only mergeable sketches.
     """
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=_APPROX_RSD).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    tol = F.lit(3 * _APPROX_RSD) * F.col("exact_customers")
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers")) <= tol
+        ).alias("within_tolerance"),
     )
 
 
@@ -344,6 +379,88 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
             "n_orders",
             "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile — equal-frequency bucketing (decile stats over acctbal).
+# ---------------------------------------------------------------------------
+
+_DECILES_ORACLE = """
+WITH t AS (
+  SELECT c_custkey,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+         ntile(10) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey) AS decile
+  FROM customer
+)
+SELECT CAST(decile AS INT) AS decile,
+       count(*) AS n_customers,
+       CAST(min(bal) AS DOUBLE) AS min_bal,
+       CAST(max(bal) AS DOUBLE) AS max_bal,
+       CAST(SUM(bal) AS DOUBLE) AS total_bal
+FROM t GROUP BY decile
+"""
+
+
+@query("customer_acctbal_deciles", oracle=_DECILES_ORACLE)
+def customer_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) equal-frequency bucketing with a deterministic
+    tie-break, then per-decile stats.  A global ntile needs a total
+    order — one single-partition window over (bal, custkey); at 100 TB
+    the same statistic comes from approx_percentile boundaries instead
+    (see approx_quantile_orders), which is why both are declared."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    t = c.select(F.col("c_custkey"), bal.alias("bal")).withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.col("bal"), F.col("c_custkey")))
+    )
+    return t.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("bal").cast("double").alias("min_bal"),
+        F.max("bal").cast("double").alias("max_bal"),
+        F.sum("bal").cast("double").alias("total_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles — the sketch-based path a 100 TB pipeline uses
+# instead of a global sort, verified against exact rank bounds.
+# ---------------------------------------------------------------------------
+
+_APPROX_Q_ORACLE = """
+SELECT count(*) AS n_orders, TRUE AS median_within_tolerance
+FROM orders
+"""
+
+
+@query("approx_quantile_orders", oracle=_APPROX_Q_ORACLE)
+def approx_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch, mergeable, no global
+    sort) verified by rank: the number of rows ≤ the approximate
+    median must sit within 1% of N/2.  The oracle checks N and
+    expects the tolerance flag TRUE — a broken sketch turns the row
+    red.  The estimate itself is engine-specific, so it is folded
+    into the boolean rather than surfaced."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("med"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        o.join(F.broadcast(med))
+        .agg(
+            F.max("n_orders").alias("n_orders"),
+            F.sum(F.when(F.col("o_totalprice") <= F.col("med"), 1).otherwise(0)).alias(
+                "_rank"
+            ),
+        )
+        .select(
+            "n_orders",
+            (
+                F.abs(F.col("_rank") - F.col("n_orders") / 2)
+                <= F.col("n_orders") * 0.01 + 1
+            ).alias("median_within_tolerance"),
         )
     )
 

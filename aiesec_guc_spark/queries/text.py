@@ -157,6 +157,61 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Top terms per language — explode + two-phase count + ranking window
+# (the vocabulary/frequency pass of corpus analysis).
+# ---------------------------------------------------------------------------
+
+TOPK_TERMS = 10
+
+_TOPK_TERMS_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT lang, term, count(*) AS n
+  FROM toks WHERE length(term) > 2 AND term NOT IN ({_STOP_IN})
+  GROUP BY lang, term
+)
+SELECT lang, term, n, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+  FROM counts
+) WHERE rk <= {TOPK_TERMS}
+"""
+
+
+@query("text_topk_terms_per_lang", oracle=_TOPK_TERMS_ORACLE)
+def text_topk_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 non-stopword terms per language by frequency.
+
+    explode happens map-side; the (lang, term) count is two-phase
+    (partial agg before the shuffle), and the ranking window runs
+    over the already-aggregated counts — shuffle rows = |vocabulary|,
+    not |tokens|.  Deterministic tie-break on the term."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    counts = (
+        toks.filter((F.length("term") > 2) & ~F.col("term").isin(list(STOPWORDS)))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOPK_TERMS)
+        .select("lang", "term", "n", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting (md5 canonical form + portable 32-bit hash).
 # ---------------------------------------------------------------------------
 

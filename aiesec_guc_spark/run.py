@@ -1,0 +1,133 @@
+"""End-to-end pipeline runner — the reference's single top-to-bottom
+script (aiesec.py:21-251 under the main.yml:35-36 cron) as one CLI
+invocation:
+
+    python -m aiesec_guc_spark --data-dir /path/snapshots \\
+        --out-dir /path/reports --run-date 2026-08-13
+
+Stage map (reference → here):
+
+1. rotate (aiesec.py:20-21)      → append-only run_date partition; no
+                                   file copy, "yesterday" = lag-1
+                                   partition (operators/snapshot.py)
+2. scrape (aiesec.py:22-67)      → `format("listing_scrape")` source
+                                   (fixture-backed `_fetch` seam)
+3. extract (aiesec.py:83-126)    → `extract_cards` (codegen'd regexes)
+4. Today.xlsx (aiesec.py:130-132)→ `write_snapshot` partition append
+5. anti-join (aiesec.py:137-143) → `snapshot_delta` (left_anti)
+6. New.xlsx + style (:145-183)   → `write_styled_report` (+ autofit)
+7. email iff delta (:188-251)    → `notify_if_nonempty` with the full
+                                   HTML document body (transport
+                                   injected; default logs)
+
+First run (no prior partition): the whole snapshot is the delta, the
+same as the reference diffing against an empty Yesterday.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def scrape_today(spark: SparkSession) -> DataFrame:
+    """Stages 2-3: scrape source → card extraction."""
+    from .functions.html_cards import extract_cards
+    from .sources.listing_scrape import register_listing_source
+
+    if register_listing_source(spark):
+        cards = spark.read.format("listing_scrape").load()
+    else:  # pragma: no cover - Spark < 4 fallback
+        from .sources.fixtures import FIXTURE_CARDS
+
+        cards = spark.createDataFrame(FIXTURE_CARDS, "page_id int, html string")
+    return extract_cards(cards)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    data_dir: str,
+    out_dir: str,
+    run_date: str,
+    send: Callable[[str], None] | None = None,
+) -> dict:
+    """One scheduled run, start to finish.  Returns a summary dict
+    (rows scraped, delta rows, report path, whether a notification
+    went out) so callers/tests can assert on the outcome."""
+    from .operators.snapshot import snapshot_delta, write_snapshot
+    from .sinks.report import notify_if_nonempty, render_email_html, write_styled_report
+
+    snap_path = os.path.join(data_dir, "snapshots")
+
+    today = scrape_today(spark)
+    write_snapshot(today, snap_path, run_date)
+
+    snaps = spark.read.parquet(snap_path)
+    prior_dates = [
+        r[0]
+        for r in snaps.select("run_date")
+        .filter(F.col("run_date") < run_date)
+        .distinct()
+        .orderBy(F.desc("run_date"))
+        .limit(1)
+        .collect()
+    ]
+    today_rows = snaps.filter(F.col("run_date") == run_date).drop("run_date")
+    if prior_dates:
+        yesterday = snaps.filter(F.col("run_date") == prior_dates[0]).drop("run_date")
+    else:
+        yesterday = today_rows.filter(F.lit(False))  # first run: all new
+    delta = snapshot_delta(today_rows, yesterday, keys=["opportunity_id"])
+
+    os.makedirs(out_dir, exist_ok=True)
+    report_path = write_styled_report(
+        delta, os.path.join(out_dir, f"new_{run_date}")
+    )
+
+    notified = notify_if_nonempty(
+        delta, send=send or _log_send, renderer=render_email_html
+    )
+
+    n_today = today_rows.count()
+    n_delta = delta.count()
+    log.info("run %s: %d scraped, %d new", run_date, n_today, n_delta)
+    return {
+        "run_date": run_date,
+        "rows_scraped": n_today,
+        "delta_rows": n_delta,
+        "report_path": report_path,
+        "notified": notified,
+    }
+
+
+def _log_send(body: str) -> None:
+    log.info("notification (%d chars):\n%s", len(body), body)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="aiesec_guc_spark", description=__doc__)
+    p.add_argument("--data-dir", required=True, help="snapshot table root")
+    p.add_argument("--out-dir", required=True, help="report output dir")
+    p.add_argument("--run-date", required=True, help="YYYY-MM-DD of this run")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from .session import get_spark
+
+    spark = get_spark("pipeline_run")
+    spark.sparkContext.setLogLevel("ERROR")
+    summary = run_pipeline(spark, args.data_dir, args.out_dir, args.run_date)
+    print(summary)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

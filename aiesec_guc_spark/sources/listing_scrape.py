@@ -38,6 +38,18 @@ def _fixture_pages() -> dict[int, list[str]]:
     return pages
 
 
+def _fetch(page_id: int) -> list[str]:
+    """The fetch seam: page id → HTML fragments for that page.
+
+    Hermetic builds serve recorded fixtures; a real deployment
+    replaces THIS ONE FUNCTION with an HTTP fetch (the reference's
+    browser pagination, aiesec.py:51-63).  Partitioning, schema, and
+    registration are unchanged by the swap — executors call `_fetch`
+    per assigned page, so fetching parallelizes across the cluster.
+    """
+    return _fixture_pages()[page_id]
+
+
 class ListingScrapeDataSource(DataSource):  # type: ignore[misc]
     """`format("listing_scrape")` — one row per card fragment."""
 
@@ -62,7 +74,7 @@ class ListingScrapeReader(DataSourceReader):  # type: ignore[misc]
 
     def read(self, partition):
         page_id = partition.value
-        for html in _fixture_pages()[page_id]:
+        for html in _fetch(page_id):
             yield (page_id, html)
 
 

@@ -89,7 +89,14 @@ def run_incremental_delta(
     )
 
     src = _events_stream(spark, sf_dir).filter(F.to_date("ts") == F.lit(maxd))
-    out: list[DataFrame] = []
+
+    # Pre-create an empty view with the delta schema so a run whose
+    # every batch is empty still returns an empty DataFrame instead of
+    # raising AnalysisException on the final table lookup.
+    empty = spark.createDataFrame([], src.schema)
+    snapshot_delta(empty, yesterday_keys, keys=["user_id"]).createOrReplaceGlobalTempView(
+        query_name
+    )
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         delta = snapshot_delta(batch_df, yesterday_keys, keys=["user_id"])

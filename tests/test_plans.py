@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from aiesec_guc_spark.catalog import load_table
 from aiesec_guc_spark.plans.explain import (
+    analyzed_plan,
+    final_adaptive_plan,
     formatted_plan,
     has_partial_aggregation,
     pushed_filters,
@@ -17,9 +19,20 @@ from aiesec_guc_spark.queries import spark_queries
 
 
 def test_snapshot_delta_is_broadcast_anti_join(spark, sf_dir):
+    # No forced hint — AQE must still pick a broadcast anti join at
+    # runtime because the pruned yesterday key set is tiny.
     df = spark_queries()["snapshot_delta_events"](spark, sf_dir)
-    plan = formatted_plan(df)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    plan = final_adaptive_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_forced_broadcast_of_fact_sized_sides(spark, sf_dir):
+    # customer scales with SF; a forced broadcast would OOM at 100×.
+    # (Scalar/one-row broadcasts like day_snapshots' max-day aggregate
+    # are fine — this pins the absence of hints on *table* sides.)
+    df = spark_queries()["topk_customers_per_nation"](spark, sf_dir)
+    assert "ResolvedHint" not in analyzed_plan(df)
 
 
 def test_star_join_broadcasts_all_dims(spark, sf_dir):

@@ -1,0 +1,85 @@
+"""End-to-end runner (reference aiesec.py:21-251 / main.yml:35-36 as
+one invocation) and the Excel snapshot round-trip (S4 read edge +
+S6 styled write with autofit)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from aiesec_guc_spark.run import run_pipeline
+from aiesec_guc_spark.sinks.report import (
+    read_snapshot_xlsx,
+    render_email_html,
+    write_styled_report,
+)
+from aiesec_guc_spark.sources.fixtures import (
+    EXPECTED_DELTA_ROWS,
+    snapshot_pair,
+)
+
+
+def test_pipeline_first_and_second_run(spark, tmp_path):
+    data_dir, out_dir = str(tmp_path / "data"), str(tmp_path / "out")
+    sent: list[str] = []
+
+    # First run: no prior partition, every scraped card is new.
+    s1 = run_pipeline(spark, data_dir, out_dir, "2026-08-12", send=sent.append)
+    assert s1["rows_scraped"] == 5
+    assert s1["delta_rows"] == 5
+    assert s1["notified"] and len(sent) == 1
+    assert os.path.exists(s1["report_path"])
+    # Full email document, not bare cards (aiesec.py:221-233).
+    assert sent[0].startswith("<!DOCTYPE html>")
+    assert "<meta charset=" in sent[0] and "</html>" in sent[0]
+
+    # Second run, same fixture scrape: nothing new, notify skipped.
+    s2 = run_pipeline(spark, data_dir, out_dir, "2026-08-13", send=sent.append)
+    assert s2["delta_rows"] == 0
+    assert not s2["notified"] and len(sent) == 1
+    assert os.path.exists(s2["report_path"])
+
+
+def test_snapshot_write_read_roundtrip_delta(spark, tmp_path):
+    """S4: write both snapshots via the edge sink, read them back, and
+    the anti-join of the round-tripped frames equals the golden
+    delta — the reference's exact on-disk state transition
+    (aiesec.py:130-145).  Runs against whichever format the sink
+    produced (styled xlsx with openpyxl, CSV fallback without)."""
+    from aiesec_guc_spark.operators.snapshot import snapshot_delta
+
+    today, yesterday = snapshot_pair(spark)
+    t_path = write_styled_report(today, str(tmp_path / "Today"))
+    y_path = write_styled_report(yesterday, str(tmp_path / "Yesterday"))
+
+    t2 = read_snapshot_xlsx(spark, t_path)
+    y2 = read_snapshot_xlsx(spark, y_path)
+    delta = snapshot_delta(t2, y2, keys=["opportunity_id"])
+    got = [tuple(r) for r in delta.collect()]
+    assert got == EXPECTED_DELTA_ROWS
+
+
+def test_styled_xlsx_autofit(spark, tmp_path):
+    """Autofit parity (aiesec.py:175-181): every column of the styled
+    report gets a width — only runnable when openpyxl is present."""
+    openpyxl = pytest.importorskip("openpyxl")
+    today, _ = snapshot_pair(spark)
+    t_path = write_styled_report(today, str(tmp_path / "Today"))
+    assert t_path.endswith(".xlsx")
+    ws = openpyxl.load_workbook(t_path).active
+    widths = [
+        ws.column_dimensions[openpyxl.utils.get_column_letter(i)].width
+        for i in range(1, ws.max_column + 1)
+    ]
+    assert all(w and w >= 3 for w in widths)
+
+
+def test_email_html_is_full_document(spark):
+    today, _ = snapshot_pair(spark)
+    html = render_email_html(today)
+    assert html.startswith("<!DOCTYPE html>")
+    assert html.rstrip().endswith("</html>")
+    assert "card" in html
+    empty = today.filter("1 = 0")
+    assert render_email_html(empty) == ""
