@@ -58,6 +58,27 @@ def unrolled_weighted_sum(a: Column, weights: list[float]) -> Column:
     return reduce(lambda acc, t: acc + t, terms)
 
 
+def hof_weighted_sum(a: Column, weights: list[float]) -> Column:
+    """dot(a, literal weight vector) via zip_with+aggregate.
+
+    Bit-identical to ``unrolled_weighted_sum`` (0.0 + t1 + ... + tn ==
+    t1 + ... + tn for doubles) but with a ~constant-size expression
+    tree: the weight array constant-folds to one literal.  Prefer this
+    for *bucket assignment* (one evaluation per row): the unrolled
+    form stacks up to hundreds of codegen terms per plane and its
+    whole-stage compile cost (seconds, and unstable under JIT
+    pressure) dwarfs the interpreted HOF's per-row cost on a single
+    scan.  Keep the unrolled form for per-PAIR dots inside join loops,
+    where per-row cost dominates compile cost.
+    """
+    w = F.array(*[F.lit(x) for x in weights])
+    return F.aggregate(
+        F.zip_with(a, w, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:
     return unrolled_dot(a, b, dim) / (
         F.sqrt(unrolled_dot(a, a, dim)) * F.sqrt(unrolled_dot(b, b, dim))
@@ -85,7 +106,7 @@ def hyperplane_bucket(vec: Column, n_planes: int, dim: int = EMBEDDING_DIM) -> C
     """
     out = F.lit(0)
     for p in range(n_planes):
-        dot = unrolled_weighted_sum(vec, plane_weights(p, dim))
+        dot = hof_weighted_sum(vec, plane_weights(p, dim))
         out = out + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return out
 

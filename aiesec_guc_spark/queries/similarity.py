@@ -16,9 +16,9 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.similarity import (
     EMBEDDING_DIM,
+    hof_weighted_sum,
     plane_weights,
     unrolled_dot,
-    unrolled_weighted_sum,
 )
 from . import query
 
@@ -148,11 +148,13 @@ LIMIT {TOPK}
 
 
 def _plane_dot(p: int, vec: Column) -> Column:
-    # The plane components are row-independent constants — compute
-    # them once in Python (same md5 formula as the oracle SQL, see
-    # operators.similarity.plane_weight) and unroll the dot into a
-    # constant-folded codegen expression instead of hashing per row.
-    return unrolled_weighted_sum(vec, plane_weights(p, EMBEDDING_DIM))
+    # The plane components are row-independent constants — computed
+    # once in Python (same md5 formula as the oracle SQL, see
+    # operators.similarity.plane_weight).  HOF dot, not unrolled:
+    # bucket assignment runs once per row on a single scan, and the
+    # 8-plane unrolled form (512 codegen terms) costs seconds of
+    # unstable whole-stage compile for no per-row win.
+    return hof_weighted_sum(vec, plane_weights(p, EMBEDDING_DIM))
 
 
 def _bucket(vec: Column) -> Column:
@@ -169,9 +171,17 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the bucket column is precomputed at ingest and the
     candidate fetch is a partition-pruned read of one bucket; here the
-    bucket assignment runs inline (one scan, codegen'd HOFs)."""
+    bucket table is materialized once (the ingest step in miniature)
+    so the plane dots run once per row, and both the probe lookup and
+    the candidate fetch read the materialized column."""
+    from ..operators.dedup import materialize
+
     e = load_table(spark, sf_dir, "embeddings")
-    b = e.select("vec_id", "label", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    b = materialize(
+        e.select(
+            "vec_id", "label", "embedding", _bucket(F.col("embedding")).alias("bucket")
+        )
+    )
     probe = b.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p"),

@@ -384,6 +384,65 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping priority: 3-table join, two date filters,
+# grouped revenue, global top-10.
+# ---------------------------------------------------------------------------
+
+_SHIPPING_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority", oracle=_SHIPPING_ORACLE)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → fact joins →
+    grouped revenue → global top-10.
+
+    The mktsegment filter shrinks customer before the join (AQE
+    broadcasts the filtered side); both date predicates are scan-level
+    filters; the final top-10 is TakeOrderedAndProject (per-partition
+    heap, no global sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+    )
+    agg = joined.groupBy(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+    ).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        agg.orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ntile — equal-frequency bucketing (decile stats over acctbal).
 # ---------------------------------------------------------------------------
 

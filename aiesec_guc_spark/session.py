@@ -37,6 +37,16 @@ def get_spark(app_name: str = "aiesec_guc_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Long-lived sessions running many distinct queries generate
+        # many codegen classes; the JVM's default 240 MB JIT code
+        # cache fills, the JIT silently disables itself, and late
+        # heavy-codegen queries run interpreted (observed: a 1.2 s
+        # decimal aggregation degrading to 20 s deep into the bench
+        # suite).  A larger reserved code cache removes the cliff.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -11,6 +11,7 @@ after a warm-up of the session JVM.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -58,10 +59,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
-        # Release DataFrames persisted inside operators (LSH band
-        # rows, shingle sets, ...) so accumulated cache doesn't
-        # squeeze later queries.
+        # Release per-query state so it can't squeeze later queries:
+        # clearCache drops catalog-cached relations, and the explicit
+        # Python gc releases py4j refs to localCheckpoint'd
+        # DataFrames (operators materialize intermediates eagerly)
+        # so Spark's ContextCleaner can free their blocks — without
+        # it, block buildup degrades unrelated queries late in the
+        # suite (observed: 6-row fixture queries at 70 s).
+        df = None
         spark.catalog.clearCache()
+        gc.collect()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
