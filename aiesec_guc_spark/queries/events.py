@@ -309,6 +309,18 @@ GROUP BY 1, 2
 """
 
 
+@query("streaming_sessionize_stateful", oracle=_SESSIONS_ORACLE)
+def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap sessionization
+    via ``applyInPandasWithState`` (Arrow-batched group fold over
+    persisted state), drained with availableNow.  The oracle is the
+    SAME SQL as the batch ``events_sessionize`` — streaming and batch
+    must agree exactly."""
+    from ..streaming.stateful import run_streaming_sessionize
+
+    return run_streaming_sessionize(spark, sf_dir)
+
+
 @query("streaming_hourly_tumbling", oracle=_STREAM_HOURLY_ORACLE)
 def streaming_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7 streaming: windowed agg over a parquet stream, drained to

@@ -285,6 +285,41 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouping sets — explicit set list (the general form under
+# rollup/cube), exercised through the spark.sql entry point.
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_ORACLE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
+@query("orders_grouping_sets", oracle=_GROUPING_SETS_ORACLE)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an explicit set list — per-priority and
+    per-status totals in one scan (the general operator rollup/cube
+    specialize).  Declared via ``spark.sql`` over a temp view: the
+    SQL entry point compiles to the same expanded-grouping plan as
+    the DataFrame API, and registering it pins that the engine's SQL
+    surface works end-to-end."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               count(*) AS n_orders
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pivot — wide conditional aggregation.
 # ---------------------------------------------------------------------------
 

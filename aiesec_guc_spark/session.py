@@ -45,7 +45,10 @@ def get_spark(app_name: str = "aiesec_guc_spark") -> SparkSession:
         # suite).  A larger reserved code cache removes the cliff.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            (
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+                + os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTS", "")
+            ).strip(),
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -1,0 +1,118 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+This is the Structured Streaming shape for operators the built-in
+windowed aggregations can't express — per-key custom state evolving
+over event time.  Each micro-batch, a group's new rows arrive as
+Arrow-backed pandas frames together with that key's persisted state;
+the function folds the rows into the state and emits updated results.
+With a live source, ``GroupStateTimeout`` + watermarks bound state
+size and emit session closures; for the bounded historical corpus the
+stream drains under ``trigger(availableNow)`` and the final per-user
+session counts must equal the batch sessionization exactly (the
+registered oracle is the same SQL as ``events_sessionize``).
+
+Cross-batch caveat (documented, not hit here): the file source orders
+batches by file, not event time, so per-user continuity across
+micro-batches requires event-time-ordered input files — the corpus is
+one file, one batch, so the fold is exact.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_sessions", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType(), True),
+        T.StructField("n_sessions", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's new rows into (last_ts, n_sessions, n_events).
+
+    Rows are sorted by (ts, event_id) inside the batch — the same
+    deterministic order as the batch window — then the classic gap
+    fold: a new session starts when the gap to the previous event
+    exceeds SESSION_GAP_US."""
+    last_ts, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    pdf = pd.concat(list(pdfs))
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for ts in pdf["ts"]:
+        ts_us = int(ts.value) // 1000  # pandas Timestamp ns → us
+        if last_ts is None or ts_us - last_ts > SESSION_GAP_US:
+            n_sessions += 1
+        last_ts = ts_us
+        n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]], dtype="int64"),
+            "n_sessions": pd.Series([n_sessions], dtype="int64"),
+            "n_events": pd.Series([n_events], dtype="int64"),
+        }
+    )
+
+
+def run_streaming_sessionize(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sessions"
+) -> DataFrame:
+    """Drain the events stream through the stateful sessionizer and
+    return final per-user session counts (memory sink, update mode:
+    the last emitted row per user is the final state)."""
+    from .incremental import _events_stream
+
+    src = _events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # Update-mode memory sink appends one row per key per batch; the
+    # final value per user is the row from the last batch it appeared
+    # in — with the single-file corpus there is exactly one.
+    t = spark.table(query_name)
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+    )
