@@ -245,6 +245,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d.select("doc_id", "text"), "doc_id", "text")
 
 
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH fp AS ({_simhash_oracle()})
+SELECT a.simhash AS simhash, a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: equal-fingerprint bucket self-join
+    (equi-join on the 16-bit fingerprint — only colliding docs meet,
+    the same no-cross-product contract as MinHash-LSH banding; wider
+    Hamming radii probe the 16 single-bit-flip buckets the same
+    way)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = materialize(simhash(d.select("doc_id", "text"), "doc_id", "text"))
+    a = fp.select("simhash", F.col("doc_id").alias("doc_a"))
+    b = fp.select("simhash", F.col("doc_id").alias("doc_b"))
+    return a.join(b, on="simhash").filter(F.col("doc_a") < F.col("doc_b"))
+
+
 # ---------------------------------------------------------------------------
 # Blocked n-gram Jaccard: exact char-4-gram Jaccard within a blocking
 # key (lang, source) — the no-LSH variant for when a cheap blocking

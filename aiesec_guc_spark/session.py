@@ -50,6 +50,11 @@ def get_spark(app_name: str = "aiesec_guc_spark") -> SparkSession:
                 + os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTS", "")
             ).strip(),
         )
+        # Broadcast/accumulator cleanup otherwise BLOCKS the next job
+        # while the ContextCleaner drains (long-lived many-query
+        # sessions see multi-second roaming stalls right after a GC
+        # releases a batch of localCheckpoint/broadcast refs).
+        .config("spark.cleaner.referenceTracking.blocking", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
