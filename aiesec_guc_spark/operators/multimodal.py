@@ -145,6 +145,50 @@ def chunk_payload(media: DataFrame, chunk_size: int = 256) -> DataFrame:
     return media.mapInPandas(op, schema=CHUNK_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("sample_checksum", T.LongType(), True),
+    ]
+)
+
+RESIZE_TARGET = 8  # "thumbnail" is RESIZE_TARGET × RESIZE_TARGET
+
+
+def resize_stub(media: DataFrame) -> DataFrame:
+    """'Image resize' plumbing: per payload, emit the target dims and
+    a deterministic downsample checksum — every k-th byte where
+    ``k = max(n_bytes // 64, 1)`` (the stride a 64-pixel thumbnail
+    would sample).  The real codec is the stubbed part; the Arrow
+    batch shape, stride arithmetic, and row alignment are real and
+    oracle-checked.  Empty payloads produce no row (nothing to
+    sample)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            sums: list[int] = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                k = max(len(b) // 64, 1)
+                ids.append(int(did))
+                sums.append(sum(b[0 : len(b) : k]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "out_w": pd.Series([RESIZE_TARGET] * len(ids), dtype="int32"),
+                    "out_h": pd.Series([RESIZE_TARGET] * len(ids), dtype="int32"),
+                    "sample_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
 def frame_offsets(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """'Video frame sampling' shape: evenly-spaced byte offsets into
     the payload — the partition/batch pattern for frame extraction,

@@ -21,6 +21,7 @@ from ..operators.multimodal import (
     chunk_payload,
     extract_features,
     frame_offsets,
+    resize_stub,
 )
 from . import query
 
@@ -93,6 +94,35 @@ def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte in SQL — a real check on the fan-out row alignment."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_payload(as_media_table(docs))
+
+
+_RESIZE_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         greatest(CAST(octet_length(encode(text)) AS BIGINT) // 64, 1) AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS out_w,
+       CAST(8 AS INT) AS out_h,
+       CAST(list_sum(list_transform(
+              generate_series(0, (n_bytes - 1) // k),
+              i -> ascii(substr(text, CAST(i * k + 1 AS INT), 1)))) AS BIGINT)
+         AS sample_checksum
+FROM m WHERE n_bytes > 0
+"""
+
+
+@query("multimodal_resize_stub", oracle=_RESIZE_ORACLE)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' plumbing: strided byte downsample per payload inside
+    mapInPandas (target dims + sample checksum).  The ASCII corpus
+    lets the oracle recompute the stride walk in SQL, checking the
+    batch/stride arithmetic exactly; the codec itself stays stubbed
+    (no imaging libs in this environment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_stub(as_media_table(docs))
 
 
 @query("multimodal_frame_offsets", oracle=_OFFSETS_ORACLE)

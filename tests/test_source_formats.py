@@ -1,0 +1,38 @@
+"""Source-format coverage beyond parquet: JSON lines and CSV reads
+with explicit schemas round-trip the same rows (schema declared up
+front — never inferred — per the engine's no-inference rule)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aiesec_guc_spark.catalog import load_table
+
+
+def _sample(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "events_json")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema(src.schema).json(path)
+    assert _rows(back) == _rows(src)
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "events_csv")
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(src.schema).option("header", "true").csv(path)
+    assert _rows(back) == _rows(src)
