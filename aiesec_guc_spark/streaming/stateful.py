@@ -62,12 +62,17 @@ def _sessionize_group(
     )
     pdf = pd.concat(list(pdfs))
     pdf = pdf.sort_values(["ts", "event_id"])
-    for ts in pdf["ts"]:
-        ts_us = int(ts.value) // 1000  # pandas Timestamp ns → us
-        if last_ts is None or ts_us - last_ts > SESSION_GAP_US:
-            n_sessions += 1
-        last_ts = ts_us
-        n_events += 1
+    # Vectorized fold (no per-row Python): a session starts where the
+    # gap to the previous event exceeds the threshold; the first row
+    # chains off the carried-in state timestamp.
+    ts_us = pdf["ts"].astype("int64") // 1000  # ns → us
+    gaps = ts_us.diff()
+    starts = int((gaps > SESSION_GAP_US).sum())
+    if last_ts is None or int(ts_us.iloc[0]) - last_ts > SESSION_GAP_US:
+        starts += 1  # first row of the batch opens a session
+    n_sessions += starts
+    n_events += len(pdf)
+    last_ts = int(ts_us.iloc[-1])
     state.update((last_ts, n_sessions, n_events))
     yield pd.DataFrame(
         {

@@ -65,3 +65,25 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 def test_broadcast_probe_in_cosine_topk(spark, sf_dir):
     df = spark_queries()["similarity_cosine_topk"](spark, sf_dir)
     assert uses_broadcast_join(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def test_interval_join_is_equi_join_not_cross_product(spark, sf_dir):
+    # The banded range join must plan as a hash/sort-merge EQUI-join
+    # on (key, bucket) — never a per-key cross product.
+    df = spark_queries()["events_click_purchase_window"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_converges_on_chain(spark):
+    # A 6-node chain (worst diameter for its size) collapses to one
+    # component labelled by its minimum node.
+    from aiesec_guc_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)] + [(10, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
