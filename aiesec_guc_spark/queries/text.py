@@ -212,6 +212,49 @@ def text_topk_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic stratified sampling — per-language rates via hash
+# thresholding (corpus rebalancing: downsample the dominant language,
+# keep more of the rare ones).  No rand(): the md5-derived bucket is
+# reproducible in any engine and stable across reruns/retries — the
+# property that matters for resumable 100 TB sampling jobs.
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 10, "de": 40, "fr": 40, "es": 40}  # percent kept
+SAMPLE_DEFAULT_RATE = 25
+
+_SAMPLE_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))
+    + f" ELSE {SAMPLE_DEFAULT_RATE} END"
+)
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS BIGINT) AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < ({_SAMPLE_RATE_CASE})
+"""
+
+
+@query("sample_stratified_docs", oracle=_SAMPLE_ORACLE)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold stratified sample: keep a doc iff its md5-derived
+    bucket (0-99) is under its language's rate.  Pure scan-level
+    filter — embarrassingly parallel, deterministic, pushdown-friendly
+    on a stored bucket column at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash32(F.col("text")) % 100
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items(), reverse=True):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.withColumn("bucket", bucket.cast("bigint"))
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting (md5 canonical form + portable 32-bit hash).
 # ---------------------------------------------------------------------------
 
