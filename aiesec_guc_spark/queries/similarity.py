@@ -76,8 +76,15 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique-key tie-break (Spark runs it as TakeOrderedAndProject — a
     per-partition heap + driver merge, no full sort shuffle)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # The probe's norm is hoisted to the (1-row) probe side: computing
+    # sqrt(dot(p,p)) per corpus row would add 64 codegen terms and a
+    # third more per-row flops for a value that never changes.  The
+    # multiplication order (row_norm * probe_norm) matches the inlined
+    # form, so doubles stay bit-identical to the oracle.
     probe = e.orderBy("vec_id").limit(1).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
     )
     scored = (
         e.join(F.broadcast(probe))
@@ -85,7 +92,10 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            _cosine(F.col("embedding"), F.col("p")).alias("cosine"),
+            (
+                _dot(F.col("embedding"), F.col("p"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("p_nrm"))
+            ).alias("cosine"),
         )
     )
     return (
@@ -186,6 +196,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p"),
         F.col("bucket").alias("probe_bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
     )
     cand = (
         b.join(F.broadcast(probe), b.bucket == F.col("probe_bucket"))
@@ -195,7 +206,10 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.col("bucket").cast("int").alias("bucket"),
-        _cosine(F.col("embedding"), F.col("p")).alias("cosine"),
+        (
+            _dot(F.col("embedding"), F.col("p"))
+            / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("p_nrm"))
+        ).alias("cosine"),
     )
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -246,14 +260,19 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.orderBy("vec_id").limit(KNN_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
     )
     scored = (
         e.join(F.broadcast(probes), e.vec_id != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
-            _cosine(F.col("embedding"), F.col("p")).alias("cosine"),
+            (
+                _dot(F.col("embedding"), F.col("p"))
+                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("p_nrm"))
+            ).alias("cosine"),
         )
     )
     from pyspark.sql import Window

@@ -75,6 +75,23 @@ def test_styled_xlsx_autofit(spark, tmp_path):
     assert all(w and w >= 3 for w in widths)
 
 
+def test_cli_main_runs_end_to_end(spark, tmp_path):
+    """The argparse entry (python -m aiesec_guc_spark) wires the same
+    pipeline; exit code 0 and a report on disk."""
+    from aiesec_guc_spark.run import main
+
+    rc = main(
+        [
+            "--data-dir", str(tmp_path / "d"),
+            "--out-dir", str(tmp_path / "o"),
+            "--run-date", "2026-08-13",
+        ]
+    )
+    assert rc == 0
+    out_files = list((tmp_path / "o").iterdir())
+    assert len(out_files) == 1
+
+
 def test_email_html_is_full_document(spark):
     today, _ = snapshot_pair(spark)
     html = render_email_html(today)
