@@ -99,16 +99,27 @@ def run_streaming_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # Each shuffle partition materializes its own state store; for a
+    # modest key cardinality the store init dominates, so the stateful
+    # stage runs with fewer partitions (a real deployment sizes this
+    # to key volume).  The conf is restored afterwards — the sink
+    # drains synchronously under availableNow, so no other query sees
+    # the temporary setting.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Update-mode memory sink appends one row per key per batch; the
     # final value per user is the row from the last batch it appeared
     # in — with the single-file corpus there is exactly one.
