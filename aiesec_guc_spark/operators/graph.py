@@ -29,12 +29,18 @@ def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
 ) -> DataFrame:
     """(id, cluster_id) for every node in ``edges``; ``cluster_id`` is
-    the minimum node id reachable in the component."""
+    the minimum node id reachable in the component.
+
+    Raises ``RuntimeError`` if labels have not reached a fixpoint
+    within ``max_iter`` rounds — returning unconverged labels would
+    silently split one true component into several (and downstream
+    dedup would keep duplicates it was built to remove)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = materialize(e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))))
     labels = materialize(
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         nmin = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -57,5 +63,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the iteration budget; raise max_iter "
+            "or switch to the large-star/small-star variant)"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

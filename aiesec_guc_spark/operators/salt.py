@@ -38,7 +38,16 @@ def salted_join(
     (key, salt) bucket finds its dimension row.  Dim replication cost
     is ``n_salts·|dim|`` — use only when |dim| is small relative to
     the hot key's row count.
+
+    Fact-preserving joins only: with ``right``/``full`` (or a
+    right-side semi/anti), an unmatched dim row would surface once
+    per salt replica, breaking plain-join equivalence — rejected.
     """
+    if how not in ("inner", "left", "left_outer", "cross"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, got how={how!r}: "
+            "an unmatched dim row would be emitted once per salt replica"
+        )
     salt = (F.monotonically_increasing_id() % n_salts).cast("int")
     f = fact.withColumn("_salt", salt)
     d = dim.withColumn(

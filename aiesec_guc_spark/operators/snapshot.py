@@ -99,20 +99,28 @@ def day_snapshots(events: DataFrame, ts_col: str = "ts") -> tuple[DataFrame, Dat
 
 
 def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
-    """Append one day's snapshot as a ``run_date`` partition.
+    """Write one day's snapshot as a ``run_date`` partition,
+    idempotently.
 
     Replaces the reference's file rotation (Today→Yesterday copy,
-    aiesec.py:20-21): nothing is copied or overwritten — each run
-    appends its partition, history is retained (the reference's
-    git-commit versioning, main.yml:37-52, falls out for free), and
-    readers prune to the partitions they need.
+    aiesec.py:20-21): prior partitions are never touched — history is
+    retained (the reference's git-commit versioning, main.yml:37-52,
+    falls out for free) and readers prune to the partitions they
+    need.  Dynamic partition overwrite makes a rerun of the SAME
+    run_date (cron retry, crash recovery) replace that day instead of
+    appending a duplicate copy of every row into it.
     """
-    (
-        df.withColumn("run_date", F.lit(run_date))
-        .write.mode("append")
-        .partitionBy("run_date")
-        .parquet(base_path)
-    )
+    prev = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode")
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("run_date", F.lit(run_date))
+            .write.mode("overwrite")
+            .partitionBy("run_date")
+            .parquet(base_path)
+        )
+    finally:
+        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_snapshot_pair(spark, base_path: str) -> tuple[DataFrame, DataFrame]:

@@ -31,8 +31,14 @@ def analyzed_plan(df: DataFrame) -> str:
 def final_adaptive_plan(df: DataFrame) -> str:
     """Execute the query and return the AQE *final* physical plan —
     the join strategies actually used at runtime, which with AQE can
-    differ from the static ``explain`` output."""
-    df.count()
+    differ from the static ``explain`` output.
+
+    Must execute THIS Dataset's own QueryExecution: ``df.count()``
+    builds a derived plan (groupBy().count()) and leaves the
+    DataFrame's adaptive plan un-finalized (isFinalPlan=false), so
+    only ``collect()`` (or an equivalent action on the same Dataset)
+    yields the runtime plan."""
+    df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
 

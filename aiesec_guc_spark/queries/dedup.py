@@ -129,13 +129,13 @@ JOIN sizes sb ON sb.doc_id = c.doc_b
 """
 
 
-@query("dedup_minhash_lsh", oracle=_minhash_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: shingle → 8 minhashes → 4 banded buckets
-    → bucket-join candidates → exact Jaccard on candidates only.
-
-    The scale path: no all-pairs comparison anywhere; cost is
-    O(#bucket collisions), tunable via bands×rows."""
+def _minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared five-stage MinHash pipeline: eligible docs →
+    signatures → banded keys → bucket-join candidates → exact-Jaccard
+    scores.  Both ``dedup_minhash_lsh`` and
+    ``dedup_connected_components`` build on this — one definition so
+    the two queries (and the shared oracle constants) cannot
+    diverge."""
     d = load_table(spark, sf_dir, "documents")
     docs = d.filter(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
@@ -144,6 +144,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
     sh = shingle_rows(docs, "doc_id", "text")
     return jaccard_verify(pairs, sh, "doc_id")
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 8 minhashes → 4 banded buckets
+    → bucket-join candidates → exact Jaccard on candidates only.
+
+    The scale path: no all-pairs comparison anywhere; cost is
+    O(#bucket collisions), tunable via bands×rows."""
+    return _minhash_jaccard_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -192,14 +202,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import connected_components
 
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
-    ).select("doc_id", "text")
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
-    sh = shingle_rows(docs, "doc_id", "text")
-    verified = jaccard_verify(pairs, sh, "doc_id").filter(
+    verified = _minhash_jaccard_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= CC_JACCARD_THRESHOLD
     )
     cc = connected_components(verified.select("doc_a", "doc_b"))

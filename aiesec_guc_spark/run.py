@@ -62,6 +62,7 @@ def run_pipeline(
     """One scheduled run, start to finish.  Returns a summary dict
     (rows scraped, delta rows, report path, whether a notification
     went out) so callers/tests can assert on the outcome."""
+    from .operators.dedup import materialize
     from .operators.snapshot import snapshot_delta, write_snapshot
     from .sinks.report import notify_if_nonempty, render_email_html, write_styled_report
 
@@ -85,7 +86,10 @@ def run_pipeline(
         yesterday = snaps.filter(F.col("run_date") == prior_dates[0]).drop("run_date")
     else:
         yesterday = today_rows.filter(F.lit(False))  # first run: all new
-    delta = snapshot_delta(today_rows, yesterday, keys=["opportunity_id"])
+    # Materialized once: the delta feeds three consumers (report
+    # write, notification render, row count) — without this the
+    # snapshot-read + anti-join plan would execute three times.
+    delta = materialize(snapshot_delta(today_rows, yesterday, keys=["opportunity_id"]))
 
     os.makedirs(out_dir, exist_ok=True)
     report_path = write_styled_report(

@@ -33,9 +33,8 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
             j.count()
             plan = j._jdf.queryExecution().executedPlan().toString()
             # Join itself is exchange-free: both scans are bucketed on
-            # the key, so the only allowed exchange is the final
-            # 25-key aggregation's.
-            join_part = plan.split("HashAggregate", 1)[-1]
+            # the key, so no hash-repartition of either key column may
+            # appear anywhere in the plan.
             assert "SortMergeJoin" in plan
             assert "Exchange hashpartitioning(o_custkey" not in plan
             assert "Exchange hashpartitioning(c_custkey" not in plan

@@ -29,6 +29,20 @@ def test_partitioned_rotation_roundtrip(spark):
         assert got == sorted(EXPECTED_DELTA_ROWS)
 
 
+def test_rerun_same_run_date_is_idempotent(spark):
+    """A cron retry of the same run_date replaces that partition
+    instead of appending a duplicate copy of every row (and leaves
+    other partitions untouched)."""
+    today, yesterday = snapshot_pair(spark)
+    with tempfile.TemporaryDirectory(prefix="snaps_") as base:
+        write_snapshot(yesterday, base, "2026-08-12")
+        write_snapshot(today, base, "2026-08-13")
+        write_snapshot(today, base, "2026-08-13")  # retry
+        t2, y2 = read_snapshot_pair(spark, base)
+        assert t2.count() == today.count()
+        assert y2.count() == yesterday.count()
+
+
 def test_rotation_reads_prune_partitions(spark):
     today, yesterday = snapshot_pair(spark)
     with tempfile.TemporaryDirectory(prefix="snaps_") as base:

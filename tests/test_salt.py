@@ -20,6 +20,16 @@ def test_salted_join_equivalent_to_plain(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_rejects_dim_preserving_joins(spark):
+    import pytest
+
+    fact = spark.createDataFrame([(1, 1)], "k int, v long")
+    dim = spark.createDataFrame([(1, "d")], "k int, name string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, ["k"], how=how)
+
+
 def test_salt_spreads_hot_key(spark):
     fact = spark.createDataFrame([(1, i) for i in range(1000)], "k int, v long")
     dim = spark.createDataFrame([(1, "hot")], "k int, name string")
