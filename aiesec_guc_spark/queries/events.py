@@ -245,6 +245,52 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding windows — 1-hour windows every 15 minutes (each event lands
+# in 4 overlapping windows).  F.window works identically in batch and
+# streaming; the oracle replicates each event into its 4 windows via
+# the epoch-aligned slide grid.
+# ---------------------------------------------------------------------------
+
+_SLIDE_US = 15 * 60 * 1_000_000
+
+_SLIDING_ORACLE = f"""
+WITH w AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,2)) AS val,
+         (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US} - i * {_SLIDE_US} AS win_start_us
+  FROM events, unnest(generate_series(0, 3)) AS t(i)
+)
+SELECT win_start_us, event_type,
+       count(*) AS n_events,
+       CAST(SUM(val) AS DOUBLE) AS total_value
+FROM w GROUP BY 1, 2
+"""
+
+
+@query("events_sliding_windows", oracle=_SLIDING_ORACLE)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 1 h windows sliding every 15 min.
+
+    Spark expands each event into its window/slide overlapping
+    windows map-side (a 4× row fan-out before the shuffle — the
+    inherent cost of sliding windows; the shuffle still carries only
+    group keys after partial aggregation).  Windows are epoch-aligned,
+    which is what lets the oracle recompute the grid exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    ).select(
+        F.unix_micros(F.col("window.start")).alias("win_start_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range (interval) join — click → purchase within 5 minutes, banded
 # into an equi-join so no per-user cross product exists at scale
 # (operators/interval.py).
