@@ -285,6 +285,55 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q14-shaped conditional revenue share over a fact↔dimension
+# join (covers the `part` table).
+# ---------------------------------------------------------------------------
+
+_PROMO_ORACLE = """
+SELECT CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(9,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(9,2)))
+                     ELSE 0 END) AS DOUBLE) AS economy_revenue,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(9,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(9,2)))
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE)
+         AS economy_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+@query("promo_revenue_share", oracle=_PROMO_ORACLE)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: what share of revenue comes from one part
+    class.  The part dimension broadcasts; the conditional sums are
+    exact decimals folded map-side; the final share is one double
+    division (deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    economy = F.when(F.col("p_type") == "ECONOMY", disc_price).otherwise(
+        F.lit(0).cast("decimal(11,4)")
+    )
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(economy).cast("double").alias("economy_revenue"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "economy_revenue",
+        "total_revenue",
+        (F.col("economy_revenue") / F.col("total_revenue")).alias("economy_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grouping sets — explicit set list (the general form under
 # rollup/cube), exercised through the spark.sql entry point.
 # ---------------------------------------------------------------------------

@@ -212,6 +212,43 @@ def text_topk_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Normalization / redaction — the cleaning pass before tokenization:
+# mask digit runs, collapse whitespace; emit the cleaned text's stats
+# so the transform is oracle-checkable without huge string outputs.
+# ---------------------------------------------------------------------------
+
+_CLEAN_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_masked,
+       CAST(length(regexp_replace(trim(regexp_replace(text, '[0-9]+', '<NUM>', 'g')),
+                                  '\\s+', ' ', 'g')) AS BIGINT) AS clean_len,
+       md5(regexp_replace(trim(regexp_replace(text, '[0-9]+', '<NUM>', 'g')),
+           '\\s+', ' ', 'g')) AS clean_fp
+FROM documents
+"""
+
+
+@query("text_clean_redact", oracle=_CLEAN_ORACLE)
+def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning pass: digit runs masked to <NUM>, whitespace
+    collapsed; emits mask count, cleaned length, and cleaned-text
+    fingerprint (hash-checking the full transform without shipping
+    long strings through the gate)."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(
+        F.trim(F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>")), r"\s+", " "
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+        F.md5(cleaned).alias("clean_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling — per-language rates via hash
 # thresholding (corpus rebalancing: downsample the dominant language,
 # keep more of the rare ones).  No rand(): the md5-derived bucket is
