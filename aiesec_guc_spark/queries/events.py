@@ -339,6 +339,107 @@ def events_click_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequential funnel — view → click → purchase in strict time order:
+# per-user min-timestamp chaining (three conditional aggregates, one
+# shuffle), then stage counts.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH f AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'view' THEN e.ts END) AS t1
+  FROM events e GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE e.event_type = 'click' AND e.ts > f.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM f WHERE t1 IS NOT NULL) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: users whose first view precedes a click
+    that precedes a purchase.
+
+    Three grouped min-aggregations chained by time predicates — each
+    stage shuffles on user_id only (and reuses the same partitioning);
+    no window over raw events, no self-join explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = t1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    n2 = t2.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click"))
+    n3 = t3.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click_purchase"))
+    return n1.crossJoin(n2).crossJoin(n3)
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-range window — each event's average value over the
+# same user's preceding hour (RANGE frame over event time).
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
+       CAST(count(*) OVER w AS BIGINT) AS hour_n
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("events_rolling_hour", oracle=_ROLLING_ORACLE)
+def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the same user's value sum and
+    event count over the trailing hour (inclusive).  The frame is
+    defined on epoch microseconds, so both engines bound it
+    identically; one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("hour_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # E7 (streaming form) — the same tumbling-window aggregation run as a
 # Structured Streaming job (readStream → watermark → window →
 # writeStream, drained with availableNow) and checked against the

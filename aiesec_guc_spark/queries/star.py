@@ -285,6 +285,62 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q5-shaped local supplier volume: the join-heaviest shape in
+# the corpus (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+# region) with the customer-supplier same-nation constraint.
+# ---------------------------------------------------------------------------
+
+_LOCAL_VOLUME_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@query("local_supplier_volume", oracle=_LOCAL_VOLUME_ORACLE)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where customer and supplier share a
+    nation, restricted to one region.
+
+    Six tables: the two facts (lineitem, orders) meet in the only
+    big join; customer/supplier/nation/region broadcast; the
+    same-nation constraint is a post-join filter the optimizer pushes
+    into the join condition.  Only the fixed-size dims (nation,
+    region) carry broadcast hints; customer and supplier scale with
+    SF, so AQE picks their strategy at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q14-shaped conditional revenue share over a fact↔dimension
 # join (covers the `part` table).
 # ---------------------------------------------------------------------------
