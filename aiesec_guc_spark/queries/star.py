@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.dedup import materialize
 from . import query
 
 
@@ -604,21 +605,78 @@ FROM t GROUP BY decile
 
 @query("customer_acctbal_deciles", oracle=_DECILES_ORACLE)
 def customer_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(10) equal-frequency bucketing with a deterministic
-    tie-break, then per-decile stats.  A global ntile needs a total
-    order — one single-partition window over (bal, custkey); at 100 TB
-    the same statistic comes from approx_percentile boundaries instead
-    (see approx_quantile_orders), which is why both are declared."""
+    """Exact ntile(10) equal-frequency bucketing WITHOUT a global
+    single-task sort (the naive ``Window.orderBy`` with no partitionBy
+    ships every row through one window task — a driver-adjacent
+    bottleneck at 100 TB).
+
+    Offset-merge global rank instead:
+
+    1. ``repartitionByRange`` on the strict total order
+       (bal, custkey) — partitions hold disjoint, globally ordered
+       key ranges; each sorts/ranks independently in parallel.
+    2. Per-partition ``row_number`` (window partitioned by the range
+       partition id — every window task handles one partition's rows).
+    3. Per-partition counts are collected — O(#partitions) rows on the
+       driver, scale-free — and prefix-summed into offsets; a
+       broadcast join adds each partition's offset to its local rank,
+       reconstructing the exact global rank.
+    4. The standard ntile formula (first ``N mod 10`` buckets get one
+       extra row) maps rank → decile exactly, matching the oracle's
+       native ``ntile(10)`` bit-for-bit.
+    """
     c = load_table(spark, sf_dir, "customer")
     bal = F.col("c_acctbal").cast("decimal(12,2)")
-    t = c.select(F.col("c_custkey"), bal.alias("bal")).withColumn(
-        "decile", F.ntile(10).over(Window.orderBy(F.col("bal"), F.col("c_custkey")))
+    t = c.select(F.col("c_custkey"), bal.alias("bal"))
+
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = materialize(
+        t.repartitionByRange(nparts, F.col("bal"), F.col("c_custkey")).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
-    return t.groupBy(F.col("decile").cast("int").alias("decile")).agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.min("bal").cast("double").alias("min_bal"),
-        F.max("bal").cast("double").alias("max_bal"),
-        F.sum("bal").cast("double").alias("total_bal"),
+
+    # Tiny driver-side prefix sum: one row per range partition.
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(sizes.values())
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = F.broadcast(spark.createDataFrame(offsets, "_pid int, _offset long"))
+
+    local_rank = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(F.col("bal"), F.col("c_custkey"))
+    )
+    ranked = ranged.withColumn("_lrank", local_rank).join(off, "_pid")
+    grank = F.col("_offset") + F.col("_lrank")
+
+    # ntile(10): q = N div 10 rows per bucket, first `rem` buckets get
+    # one extra.  Integer DIV keeps it exact at any N.
+    q, rem = divmod(total, 10)
+    cut = rem * (q + 1)
+    decile = F.when(
+        grank <= F.lit(cut),
+        F.expr(f"CAST((_offset + _lrank + {q}) DIV {q + 1} AS INT)"),
+    ).otherwise(
+        F.expr(
+            f"CAST({rem} + (_offset + _lrank - {cut} + {max(q, 1) - 1})"
+            f" DIV {max(q, 1)} AS INT)"
+        )
+    )
+
+    return (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("bal").cast("double").alias("min_bal"),
+            F.max("bal").cast("double").alias("max_bal"),
+            F.sum("bal").cast("double").alias("total_bal"),
+        )
     )
 
 

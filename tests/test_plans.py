@@ -76,6 +76,16 @@ def test_interval_join_is_equi_join_not_cross_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_deciles_has_no_single_partition_window(spark, sf_dir):
+    # Exact ntile is computed via range-partitioned local ranks + an
+    # offset merge — the plan must never funnel all rows through one
+    # window task (Exchange SinglePartition feeding a Window).
+    df = spark_queries()["customer_acctbal_deciles"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan  # local per-range-partition row_number
+    assert "SinglePartition" not in plan
+
+
 def test_connected_components_converges_on_chain(spark):
     # A 6-node chain (worst diameter for its size) collapses to one
     # component labelled by its minimum node.
