@@ -89,3 +89,14 @@ def hash32(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def hash32_hi(col: Column | str) -> Column:
+    """Second independent 32-bit hash: md5 hex digits 9-16.
+
+    Paired with ``hash32`` this yields 64 independent portable hash
+    bits (for the 64-bit SimHash) without ever assembling a value that
+    overflows a signed BIGINT.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")

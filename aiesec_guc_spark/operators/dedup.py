@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import hash32
+from ..functions.text import hash32, hash32_hi
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -250,28 +250,111 @@ def jaccard_verify(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+# 64-bit fingerprint split into 4×16-bit bands for the pair join.
+# Bucket-cardinality math (SCALING.md): a B-bit band key gives 2^B
+# buckets; with N docs the expected bucket size is N/2^B and the
+# per-bucket self-join does (N/2^B)² comparisons × 2^B buckets =
+# N²/2^B total.  At N=10¹⁰ (100 TB of ~10 KB docs) a 16-bit band
+# gives ~150 k docs/bucket — large but linear-shuffle feasible; the
+# old single 16-bit fingerprint used as the ONLY key made the whole
+# fingerprint space the bucket space, which is why it was widened.
+# By pigeonhole, 4 bands of 16 bits catch every pair with Hamming
+# distance ≤ 3 (3 flipped bits can touch at most 3 of the 4 bands).
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+SIMHASH_HAMMING_MAX = 3
 
 
 def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash fingerprint per doc.
+    """64-bit SimHash fingerprint per doc.
 
     Token bit votes (+1/-1 per token per bit) summed in one grouped
     aggregation; fingerprint bit b set iff the vote sum is positive.
+    Bits 0-31 come from md5 hex digits 1-8, bits 32-63 from digits
+    9-16 — two independent 32-bit hashes, so no intermediate ever
+    overflows a signed BIGINT; bit 63's weight is -2^63 (two's
+    complement), added last so the running sum stays in range.
     """
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h32", hash32(F.col("tok")))
-    votes = [
-        F.sum(
-            (F.shiftright(F.col("h32"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"v_{b}")
-        for b in range(SIMHASH_BITS)
-    ]
+    ).withColumn("h_lo", hash32(F.col("tok"))).withColumn(
+        "h_hi", hash32_hi(F.col("tok"))
+    )
+    votes = []
+    for b in range(SIMHASH_BITS):
+        src, shift = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        votes.append(
+            F.sum(
+                (F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v_{b}")
+        )
     agg = toks.groupBy(id_col).agg(*votes)
     fp = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        weight = (1 << b) if b < 63 else -(1 << 63)
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(weight)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash_band_key(fp: Column, band: int) -> Column:
+    """16-bit band key ``band`` (0-based, low to high) of a 64-bit
+    fingerprint.  Arithmetic shift + mask is sign-safe for band 3."""
+    return F.shiftright(fp, band * SIMHASH_BAND_BITS).bitwiseAND(
+        F.lit((1 << SIMHASH_BAND_BITS) - 1)
+    )
+
+
+def simhash_pairs(fingerprints: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidate pairs: LSH banding over the 64-bit SimHash.
+
+    Docs meet iff they share at least one 16-bit band (equi-join on
+    (band, band_key) — never a cross product), then the exact Hamming
+    distance over the full fingerprint filters to
+    ``SIMHASH_HAMMING_MAX``.  Complete for that radius by pigeonhole.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, one row per
+    pair (distinct across bands).
+    """
+    bands = (
+        fingerprints.select(F.col(id_col), F.col("simhash"))
+        .selectExpr(
+            id_col,
+            "simhash",
+            f"explode(array({','.join(str(b) for b in range(SIMHASH_BANDS))}))"
+            " AS band",
+        )
+        .withColumn(
+            "band_key",
+            F.expr(
+                f"shiftright(simhash, band * {SIMHASH_BAND_BITS})"
+                f" & {(1 << SIMHASH_BAND_BITS) - 1}"
+            ),
+        )
+    )
+    a = bands.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("fp_a"),
+    )
+    b = bands.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash").alias("fp_b"),
+    )
+    cand = (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

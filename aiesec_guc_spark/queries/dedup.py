@@ -20,7 +20,10 @@ from ..operators.dedup import (
     MINHASH_PRIME,
     MINHASH_ROWS,
     SHINGLE_WORDS,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
+    SIMHASH_HAMMING_MAX,
     dedup_exact,
     jaccard_verify,
     lsh_band_keys,
@@ -30,10 +33,12 @@ from ..operators.dedup import (
     minhash_signatures,
     shingle_rows,
     simhash,
+    simhash_pairs,
 )
 from . import query
 
 _H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+_H32HI = "('0x' || substr(md5({x}), 9, 8))::BIGINT"
 
 
 # ---------------------------------------------------------------------------
@@ -218,21 +223,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _simhash_oracle() -> str:
-    votes = ",\n         ".join(
-        f"SUM(((h32 >> {b}) & 1) * 2 - 1) AS v_{b}" for b in range(SIMHASH_BITS)
-    )
+    votes = []
+    for b in range(SIMHASH_BITS):
+        src, shift = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        votes.append(f"SUM((({src} >> {shift}) & 1) * 2 - 1) AS v_{b}")
+    weights = [(1 << b) if b < 63 else -(1 << 63) for b in range(SIMHASH_BITS)]
     fp = " + ".join(
-        f"CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+        f"CASE WHEN v_{b} > 0 THEN {weights[b]} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
     )
+    votes_sql = ",\n         ".join(votes)
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
   FROM documents
 ),
-h AS (SELECT doc_id, {_H32.format(x='tok')} AS h32 FROM toks),
+h AS (SELECT doc_id, {_H32.format(x='tok')} AS h_lo,
+             {_H32HI.format(x='tok')} AS h_hi FROM toks),
 v AS (
   SELECT doc_id,
-         {votes}
+         {votes_sql}
   FROM h GROUP BY doc_id
 )
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
@@ -241,32 +251,47 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
 
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document — equal/low-Hamming fingerprints
-    are near-dup buckets; the fingerprint is a single grouped
-    aggregation over token bit votes."""
+    """64-bit SimHash per document — low-Hamming fingerprints are
+    near-dups; the fingerprint is a single grouped aggregation over
+    token bit votes (no Python, no extra shuffle)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d.select("doc_id", "text"), "doc_id", "text")
 
 
-_SIMHASH_PAIRS_ORACLE = f"""
-WITH fp AS ({_simhash_oracle()})
-SELECT a.simhash AS simhash, a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+def _simhash_pairs_oracle() -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH fp AS ({_simhash_oracle()}),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {SIMHASH_BAND_BITS})) & {mask} AS band_key
+  FROM fp CROSS JOIN (
+    SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS fp_a, b.simhash AS fp_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {SIMHASH_HAMMING_MAX}
 """
 
 
-@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: equal-fingerprint bucket self-join
-    (equi-join on the 16-bit fingerprint — only colliding docs meet,
-    the same no-cross-product contract as MinHash-LSH banding; wider
-    Hamming radii probe the 16 single-bit-flip buckets the same
-    way)."""
+    """SimHash near-dup pairs via LSH banding: docs meet iff they
+    share one of 4 16-bit bands of the 64-bit fingerprint (equi-join
+    on (band, band_key) — no cross product), then the exact 64-bit
+    Hamming distance keeps pairs within radius 3, which banding covers
+    completely by pigeonhole.  See operators/dedup.py for the
+    bucket-cardinality math at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
     fp = materialize(simhash(d.select("doc_id", "text"), "doc_id", "text"))
-    a = fp.select("simhash", F.col("doc_id").alias("doc_a"))
-    b = fp.select("simhash", F.col("doc_id").alias("doc_b"))
-    return a.join(b, on="simhash").filter(F.col("doc_a") < F.col("doc_b"))
+    return simhash_pairs(fp, "doc_id")
 
 
 # ---------------------------------------------------------------------------
