@@ -14,6 +14,8 @@ Stage map (reference → here):
                                    (fixture-backed `_fetch` seam)
 3. extract (aiesec.py:83-126)    → `extract_cards` (codegen'd regexes)
 4. Today.xlsx (aiesec.py:130-132)→ `write_snapshot` partition append
+                                   + full snapshot through the styled
+                                   report edge (today_<date>.xlsx)
 5. anti-join (aiesec.py:137-143) → `snapshot_delta` (left_anti)
 6. New.xlsx + style (:145-183)   → `write_styled_report` (+ autofit)
 7. email iff delta (:188-251)    → `notify_if_nonempty` with the full
@@ -92,6 +94,12 @@ def run_pipeline(
     delta = materialize(snapshot_delta(today_rows, yesterday, keys=["opportunity_id"]))
 
     os.makedirs(out_dir, exist_ok=True)
+    # Literal Today.xlsx parity (aiesec.py:130-132): the FULL snapshot
+    # goes through the styled-report edge too, alongside its canonical
+    # parquet partition — the reference ships both artifacts per run.
+    snapshot_report_path = write_styled_report(
+        today_rows, os.path.join(out_dir, f"today_{run_date}")
+    )
     report_path = write_styled_report(
         delta, os.path.join(out_dir, f"new_{run_date}")
     )
@@ -108,6 +116,7 @@ def run_pipeline(
         "rows_scraped": n_today,
         "delta_rows": n_delta,
         "report_path": report_path,
+        "snapshot_report_path": snapshot_report_path,
         "notified": notified,
     }
 

@@ -30,6 +30,10 @@ def test_pipeline_first_and_second_run(spark, tmp_path):
     assert s1["delta_rows"] == 5
     assert s1["notified"] and len(sent) == 1
     assert os.path.exists(s1["report_path"])
+    # Both per-run artifacts exist: the delta report (New.xlsx) AND
+    # the full-snapshot report (Today.xlsx, aiesec.py:130-132).
+    assert os.path.exists(s1["snapshot_report_path"])
+    assert s1["snapshot_report_path"] != s1["report_path"]
     # Full email document, not bare cards (aiesec.py:221-233).
     assert sent[0].startswith("<!DOCTYPE html>")
     assert "<meta charset=" in sent[0] and "</html>" in sent[0]
@@ -39,6 +43,7 @@ def test_pipeline_first_and_second_run(spark, tmp_path):
     assert s2["delta_rows"] == 0
     assert not s2["notified"] and len(sent) == 1
     assert os.path.exists(s2["report_path"])
+    assert os.path.exists(s2["snapshot_report_path"])
 
 
 def test_snapshot_write_read_roundtrip_delta(spark, tmp_path):
@@ -88,8 +93,9 @@ def test_cli_main_runs_end_to_end(spark, tmp_path):
         ]
     )
     assert rc == 0
-    out_files = list((tmp_path / "o").iterdir())
-    assert len(out_files) == 1
+    out_names = sorted(p.name for p in (tmp_path / "o").iterdir())
+    assert len(out_names) == 2  # new_<date> delta + today_<date> snapshot
+    assert out_names[0].startswith("new_") and out_names[1].startswith("today_")
 
 
 def test_email_html_is_full_document(spark):
