@@ -81,3 +81,21 @@ def test_incremental_streaming_delta(spark, sf_dir):
     got = run_incremental_delta(spark, sf_dir)
     want = spark_queries()["snapshot_delta_events"](spark, sf_dir)
     assert got.count() == want.count()
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    """Multi-probe ANN candidates are a superset of the single-bucket
+    variant, so at every rank its cosine is >= the single-bucket one
+    (recall can only improve)."""
+    from aiesec_guc_spark.queries import spark_queries
+
+    q = spark_queries()
+    single = q["similarity_ann_lsh"](spark, sf_dir).collect()
+    multi = q["similarity_ann_multiprobe"](spark, sf_dir).collect()
+    assert len(multi) >= len(single)
+    # Rank-wise dominance: the best-of-a-superset at rank i is at
+    # least as close as the single-bucket result at rank i.  (Set
+    # containment of ids is NOT implied — a closer multi-probe hit
+    # may displace a single-bucket one from the top-k.)
+    for i, s in enumerate(single):
+        assert multi[i]["cosine"] >= s["cosine"]
