@@ -69,6 +69,90 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds the iteration budget; raise max_iter "
-            "or switch to the large-star/small-star variant)"
+            "or switch to connected_components_star)"
         )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round: every node u links its strictly-larger
+    neighbors to min(N(u) ∪ {u}).  Input/output: symmetric edge list
+    (u, v) — output is deduped and NOT symmetric."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge high→low, then every
+    node links its smaller-or-equal neighbors (and itself) to the
+    minimum of that in-neighborhood."""
+    directed = edges.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        directed.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = mins.select(F.col("u"), F.col("m").alias("v"))
+    return relink.union(self_link).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same contract as :func:`connected_components` ((id, cluster_id),
+    cluster_id = component minimum) but converging in O(log n) rounds
+    on ANY graph, including adversarial long chains where min-label
+    propagation needs diameter rounds.
+
+    Per round: two grouped mins + two equi-joins on node id — the same
+    shuffle shape as one min-label round, so the 100 TB posture is
+    identical, just with exponentially fewer rounds.  Fixpoint = the
+    directed edge set is unchanged (exact set comparison, no hashing).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    all_nodes = materialize(
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    cur = materialize(
+        _small_star(e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    )
+    converged = False
+    for _ in range(max_iter):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nxt = materialize(_small_star(_large_star(sym)))
+        # Exact set equality: nxt ⊆ cur and |nxt| == |cur|.
+        if nxt.subtract(cur).isEmpty() and nxt.count() == cur.count():
+            converged = True
+            cur = nxt
+            break
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # At fixpoint every edge is (node, component_min); minima and
+    # isolated-in-output nodes label themselves.
+    labels = cur.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    self_labeled = all_nodes.join(labels, "id", "left_anti").select(
+        F.col("id"), F.col("id").alias("cluster_id")
+    )
+    return labels.union(self_labeled)

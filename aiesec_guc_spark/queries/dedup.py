@@ -218,6 +218,25 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_cc_star", oracle=_cc_oracle())
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dup groups via alternating large-star/small-star
+    (O(log n) rounds on any diameter — the adversarial-graph upgrade
+    of dedup_connected_components, verified against the identical
+    recursive-CTE oracle)."""
+    from ..operators.graph import connected_components_star
+
+    verified = _minhash_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= CC_JACCARD_THRESHOLD
+    )
+    cc = connected_components_star(verified.select("doc_a", "doc_b"))
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints.
 # ---------------------------------------------------------------------------

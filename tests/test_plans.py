@@ -97,3 +97,38 @@ def test_connected_components_converges_on_chain(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_star_cc_matches_min_label_on_corpus(spark, sf_dir):
+    # Same labels as the propagation variant on the real near-dup
+    # pair graph (MinHash-LSH candidates).
+    from aiesec_guc_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+    from aiesec_guc_spark.queries import spark_queries
+
+    pairs = spark_queries()["dedup_minhash_lsh"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    base = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    star = {
+        r["id"]: r["cluster_id"] for r in connected_components_star(pairs).collect()
+    }
+    assert base == star and base
+
+
+def test_star_cc_long_chain_logarithmic_rounds(spark):
+    # A 64-node chain needs 63 min-label rounds; large-star/small-star
+    # must finish within an O(log n) budget.
+    from aiesec_guc_spark.operators.graph import connected_components_star
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(edges, max_iter=10).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
