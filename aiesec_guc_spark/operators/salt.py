@@ -22,34 +22,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def salt_fact(
+    fact: DataFrame,
+    n_salts: int,
+    spread_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Add a deterministic ``_salt`` column derived from row content.
+
+    The salt MUST be recomputation-stable: on a real cluster a
+    map-stage retry after a shuffle-fetch failure regenerates fact
+    rows, and a nondeterministic salt (``monotonically_increasing_id``,
+    ``rand``) can reassign rows to different salt buckets while some
+    reducers already fetched the old output — silently duplicating or
+    dropping joined rows.  ``xxhash64`` over ``spread_cols`` (default:
+    every column) always reproduces the same salt for the same row.
+
+    Caveat: byte-identical rows share a salt, so a hot key whose rows
+    are full duplicates won't spread — include a distinguishing column
+    in ``spread_cols`` (or dedup first) in that case.
+    """
+    cols = list(spread_cols) if spread_cols is not None else list(fact.columns)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
+    return fact.withColumn("_salt", salt)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
     keys: Sequence[str],
     n_salts: int = 8,
     how: str = "inner",
+    spread_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Join ``fact`` to ``dim`` on ``keys`` with the fact side salted.
 
-    The fact side gets a deterministic per-row salt (hash of the whole
-    row's key + a spread column would be ideal; a cheap uniform spray
-    via ``monotonically_increasing_id`` works identically for join
-    correctness); the dim side is exploded ``n_salts``× so every
+    The fact side gets a deterministic content-derived salt (see
+    :func:`salt_fact`); the dim side is exploded ``n_salts``× so every
     (key, salt) bucket finds its dimension row.  Dim replication cost
     is ``n_salts·|dim|`` — use only when |dim| is small relative to
     the hot key's row count.
 
-    Fact-preserving joins only: with ``right``/``full`` (or a
+    Fact-preserving equi-joins only: with ``right``/``full`` (or a
     right-side semi/anti), an unmatched dim row would surface once
     per salt replica, breaking plain-join equivalence — rejected.
+    (``cross`` is rejected too: supplying join keys makes Spark run it
+    as an inner equi-join anyway, so allowing it would mislead.)
     """
-    if how not in ("inner", "left", "left_outer", "cross"):
+    if how not in ("inner", "left", "left_outer"):
         raise ValueError(
-            f"salted_join supports fact-preserving joins only, got how={how!r}: "
+            f"salted_join supports fact-preserving equi-joins only, got how={how!r}: "
             "an unmatched dim row would be emitted once per salt replica"
         )
-    salt = (F.monotonically_increasing_id() % n_salts).cast("int")
-    f = fact.withColumn("_salt", salt)
+    f = salt_fact(fact, n_salts, spread_cols)
     d = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -118,6 +118,7 @@ def subdivide_oversized_blocks(
     max_block_size: int,
     n_planes: int = 4,
     dim: int = EMBEDDING_DIM,
+    on_oversize: str = "subdivide",
 ):
     """Append a ``sub_block`` column that caps within-block pairing.
 
@@ -129,13 +130,32 @@ def subdivide_oversized_blocks(
     block into ~2^n_planes buckets — trading recall for a bounded
     worst case, the same contract as the MinHash-LSH path.
 
+    ``on_oversize="error"`` raises instead of subdividing — for
+    callers whose results are verified against an exact all-pairs
+    oracle: subdivision there would make the comparison diverge by
+    construction, so an oversized block must fail loudly, not
+    silently change semantics.
+
     Block sizes come from a group-by (tiny result: one row per block)
     joined back broadcast — no full-table window shuffle.
     """
+    if on_oversize not in ("subdivide", "error"):
+        raise ValueError(f"on_oversize must be 'subdivide' or 'error', got {on_oversize!r}")
     sizes = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_blk_n"))
     oversized = sizes.filter(F.col("_blk_n") > max_block_size).select(
         *block_cols, F.lit(True).alias("_oversized")
     )
+    if on_oversize == "error":
+        hot = oversized.limit(5).collect()
+        if hot:
+            desc = ", ".join(str(tuple(r[c] for c in block_cols)) for r in hot)
+            raise RuntimeError(
+                f"block(s) {desc} exceed max_block_size={max_block_size}: this "
+                "caller pairs against an exact all-pairs oracle, so LSH "
+                "subdivision would diverge by construction — raise the cap, "
+                "re-block, or switch to on_oversize='subdivide' with an "
+                "oracle that applies the same sub_block grid"
+            )
     flagged = df.join(F.broadcast(oversized), on=list(block_cols), how="left")
     bucket = hyperplane_bucket(F.col(vec_col), n_planes, dim)
     return flagged.withColumn(

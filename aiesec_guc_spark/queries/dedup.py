@@ -436,15 +436,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs above 0.3 (the synthetic corpus has no tight near-dups; max within-label cosine ≈ 0.45, so 0.3 surfaces the genuinely-closest pairs).  Dot/norms via zip_with+aggregate (sequential
     double accumulation — bit-identical to the oracle's list_sum).
 
-    Blocks above ``EMB_BLOCK_CAP`` are split into hyperplane-LSH
-    sub-buckets (``subdivide_oversized_blocks``) so a skewed label
-    cannot go quadratic; under the cap the pairing is exact all-pairs
-    and matches the oracle bit-for-bit."""
+    The oracle is exact all-pairs, so this query runs the block-size
+    guard in ``on_oversize="error"`` mode: a label block above
+    ``EMB_BLOCK_CAP`` raises with a clear message instead of silently
+    switching to LSH sub-buckets the oracle doesn't model (a red gate
+    row would otherwise be divergence-by-construction, not a bug).
+    The ``subdivide`` mode remains the documented 100 TB path for
+    callers without an exact-oracle contract."""
     from ..operators.similarity import subdivide_oversized_blocks
 
     e = load_table(spark, sf_dir, "embeddings")
     guarded = subdivide_oversized_blocks(
-        e, ["label"], "embedding", max_block_size=EMB_BLOCK_CAP
+        e, ["label"], "embedding", max_block_size=EMB_BLOCK_CAP, on_oversize="error"
     )
     # Precompute each vector's norm once (N sqrt-dots instead of 2
     # per pair); the per-pair work is then a single dot product.

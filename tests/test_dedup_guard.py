@@ -57,3 +57,21 @@ def test_guard_bounds_pair_count(spark):
     )
     all_pairs = HOT_N * (HOT_N - 1) // 2 + COLD_N * (COLD_N - 1) // 2
     assert n_pairs < all_pairs
+
+
+def test_error_mode_raises_on_oversized_block(spark):
+    import pytest
+
+    df = _fixture(spark)
+    with pytest.raises(RuntimeError, match="exceed max_block_size"):
+        subdivide_oversized_blocks(
+            df, ["label"], "embedding", CAP, n_planes=2, dim=DIM, on_oversize="error"
+        )
+
+
+def test_error_mode_passes_under_cap(spark):
+    df = _fixture(spark)
+    out = subdivide_oversized_blocks(
+        df, ["label"], "embedding", HOT_N + 1, n_planes=2, dim=DIM, on_oversize="error"
+    )
+    assert out.select("sub_block").distinct().collect()[0]["sub_block"] == 0

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from aiesec_guc_spark.operators.salt import salted_join
+from aiesec_guc_spark.operators.salt import salt_fact, salted_join
 
 
 def test_salted_join_equivalent_to_plain(spark):
@@ -25,7 +25,7 @@ def test_salted_join_rejects_dim_preserving_joins(spark):
 
     fact = spark.createDataFrame([(1, 1)], "k int, v long")
     dim = spark.createDataFrame([(1, "d")], "k int, name string")
-    for how in ("right", "full", "outer"):
+    for how in ("right", "full", "outer", "cross"):
         with pytest.raises(ValueError):
             salted_join(fact, dim, ["k"], how=how)
 
@@ -35,12 +35,25 @@ def test_salt_spreads_hot_key(spark):
     dim = spark.createDataFrame([(1, "hot")], "k int, name string")
     out = salted_join(fact, dim, ["k"], n_salts=8)
     assert out.count() == 1000
-    # The hot key's rows occupy every salt bucket (spread verified via
-    # the internal salt recomputation on the fact side).
-    n_buckets = (
-        fact.withColumn("_s", (F.monotonically_increasing_id() % 8).cast("int"))
-        .select("_s")
-        .distinct()
-        .count()
-    )
-    assert n_buckets == 8
+    # Assert on the ACTUAL join input: the hot key's rows span every
+    # salt bucket in the salted fact frame salted_join consumes.
+    salted = salt_fact(fact, 8)
+    per_bucket = {
+        r["_salt"]: r["n"]
+        for r in salted.filter(F.col("k") == 1)
+        .groupBy("_salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(per_bucket) == 8
+    # Roughly uniform: no bucket hoards the hot key.
+    assert max(per_bucket.values()) < 1000 / 2
+
+
+def test_salt_is_deterministic_across_recomputation(spark):
+    # The salt must be a pure function of row content — recomputing
+    # the same frame yields identical (row, salt) assignments.
+    fact = spark.createDataFrame([(i % 7, i) for i in range(500)], "k int, v long")
+    a = {(r["k"], r["v"]): r["_salt"] for r in salt_fact(fact, 8).collect()}
+    b = {(r["k"], r["v"]): r["_salt"] for r in salt_fact(fact, 8).collect()}
+    assert a == b
