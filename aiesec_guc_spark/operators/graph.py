@@ -132,19 +132,23 @@ def connected_components_star(
         .union(e.select(F.col("v").alias("id")))
         .distinct()
     )
-    cur = materialize(
-        _small_star(e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
-    )
+    # _small_star orients every edge high→low itself, so seeding with
+    # the raw (deduped) edge list is equivalent to the symmetric form.
+    cur = materialize(_small_star(e))
+    n_cur = cur.count()
     converged = False
     for _ in range(max_iter):
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         nxt = materialize(_small_star(_large_star(sym)))
-        # Exact set equality: nxt ⊆ cur and |nxt| == |cur|.
-        if nxt.subtract(cur).isEmpty() and nxt.count() == cur.count():
+        n_nxt = nxt.count()
+        # Exact set equality, count-gated: the subtract (a distinct
+        # shuffle of both sides) only runs in rounds where the counts
+        # already agree — i.e. at most the final rounds.
+        if n_nxt == n_cur and nxt.subtract(cur).isEmpty():
             converged = True
             cur = nxt
             break
-        cur = nxt
+        cur, n_cur = nxt, n_nxt
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"

@@ -50,25 +50,47 @@ def main() -> None:
     except Exception:
         pass
 
+    # Determinism accounting: each query runs N times (first = cold,
+    # includes codegen/JIT compile; rest = warm).  The headline value
+    # stays the sum of COLD timings for cross-round comparability;
+    # per-query runs + spread make the ±-seconds compile-storm jitter
+    # (see session.py JIT notes) visible instead of folklore.
+    runs_per_query = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        # noop sink: forces full materialization of every output
-        # column (count() would let Catalyst skip computing them).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
-        # Release per-query state so it can't squeeze later queries:
-        # clearCache drops catalog-cached relations, and the explicit
-        # Python gc releases py4j refs to localCheckpoint'd
-        # DataFrames (operators materialize intermediates eagerly)
-        # so Spark's ContextCleaner can free their blocks — without
-        # it, block buildup degrades unrelated queries late in the
-        # suite (observed: 6-row fixture queries at 70 s).
-        df = None
-        spark.catalog.clearCache()
-        gc.collect()
+        runs: list[float] = []
+        for _ in range(runs_per_query):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            # noop sink: forces full materialization of every output
+            # column (count() would let Catalyst skip computing them).
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+            # Release per-query state so it can't squeeze later
+            # queries: clearCache drops catalog-cached relations, and
+            # the explicit Python gc releases py4j refs to
+            # localCheckpoint'd DataFrames (operators materialize
+            # intermediates eagerly) so Spark's ContextCleaner can
+            # free their blocks — without it, block buildup degrades
+            # unrelated queries late in the suite (observed: 6-row
+            # fixture queries at 70 s).
+            df = None
+            spark.catalog.clearCache()
+            gc.collect()
+        timings[name] = runs[0]
+        detail[name] = {
+            "n": len(runs),
+            "cold": runs[0],
+            "warm_min": min(runs[1:]) if len(runs) > 1 else None,
+            "spread": round(max(runs) - min(runs), 3),
+        }
+        print(
+            f"# {name}: cold {runs[0]:.3f}s"
+            + (f", warm {min(runs[1:]):.3f}s" if len(runs) > 1 else ""),
+            file=sys.stderr,
+            flush=True,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -78,6 +100,15 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": runs_per_query,
+                "queries_detail": detail,
+                "warm_total": round(
+                    sum(
+                        d["warm_min"] if d["warm_min"] is not None else d["cold"]
+                        for d in detail.values()
+                    ),
+                    3,
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
