@@ -299,14 +299,6 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
-def simhash_band_key(fp: Column, band: int) -> Column:
-    """16-bit band key ``band`` (0-based, low to high) of a 64-bit
-    fingerprint.  Arithmetic shift + mask is sign-safe for band 3."""
-    return F.shiftright(fp, band * SIMHASH_BAND_BITS).bitwiseAND(
-        F.lit((1 << SIMHASH_BAND_BITS) - 1)
-    )
-
-
 def simhash_pairs(fingerprints: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dup candidate pairs: LSH banding over the 64-bit SimHash.
 
