@@ -76,6 +76,25 @@ def test_interval_join_is_equi_join_not_cross_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_pairs_is_banded_equi_join(spark, sf_dir):
+    # Candidate pairs must come from the (band, band_key) equi-join —
+    # never a fingerprint cross product.
+    df = spark_queries()["dedup_simhash_pairs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multiprobe_broadcasts_probe_buckets(spark, sf_dir):
+    # The 9-row exploded probe side broadcasts; candidates come from a
+    # hash equi-join on the bucket id, and top-k stays a heap.
+    df = spark_queries()["similarity_ann_multiprobe"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_deciles_has_no_single_partition_window(spark, sf_dir):
     # Exact ntile is computed via range-partitioned local ranks + an
     # offset merge — the plan must never funnel all rows through one
