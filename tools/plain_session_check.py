@@ -1,0 +1,67 @@
+"""Driver-environment replica: run queries in a PLAIN SparkSession.
+
+`tools/oracle_check.py` uses the tuned session factory; the external
+driver does NOT — it builds its own SparkSession and calls
+`queries()[name]` directly, so any correctness dependence on a tuned
+config (timezone, AQE, arrow) would pass the local replica and fail
+at the gate.  This harness compares against DuckDB with a deliberately
+untouched `SparkSession.builder.master("local[8]")` session.
+
+Usage:
+    python tools/plain_session_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.oracle_check import TABLES, rows_multiset  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = [n for n in qs if not only or n in only]
+    bad = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            got = rows_multiset(qs[name](spark, sf_dir).toPandas())
+            if name in oracles:
+                want = rows_multiset(con.execute(oracles[name]).fetchdf())
+                ok = got == want
+            else:
+                ok = len(got) >= 0
+            status = "✓" if ok else "✗"
+        except Exception as ex:  # noqa: BLE001
+            ok, status = False, f"✗ ERROR {type(ex).__name__}: {ex}"
+        bad += not ok
+        print(f"{status} {name:35s} {time.time() - t0:5.1f}s", flush=True)
+    print(f"\n{'OK' if not bad else 'FAIL'}: {bad} mismatching queries")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
