@@ -122,16 +122,17 @@ def connected_components_star(
     identical, just with exponentially fewer rounds.  Fixpoint = the
     directed edge set is unchanged (exact set comparison, no hashing).
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Node universe comes from the RAW edge list: a node whose only
+    # edge is a self-loop is still a (singleton) component, and the
+    # min-label variant labels it — dropping it here would make the
+    # two variants disagree on the same input.
     all_nodes = materialize(
-        e.select(F.col("u").alias("id"))
-        .union(e.select(F.col("v").alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
         .distinct()
     )
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
     # _small_star orients every edge high→low itself, so seeding with
     # the raw (deduped) edge list is equivalent to the symmetric form.
     cur = materialize(_small_star(e))

@@ -1,0 +1,219 @@
+"""Randomized differential tests for the custom operators Spark lacks
+natively (as-of join, banded interval join, connected components,
+salted join) — each checked against a brute-force Python reference on
+seeded-random inputs.
+
+Extends the oracle-differential strategy (SURVEY.md §5.2.1) to the
+operators whose semantics the DuckDB oracle can't conveniently pin
+per edge case.  Design note: instead of one Spark job per random
+example (slow, per-job overhead dominates), every test fuses its N
+random cases into ONE input frame keyed by a `case` column that joins
+/ partitions like any other key, so the whole property runs as a
+single distributed job.  Seeds are fixed — failures reproduce
+exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from aiesec_guc_spark.operators.asof import asof_join
+from aiesec_guc_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+from aiesec_guc_spark.operators.interval import banded_interval_join
+from aiesec_guc_spark.operators.salt import salted_join
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_matches_bruteforce(spark):
+    rng = random.Random(4242)
+    n_cases = 40
+    left_rows, right_rows = [], []
+    for case in range(n_cases):
+        # Small ts range + few keys → plenty of equal-ts ties, empty
+        # right sides, and multiple candidates per left row.
+        for _ in range(rng.randint(0, 12)):
+            left_rows.append((case, rng.randint(0, 2), rng.randint(0, 20)))
+        seen = set()
+        for _ in range(rng.randint(0, 12)):
+            k, ts = rng.randint(0, 2), rng.randint(0, 20)
+            if (case, k, ts) in seen:  # right must be unique per (key, ts)
+                continue
+            seen.add((case, k, ts))
+            right_rows.append((case, k, ts, rng.randint(0, 999)))
+
+    left = spark.createDataFrame(
+        [(c, k, t, i) for i, (c, k, t) in enumerate(left_rows)],
+        "case int, k int, ts long, lid int",
+    )
+    right = spark.createDataFrame(right_rows, "case int, k int, ts long, rv int")
+
+    got = {
+        (r["case"], r["k"], r["ts"], r["lid"]): (r["asof_ts"], r["asof_rv"])
+        for r in asof_join(left, right, ["case", "k"], "ts", ["rv"]).collect()
+    }
+
+    by_key: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for c, k, ts, rv in right_rows:
+        by_key.setdefault((c, k), []).append((ts, rv))
+    expected = {}
+    for i, (c, k, ts) in enumerate(left_rows):
+        cands = [(rts, rv) for rts, rv in by_key.get((c, k), []) if rts <= ts]
+        expected[(c, k, ts, i)] = max(cands) if cands else (None, None)
+
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Banded interval join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_matches_bruteforce(spark):
+    rng = random.Random(777)
+    band_us = 1_000_000
+    n_cases = 40
+    left_rows, right_rows = [], []
+    for case in range(n_cases):
+        for _ in range(rng.randint(0, 10)):
+            # Mix of arbitrary offsets and exact band multiples so the
+            # diff == 0 and diff == band_us boundaries are exercised.
+            us = rng.choice(
+                [rng.randint(0, 5 * band_us), rng.randint(0, 5) * band_us]
+            )
+            left_rows.append((case, rng.randint(0, 1), us))
+        for _ in range(rng.randint(0, 10)):
+            us = rng.choice(
+                [rng.randint(0, 5 * band_us), rng.randint(0, 5) * band_us]
+            )
+            right_rows.append((case, rng.randint(0, 1), us))
+
+    left = (
+        spark.createDataFrame(
+            [(c, k, u, i) for i, (c, k, u) in enumerate(left_rows)],
+            "case int, k int, l_us long, lid int",
+        )
+        .withColumn("lts", F.timestamp_micros("l_us"))
+        .drop("l_us")
+    )
+    right = (
+        spark.createDataFrame(
+            [(c, k, u, i) for i, (c, k, u) in enumerate(right_rows)],
+            "case int, k int, r_us long, rid int",
+        )
+        .withColumn("rts", F.timestamp_micros("r_us"))
+        .drop("r_us")
+    )
+
+    out = banded_interval_join(left, right, ["case", "k"], "lts", "rts", band_us)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+
+    expected = sorted(
+        (li, ri)
+        for li, (lc, lk, lu) in enumerate(left_rows)
+        for ri, (rc, rk, ru) in enumerate(right_rows)
+        if lc == rc and lk == rk and 0 <= ru - lu <= band_us
+    )
+    assert got == expected
+    # Exactly-once: no qualifying pair may arrive via both left replicas.
+    assert len(got) == len(set(got))
+
+
+# ---------------------------------------------------------------------------
+# Connected components (both variants) vs union-find
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        # find() registers both endpoints, so a self-loop-only node
+        # still gets a singleton component — matching both operators.
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # Label every node with its component's minimum node id.
+    comp_min: dict[int, int] = {}
+    for node in list(parent):
+        root = find(node)
+        comp_min[root] = min(comp_min.get(root, node), node)
+    return {node: comp_min[find(node)] for node in parent}
+
+
+def test_connected_components_variants_match_union_find(spark):
+    rng = random.Random(99)
+    edges: list[tuple[int, int]] = []
+    # 25 disjoint random graphs in one edge list: node ids are
+    # case-prefixed so each case is an isolated subgraph and the whole
+    # property is a single distributed run per variant.
+    for case in range(25):
+        base = case * 1000
+        n_nodes = rng.randint(2, 30)
+        for _ in range(rng.randint(1, 45)):
+            a, b = rng.randint(0, n_nodes - 1), rng.randint(0, n_nodes - 1)
+            edges.append((base + a, base + b))
+    # Plus one adversarial long chain (diameter ≈ 60).
+    edges += [(90000 + i, 90000 + i + 1) for i in range(60)]
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    expected = _union_find_components(edges)
+
+    for fn in (connected_components, connected_components_star):
+        got = {r["id"]: r["cluster_id"] for r in fn(df, max_iter=80).collect()}
+        assert got == expected, fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# Salted join ≡ plain join on randomized skew
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_matches_plain_random(spark):
+    rng = random.Random(7)
+    # Zipf-ish skew: half the fact rows share one key; nulls included
+    # (must drop out of both joins identically).
+    fact_rows = [
+        (
+            rng.choice([0, 0, 0, 0, 1, 2, 3, None]),
+            rng.randint(0, 10**6),
+        )
+        for _ in range(800)
+    ]
+    dim_rows = [(k, f"d{k}") for k in range(4)]
+    fact = spark.createDataFrame(fact_rows, "k int, v long")
+    dim = spark.createDataFrame(dim_rows, "k int, name string")
+
+    def norm(rows):  # None-safe canonical ordering
+        return sorted(
+            map(tuple, rows), key=lambda t: tuple((x is None, x) for x in t)
+        )
+
+    plain = norm(fact.join(dim, "k").select("k", "v", "name").collect())
+    for how in ("inner", "left"):
+        salted = norm(
+            salted_join(fact, dim, ["k"], n_salts=8, how=how)
+            .select("k", "v", "name")
+            .collect()
+        )
+        if how == "inner":
+            assert salted == plain
+        else:
+            expected_left = norm(
+                fact.join(dim, "k", "left").select("k", "v", "name").collect()
+            )
+            assert salted == expected_left
