@@ -179,6 +179,50 @@ def test_connected_components_variants_match_union_find(spark):
 
 
 # ---------------------------------------------------------------------------
+# SimHash banded pairing: complete for Hamming radius ≤ 3 (pigeonhole)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_complete_within_radius(spark):
+    from aiesec_guc_spark.operators.dedup import (
+        SIMHASH_HAMMING_MAX,
+        simhash_pairs,
+    )
+
+    rng = random.Random(1234)
+    fps: list[tuple[int, int]] = []
+    doc_id = 0
+    for _ in range(60):
+        base = rng.getrandbits(64)
+        fps.append((doc_id, base - (1 << 63)))
+        doc_id += 1
+        # A cluster of near-fingerprints at controlled distances 0-6:
+        # ≤3 MUST all be found (4×16-bit bands pigeonhole any 3 flips
+        # into ≤3 bands, leaving one band intact); >3 may only appear
+        # if they truly pass the exact Hamming filter — i.e. never.
+        for _ in range(rng.randint(0, 3)):
+            flipped = base
+            for bit in rng.sample(range(64), rng.randint(0, 6)):
+                flipped ^= 1 << bit
+            fps.append((doc_id, flipped - (1 << 63)))
+            doc_id += 1
+
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(df).collect()
+    )
+
+    expected = sorted(
+        (a_id, b_id, bin((a_fp ^ b_fp) & ((1 << 64) - 1)).count("1"))
+        for i, (a_id, a_fp) in enumerate(fps)
+        for b_id, b_fp in fps[i + 1 :]
+        if bin((a_fp ^ b_fp) & ((1 << 64) - 1)).count("1") <= SIMHASH_HAMMING_MAX
+    )
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
 # Salted join ≡ plain join on randomized skew
 # ---------------------------------------------------------------------------
 
