@@ -79,6 +79,24 @@ def hof_weighted_sum(a: Column, weights: list[float]) -> Column:
     )
 
 
+def hof_dot(a: Column, b: Column) -> Column:
+    """dot(a, b) via zip_with+aggregate — two COLUMN vectors (for the
+    constant-weight case use :func:`hof_weighted_sum`).
+
+    Same fold order as ``unrolled_dot`` (0.0 + t1 + ... + tn), so
+    results are bit-identical; same compile-vs-evaluate trade as
+    :func:`hof_weighted_sum` — prefer it when a plan instance
+    evaluates the dot only a bounded number of times per row (e.g.
+    K-centroid assignment), where the unrolled form's multi-second
+    whole-stage recompile dwarfs interpreted evaluation.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:
     return unrolled_dot(a, b, dim) / (
         F.sqrt(unrolled_dot(a, a, dim)) * F.sqrt(unrolled_dot(b, b, dim))

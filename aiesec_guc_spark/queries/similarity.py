@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.similarity import (
     EMBEDDING_DIM,
+    hof_dot,
     hof_weighted_sum,
     plane_weights,
     unrolled_dot,
@@ -302,6 +303,159 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOPK)
         .select("vec_id", "label", "bucket", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN — the coarse-quantizer scale path (the production ANN
+# layout: FAISS IVF, Milvus, pgvector ivfflat all share this shape).
+# K deterministic centroids partition the corpus into inverted lists;
+# a probe searches only the n_probe nearest lists.  Unlike sign-LSH
+# (fixed 2^planes grid), the lists follow the data distribution.
+# ---------------------------------------------------------------------------
+
+IVF_K = 16  # coarse centroids (≈ sqrt(corpus) at these SFs)
+IVF_NPROBE = 2  # inverted lists a probe searches
+
+
+def _ivf_oracle() -> str:
+    cos = "{d}/ (sqrt({na}) * sqrt({nb}))"
+
+    def cosine_sql(a: str, b: str) -> str:
+        return cos.format(
+            d=_DOT_SQL.format(a=a, b=b),
+            na=_DOT_SQL.format(a=a, b=a),
+            nb=_DOT_SQL.format(a=b, b=b),
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {IVF_K}
+),
+assigned AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+lists AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS probe_id, embedding AS p FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+pcents AS (
+  SELECT c.cid FROM cents c CROSS JOIN probe
+  ORDER BY {cosine_sql('c.cvec', 'probe.p')} DESC, c.cid ASC
+  LIMIT {IVF_NPROBE}
+),
+cand AS (
+  SELECT l.* FROM lists l JOIN pcents USING (cid), probe
+  WHERE l.vec_id <> probe.probe_id
+),
+scored AS (
+  SELECT c.vec_id, c.label, CAST(c.cid AS BIGINT) AS cid,
+         {cosine_sql('c.embedding', 'probe.p')} AS cosine
+  FROM cand c CROSS JOIN probe
+)
+SELECT vec_id, label, cid, round(cosine, 9) AS cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT {TOPK}
+"""
+
+
+@query("similarity_ivf_flat", oracle=_ivf_oracle())
+def similarity_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 scale path #2: IVF-Flat.  Coarse centroids are the IVF_K
+    vectors with the smallest md5(vec_id) (deterministic, engine-
+    portable sampling standing in for k-means — the index layout and
+    query path are identical; a trained quantizer only moves the
+    centroid values).  Every vector joins its nearest centroid's
+    inverted list; the probe searches the IVF_NPROBE nearest lists.
+
+    Scale shape: centroids are broadcast (K rows); assignment is a
+    map-side broadcast cross join + per-vector argmax with map-side
+    partial combine, written once at ingest (mirrored here by the
+    materialize).  A probe reads n_probe/K of the corpus — with the
+    table partitioned by `cid`, a partition-pruned fetch, never a
+    scan.  Recall follows the data distribution rather than sign-LSH's
+    fixed hyperplane grid."""
+    from ..operators.dedup import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+
+    # Assignment: K cosine scores per vector (broadcast, map-side),
+    # argmax folded by groupBy with partial combine.  max_by's order
+    # key (sim, -cid) is unique per group, so the pick is
+    # deterministic and matches the oracle's ROW_NUMBER tie-break.
+    # Norms are hoisted (computed once per vector/centroid, not per
+    # pair), and only skinny (vec_id, cid, sim) rows enter the argmax
+    # shuffle — embeddings re-attach by a vec_id join afterwards, the
+    # same co-partitioned shape an ingest-time assignment write uses.
+    # Dots are the interpreted HOF fold, not the unrolled form: every
+    # stage here evaluates ≤ K dots per row, so the unrolled
+    # expression's multi-second whole-stage recompile (it embeds
+    # broadcast relation ids, so no codegen-cache hit across plan
+    # instances) costs far more than interpreting 64 multiply-adds —
+    # measured 3× faster end-to-end.  Fold order matches unrolled_dot
+    # and the oracle's list_sum, so hashes still match.
+    en = e.withColumn("nrm", F.sqrt(hof_dot(F.col("embedding"), F.col("embedding"))))
+    cn = cents.withColumn("cnrm", F.sqrt(hof_dot(F.col("cvec"), F.col("cvec"))))
+    sim = hof_dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+    assign = (
+        en.crossJoin(F.broadcast(cn))
+        .select("vec_id", "cid", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias(
+                "cid"
+            )
+        )
+    )
+    lists = materialize(e.join(assign, "vec_id"))
+
+    probe = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p"),
+        F.sqrt(hof_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
+    )
+    pc_cos = hof_dot(F.col("cvec"), F.col("p")) / (
+        F.sqrt(hof_dot(F.col("cvec"), F.col("cvec")))
+        * F.sqrt(hof_dot(F.col("p"), F.col("p")))
+    )
+    pcents = (
+        cents.crossJoin(F.broadcast(probe))
+        .orderBy(F.desc(pc_cos), F.asc("cid"))
+        .limit(IVF_NPROBE)
+        .select("cid", "probe_id", "p", "p_nrm")
+    )
+
+    cand = lists.join(F.broadcast(pcents), "cid").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cand.select(
+        "vec_id",
+        "label",
+        F.col("cid").cast("bigint").alias("cid"),
+        (
+            hof_dot(F.col("embedding"), F.col("p"))
+            / (F.sqrt(hof_dot(F.col("embedding"), F.col("embedding"))) * F.col("p_nrm"))
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+        .select("vec_id", "label", "cid", F.round("cosine", 9).alias("cosine"))
     )
 
 
