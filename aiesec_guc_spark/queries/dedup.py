@@ -392,6 +392,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Decontamination: flag corpus docs sharing word n-grams with a
+# benchmark/eval set — the train/test-overlap screen every training
+# pipeline runs before a model sees the data.  Unlike self-dedup, the
+# reference side is a SMALL external set, so the scale shape is a
+# broadcast semi-join of the corpus gram stream against the benchmark
+# gram set: one corpus scan, no self-join, shuffle only the hits.
+# ---------------------------------------------------------------------------
+
+DECON_BENCH_MOD = 41  # benchmark set: doc_id % 41 == 0 (deterministic stand-in)
+
+
+def _decon_oracle() -> str:
+    n = SHINGLE_WORDS
+    shingle_expr = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= {n}
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - {n - 1}),
+                               i -> {shingle_expr})) AS shingle
+  FROM docs
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+bench AS (SELECT * FROM shd WHERE doc_id % {DECON_BENCH_MOD} = 0),
+corpus AS (SELECT * FROM shd WHERE doc_id % {DECON_BENCH_MOD} <> 0)
+SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS overlap
+FROM corpus c JOIN bench b USING (shingle)
+GROUP BY 1, 2
+"""
+
+
+@query("decontaminate_ngram_overlap", oracle=_decon_oracle())
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bench_id, overlap): corpus docs sharing ≥1 word
+    {SHINGLE_WORDS}-gram with a benchmark doc, with the shared-gram
+    count as contamination evidence (thresholding is policy, so the
+    query returns the evidence).
+
+    The benchmark grams (small side by construction — eval sets are
+    tiny next to a 100 TB corpus) broadcast; the RAW corpus gram
+    stream — no pre-join distinct, which would be a full-corpus
+    shuffle — flows through a map-side hash join, and only matching
+    (doc, bench, gram) rows reach the one real shuffle, where
+    count(DISTINCT shingle) dedups repeated grams exactly like a
+    pre-join distinct would.  Uses the same shingle machinery as
+    MinHash (one tokenize projection, then explode)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(d, "doc_id", "text")
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench = (
+        grams.filter(is_bench)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .distinct()
+    )
+    corpus = grams.filter(~is_bench)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count_distinct(F.col("shingle")).alias("overlap"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup (blocked by cluster label; the unblocked
 # scale path is the LSH variant in queries/similarity.py).
 # ---------------------------------------------------------------------------

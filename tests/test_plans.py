@@ -151,3 +151,26 @@ def test_star_cc_long_chain_logarithmic_rounds(spark):
         for r in connected_components_star(edges, max_iter=10).collect()
     }
     assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_ivf_candidate_fetch_is_broadcast_pruned(spark, sf_dir):
+    # The probed-centroid set (IVF_NPROBE rows) must broadcast into a
+    # hash equi-join on cid — never a cartesian pairing of corpus ×
+    # centroids outside the deliberate broadcast assignment step — and
+    # the final top-k stays a per-partition heap.
+    df = spark_queries()["similarity_ivf_flat"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    # The benchmark gram set broadcasts (eval sets are tiny next to
+    # the corpus); the corpus gram stream must never shuffle before
+    # the join — the only exchange is the post-join overlap count.
+    df = spark_queries()["decontaminate_ngram_overlap"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
