@@ -476,3 +476,20 @@ def streaming_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import run_streaming_hourly
 
     return run_streaming_hourly(spark, sf_dir)
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
+"""
+
+
+@query("streaming_dedup_exact", oracle=_STREAM_DEDUP_ORACLE)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the event stream replayed twice
+    (simulated at-least-once delivery) collapses back to exactly-once
+    via watermark-bounded ``dropDuplicates`` state.  The oracle is the
+    batch identity — every original event exactly once."""
+    from ..streaming.incremental import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)

@@ -69,6 +69,45 @@ def run_streaming_hourly(
     )
 
 
+def run_streaming_dedup(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery: the event
+    stream unioned with itself (every record replayed once — the
+    delivery duplicates an ingest pipeline actually sees) collapses
+    back to exactly-once via ``dropDuplicates`` keyed on
+    (event_id, ts).
+
+    The event-time column in the dedup key plus the declared watermark
+    is what BOUNDS the dedup state with a live source — state for keys
+    older than the watermark is evicted, so memory tracks the horizon,
+    not the stream's history.  Drained with availableNow; append mode
+    (each surviving key emits exactly once).
+    """
+    src = _events_stream(spark, sf_dir)
+    replayed = src.union(src)
+    deduped = replayed.withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_id", "ts"]
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
 def run_incremental_delta(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_delta"
 ) -> DataFrame:
