@@ -338,15 +338,17 @@ def simhash_pairs(fingerprints: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col(id_col).alias("doc_b"),
         F.col("simhash").alias("fp_b"),
     )
-    cand = (
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    # Hamming filter BEFORE the cross-band distinct: band collisions
+    # with distance > max dominate candidate volume at scale (the
+    # bucket-cardinality math above), and hamming is a pure function
+    # of the pair, so filtering first shrinks the dedup shuffle to
+    # true near-dup pairs without changing the result.
+    return (
         a.join(b, on=["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
-    return (
-        cand.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )

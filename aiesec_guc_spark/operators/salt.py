@@ -40,8 +40,21 @@ def salt_fact(
     Caveat: byte-identical rows share a salt, so a hot key whose rows
     are full duplicates won't spread — include a distinguishing column
     in ``spread_cols`` (or dedup first) in that case.
+
+    The default spread set skips map-typed columns (Spark cannot hash
+    MapType); pass ``spread_cols`` explicitly to control the set.
     """
-    cols = list(spread_cols) if spread_cols is not None else list(fact.columns)
+    from pyspark.sql.types import MapType
+
+    if spread_cols is not None:
+        cols = list(spread_cols)
+    else:
+        cols = [f.name for f in fact.schema.fields if not isinstance(f.dataType, MapType)]
+        if not cols:
+            raise ValueError(
+                "salt_fact: no hashable columns to derive a salt from; "
+                "pass spread_cols explicitly"
+            )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
     return fact.withColumn("_salt", salt)
 

@@ -443,6 +443,12 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-join distinct would.  Uses the same shingle machinery as
     MinHash (one tokenize projection, then explode)."""
     d = load_table(spark, sf_dir, "documents")
+    # Same precondition as the MinHash pipeline (and the oracle's
+    # len(toks) >= n): shingling a doc shorter than the shingle width
+    # would run F.sequence backwards and throw at runtime.
+    d = d.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
+    )
     grams = shingle_rows(d, "doc_id", "text")
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench = (

@@ -57,3 +57,14 @@ def test_salt_is_deterministic_across_recomputation(spark):
     a = {(r["k"], r["v"]): r["_salt"] for r in salt_fact(fact, 8).collect()}
     b = {(r["k"], r["v"]): r["_salt"] for r in salt_fact(fact, 8).collect()}
     assert a == b
+
+
+def test_salt_default_spread_skips_map_columns(spark):
+    # MapType cannot be hashed by xxhash64 — the default spread set
+    # must skip it rather than fail analysis.
+    fact = spark.createDataFrame(
+        [(1, 10, {"a": "b"})], "k int, v long, props map<string,string>"
+    )
+    dim = spark.createDataFrame([(1, "d")], "k int, name string")
+    out = salted_join(fact, dim, ["k"], n_salts=4)
+    assert out.count() == 1
