@@ -62,6 +62,41 @@ _QUERY_MODULES = [
     "parity",
 ]
 
+# Module order alone can no longer pin every evidence-starved query
+# within the checked window (a new query appended to a late module
+# lands past it), so the registry is additionally reordered by this
+# explicit priority list: queries with NO driver row yet (never
+# checked in r01/r02, or new this round) lead, then queries whose
+# code changed this round, then everything else in module order.
+# Typos fail loudly in registry().
+_EVIDENCE_PRIORITY = [
+    # never driver-checked (absent from CORRECTNESS_r01/r02) …
+    "similarity_cosine_topk",
+    "similarity_ann_lsh",
+    "similarity_knn_join",
+    "embedding_norms",
+    "multimodal_features",
+    "multimodal_chunks",
+    "multimodal_resize_stub",
+    "multimodal_frame_offsets",
+    "asof_click_error",
+    "udaf_user_trend_slope",
+    # … or new this round
+    "similarity_ann_multiprobe",
+    "similarity_ivf_flat",
+    "dedup_cc_star",
+    "decontaminate_ngram_overlap",
+    "curate_training_corpus",
+    "streaming_dedup_exact",
+    # changed this round (r02-green, code touched since)
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_connected_components",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "customer_acctbal_deciles",
+]
+
 
 @dataclass(frozen=True)
 class Query:
@@ -90,7 +125,12 @@ def _load_all() -> None:
 
 def registry() -> dict[str, Query]:
     _load_all()
-    return dict(_REGISTRY)
+    unknown = [n for n in _EVIDENCE_PRIORITY if n not in _REGISTRY]
+    if unknown:
+        raise ValueError(f"_EVIDENCE_PRIORITY names unknown queries: {unknown}")
+    ordered = {n: _REGISTRY[n] for n in _EVIDENCE_PRIORITY}
+    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def spark_queries() -> dict[str, SparkQuery]:

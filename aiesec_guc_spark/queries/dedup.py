@@ -70,7 +70,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup candidates with exact-Jaccard verification.
 # ---------------------------------------------------------------------------
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(source: str = "documents") -> str:
     n = SHINGLE_WORDS
     shingle_expr = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
     sig_exprs = ",\n         ".join(
@@ -90,7 +90,7 @@ def _minhash_oracle() -> str:
     return f"""
 WITH docs AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-  FROM documents
+  FROM {source}
   WHERE len(string_split_regex(trim(text), '\\s+')) >= {n}
 ),
 sh AS (
@@ -557,4 +557,119 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("cosine", cosine)
         .filter(F.col("cosine") > 0.3)
         .select("label", "vec_a", "vec_b", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# The flagship composition: end-to-end training-corpus curation.
+# Quality filter → exact dedup → near-dup removal (MinHash-LSH → CC →
+# keep canonical) → deterministic stratified sample — the pipeline a
+# 100 TB pre-training corpus actually runs, built entirely from the
+# operators above, with every stage's scale shape unchanged by the
+# composition (each stage consumes the previous stage's output
+# columns; nothing is recomputed from the raw table).
+# ---------------------------------------------------------------------------
+
+
+def _curate_oracle() -> str:
+    from .text import _SAMPLE_RATE_CASE, _STOP_IN, _TOKENS_SQL
+
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, lang, text, len({_TOKENS_SQL}) AS n_tokens
+  FROM documents
+  WHERE len({_TOKENS_SQL}) BETWEEN 20 AND 1000
+    AND CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+        / len({_TOKENS_SQL}) BETWEEN 0.01 AND 0.5
+),
+ex AS (
+  SELECT * FROM q
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+  ) = 1
+),
+verified AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle(source='ex')})
+  WHERE jaccard >= {CC_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+keep AS (
+  SELECT ex.* FROM ex
+  LEFT JOIN labels l ON l.id = ex.doc_id
+  WHERE l.id IS NULL OR l.cluster_id = ex.doc_id
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS BIGINT) AS bucket
+FROM keep
+WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < ({_SAMPLE_RATE_CASE})
+"""
+
+
+@query("curate_training_corpus", oracle=_curate_oracle())
+def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality-filter → exact dedup →
+    near-dup removal (LSH pairs → connected components, keep the
+    cluster canonical) → deterministic stratified sample.
+
+    Each stage feeds the next — near-dup detection runs only on the
+    exact-deduped survivors, so the expensive LSH pipeline sees the
+    smallest possible input.  At 100 TB every stage keeps its
+    documented shape: the quality filter is scan-level, exact dedup is
+    one fingerprint shuffle, LSH is bucket-join-bounded, CC shuffles
+    per-round on node id, and the sample is a pushdown-friendly
+    hash-threshold filter."""
+    from ..functions.text import fingerprint_md5, hash32, n_tokens, stopword_ratio
+    from ..operators.graph import connected_components
+    from .text import SAMPLE_DEFAULT_RATE, SAMPLE_RATES
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = n_tokens("text")
+    ratio = stopword_ratio("text")
+    q = d.filter(nt.between(20, 1000) & ratio.between(0.01, 0.5)).select(
+        "doc_id", "lang", "text", nt.alias("n_tokens")
+    )
+    ex = materialize(
+        dedup_exact(
+            q.withColumn("fingerprint", fingerprint_md5("text")),
+            F.col("fingerprint"),
+            "doc_id",
+        ).drop("fingerprint")
+    )
+
+    # Near-dup pairs among the exact-dedup survivors only (>= 20
+    # tokens by the quality gate, so the shingle precondition holds).
+    docs = ex.select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
+    sh = shingle_rows(docs, "doc_id", "text")
+    verified = jaccard_verify(pairs, sh, "doc_id").filter(
+        F.col("jaccard") >= CC_JACCARD_THRESHOLD
+    )
+    cc = connected_components(verified.select("doc_a", "doc_b"))
+
+    keep = ex.join(
+        cc.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id", "left"
+    ).filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+
+    bucket = hash32(F.col("text")) % 100
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items(), reverse=True):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        keep.withColumn("bucket", bucket.cast("bigint"))
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"), "bucket")
     )
