@@ -42,7 +42,36 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_ts_column(df: DataFrame, c: str) -> DataFrame:
+    """Convert a corpus TIMESTAMP(NANOS) column to TimestampType,
+    branching on the dtype the runtime actually inferred.
+
+    The inference is runtime-dependent: pyspark ≤4.0 honors
+    ``nanosAsLong`` and surfaces INT64 nanos; pyspark 4.1.2 ignores
+    the flag and infers ``TimestampNTZType``.  Both batch and
+    streaming reads route through this one branch so a future Spark
+    bump breaks in exactly one place (guarded by tests/test_runtime.py).
+    """
+    dt = df.schema[c].dataType
+    if isinstance(dt, T.LongType):
+        # TIMESTAMP(NANOS) read as int64 nanos → micros timestamp.
+        return df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # TIMESTAMP_NTZ → session-TZ timestamp (session is pinned
+        # UTC, so the instant is unchanged and unix_micros works).
+        return df.withColumn(c, F.col(c).cast("timestamp"))
+    if isinstance(dt, T.TimestampType):
+        return df
+    raise TypeError(
+        f"unsupported inferred dtype {dt} for nano-ts column {c!r}; "
+        "extend normalize_ts_column for this runtime"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Best-effort for runtimes ≤4.0 where the vectorized reader rejects
+    # TIMESTAMP(NANOS) outright; a silent no-op on 4.1+ (the dtype
+    # branch in normalize_ts_column makes that moot).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Queries must not depend on the caller's session timezone
     # (to_date/date_trunc and the NTZ→TZ cast below are tz-sensitive;
@@ -50,12 +79,5 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _NANO_TS_COLUMNS.get(name, ()):
-        dt = df.schema[c].dataType
-        if isinstance(dt, T.LongType):
-            # TIMESTAMP(NANOS) read as int64 nanos → micros timestamp.
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        elif isinstance(dt, T.TimestampNTZType):
-            # TIMESTAMP_NTZ → session-TZ timestamp (session is pinned
-            # UTC, so the instant is unchanged and unix_micros works).
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        df = normalize_ts_column(df, c)
     return df

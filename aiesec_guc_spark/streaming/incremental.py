@@ -20,8 +20,20 @@ from pyspark.sql import functions as F
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events parquet with the same nano-ts
     handling as the batch catalog (schema must be declared up front
-    for streaming sources)."""
+    for streaming sources).
+
+    The ``ts`` conversion goes through ``catalog.normalize_ts_column``,
+    which branches on the dtype the runtime actually inferred — under
+    pyspark 4.1.2 the ``nanosAsLong`` flag is a no-op and the column
+    arrives as TimestampNTZType; older runtimes surface INT64 nanos.
+    """
+    from ..catalog import normalize_ts_column
+
+    # Best-effort for runtimes ≤4.0 (silent no-op on 4.1+).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TZ cast below is session-tz-sensitive; pin UTC like the
+    # batch catalog so streaming and batch agree on instants.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file-stream source wants a directory; select just the events
     # file out of the sf dir with a glob.
@@ -30,7 +42,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts_column(stream, "ts")
 
 
 def run_streaming_hourly(
