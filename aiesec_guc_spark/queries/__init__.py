@@ -65,36 +65,37 @@ _QUERY_MODULES = [
 # Module order alone can no longer pin every evidence-starved query
 # within the checked window (a new query appended to a late module
 # lands past it), so the registry is additionally reordered by this
-# explicit priority list: queries with NO driver row yet (never
-# checked in r01/r02, or new this round) lead, then queries whose
-# code changed this round, then everything else in module order.
-# Typos fail loudly in registry().
+# explicit priority list.  Rotation policy (round 6): queries with the
+# STALEST driver evidence lead — the 16 with no driver row since r02
+# (round 5 proved unwatched queries can silently rot), then the
+# streaming trio fixed this round, then queries new/changed this
+# round, then everything else in module order.  Typos fail loudly in
+# registry().
 _EVIDENCE_PRIORITY = [
-    # never driver-checked (absent from CORRECTNESS_r01/r02) …
-    "similarity_cosine_topk",
-    "similarity_ann_lsh",
-    "similarity_knn_join",
-    "embedding_norms",
-    "multimodal_features",
-    "multimodal_chunks",
-    "multimodal_resize_stub",
-    "multimodal_frame_offsets",
-    "asof_click_error",
-    "udaf_user_trend_slope",
-    # … or new this round
-    "similarity_ann_multiprobe",
-    "similarity_ivf_flat",
-    "dedup_cc_star",
-    "decontaminate_ngram_overlap",
-    "curate_training_corpus",
+    # driver-stale since r02: parity family …
+    "projection_cast",
+    "filter_contains_flags",
+    "string_extract_roundtrip",
+    "json_scalar_extract",
+    "html_card_render",
+    "count_guard",
+    "html_extract_cards",
+    "opportunity_snapshot_delta",
+    # … events family …
+    "events_hourly_tumbling",
+    "events_sessionize",
+    "events_sliding_windows",
+    "events_click_purchase_window",
+    "events_funnel",
+    "events_rolling_hour",
+    # … and the streaming trio (fixed this round for pyspark 4.1.2;
+    # dedup_exact was the red r5 row).
+    "streaming_sessionize_stateful",
+    "streaming_hourly_tumbling",
     "streaming_dedup_exact",
-    # changed this round (r02-green, code touched since)
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_connected_components",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "customer_acctbal_deciles",
+    # new/changed this round
+    "similarity_ann_recall",
+    "similarity_ivf_flat",
 ]
 
 

@@ -309,48 +309,94 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF-Flat ANN — the coarse-quantizer scale path (the production ANN
 # layout: FAISS IVF, Milvus, pgvector ivfflat all share this shape).
-# K deterministic centroids partition the corpus into inverted lists;
-# a probe searches only the n_probe nearest lists.  Unlike sign-LSH
-# (fixed 2^planes grid), the lists follow the data distribution.
+# K centroids — md5-seeded, then refined by IVF_KMEANS_ITERS Lloyd
+# rounds — partition the corpus into inverted lists; a probe searches
+# only the n_probe nearest lists.  Unlike sign-LSH (fixed 2^planes
+# grid), the lists follow the data distribution.
+#
+# Cross-engine determinism of the training: assignment argmax breaks
+# cosine ties on cid; the mean update sums components as exact
+# DECIMAL(28,12) (order-independent — binary-double summation would
+# diverge between engines) and performs one double division, so the
+# refined centroids are bit-identical in Spark and DuckDB.
 # ---------------------------------------------------------------------------
 
 IVF_K = 16  # coarse centroids (≈ sqrt(corpus) at these SFs)
 IVF_NPROBE = 2  # inverted lists a probe searches
+IVF_KMEANS_ITERS = 2  # Lloyd refinement rounds on the md5 seed
+_MEAN_DEC = "DECIMAL(28,12)"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)}))"
+    )
+
+
+def _kmeans_cents_cte() -> str:
+    """CTE chain ``e → seed → cent{1..ITERS}`` producing the trained
+    centroid table ``cents(cid, cvec)`` — the SQL twin of
+    ``_kmeans_centroids`` below (same seed, same tie-breaks, same
+    decimal-exact mean)."""
+    mean_cols = ", ".join(
+        f"CAST(SUM(CAST(emb[{d + 1}] AS {_MEAN_DEC})) AS DOUBLE) / COUNT(*) AS m{d}"
+        for d in range(EMBEDDING_DIM)
+    )
+    mean_list = "list_value(" + ", ".join(f"m.m{d}" for d in range(EMBEDDING_DIM)) + ")"
+    parts = [
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"""seed AS (
+  SELECT vec_id AS cid, emb AS cvec FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}
+)""",
+    ]
+    prev = "seed"
+    for it in range(1, IVF_KMEANS_ITERS + 1):
+        parts.append(
+            f"""asg{it} AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cosine_sql('e.emb', 'c.cvec')} DESC, c.cid ASC
+         ) AS rn
+  FROM e CROSS JOIN {prev} c
+),
+mean{it} AS (
+  SELECT a.cid, {mean_cols}
+  FROM e JOIN asg{it} a ON e.vec_id = a.vec_id AND a.rn = 1
+  GROUP BY a.cid
+),
+cent{it} AS (
+  SELECT s.cid,
+         CASE WHEN m.cid IS NULL THEN s.cvec ELSE {mean_list} END AS cvec
+  FROM {prev} s LEFT JOIN mean{it} m ON s.cid = m.cid
+)"""
+        )
+        prev = f"cent{it}"
+    parts.append(f"cents AS (SELECT cid, cvec FROM {prev})")
+    return ",\n".join(parts)
 
 
 def _ivf_oracle() -> str:
-    cos = "{d}/ (sqrt({na}) * sqrt({nb}))"
-
-    def cosine_sql(a: str, b: str) -> str:
-        return cos.format(
-            d=_DOT_SQL.format(a=a, b=b),
-            na=_DOT_SQL.format(a=a, b=a),
-            nb=_DOT_SQL.format(a=b, b=b),
-        )
-
     return f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec
-  FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT {IVF_K}
-),
+WITH {_kmeans_cents_cte()},
 assigned AS (
-  SELECT e.vec_id, e.label, e.embedding, c.cid,
+  SELECT e.vec_id, e.label, e.emb, c.cid,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
-           ORDER BY {cosine_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC
+           ORDER BY {_cosine_sql('e.emb', 'c.cvec')} DESC, c.cid ASC
          ) AS rn
-  FROM embeddings e CROSS JOIN cents c
+  FROM e CROSS JOIN cents c
 ),
-lists AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rn = 1),
+lists AS (SELECT vec_id, label, emb, cid FROM assigned WHERE rn = 1),
 probe AS (
-  SELECT vec_id AS probe_id, embedding AS p FROM embeddings
-  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+  SELECT vec_id AS probe_id, emb AS p FROM e
+  WHERE vec_id = (SELECT min(vec_id) FROM e)
 ),
 pcents AS (
   SELECT c.cid FROM cents c CROSS JOIN probe
-  ORDER BY {cosine_sql('c.cvec', 'probe.p')} DESC, c.cid ASC
+  ORDER BY {_cosine_sql('c.cvec', 'probe.p')} DESC, c.cid ASC
   LIMIT {IVF_NPROBE}
 ),
 cand AS (
@@ -359,7 +405,7 @@ cand AS (
 ),
 scored AS (
   SELECT c.vec_id, c.label, CAST(c.cid AS BIGINT) AS cid,
-         {cosine_sql('c.embedding', 'probe.p')} AS cosine
+         {_cosine_sql('c.emb', 'probe.p')} AS cosine
   FROM cand c CROSS JOIN probe
 )
 SELECT vec_id, label, cid, round(cosine, 9) AS cosine
@@ -369,50 +415,17 @@ LIMIT {TOPK}
 """
 
 
-@query("similarity_ivf_flat", oracle=_ivf_oracle())
-def similarity_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E6 scale path #2: IVF-Flat.  Coarse centroids are the IVF_K
-    vectors with the smallest md5(vec_id) (deterministic, engine-
-    portable sampling standing in for k-means — the index layout and
-    query path are identical; a trained quantizer only moves the
-    centroid values).  Every vector joins its nearest centroid's
-    inverted list; the probe searches the IVF_NPROBE nearest lists.
+def _assign_nearest(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid) of each vector's nearest centroid by cosine.
 
-    Scale shape: centroids are broadcast (K rows); assignment is a
-    map-side broadcast cross join + per-vector argmax with map-side
-    partial combine, written once at ingest (mirrored here by the
-    materialize).  A probe reads n_probe/K of the corpus — with the
-    table partitioned by `cid`, a partition-pruned fetch, never a
-    scan.  Recall follows the data distribution rather than sign-LSH's
-    fixed hyperplane grid."""
-    from ..operators.dedup import materialize
-
-    e = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(IVF_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    )
-
-    # Assignment: K cosine scores per vector (broadcast, map-side),
-    # argmax folded by groupBy with partial combine.  max_by's order
-    # key (sim, -cid) is unique per group, so the pick is
-    # deterministic and matches the oracle's ROW_NUMBER tie-break.
-    # Norms are hoisted (computed once per vector/centroid, not per
-    # pair), and only skinny (vec_id, cid, sim) rows enter the argmax
-    # shuffle — embeddings re-attach by a vec_id join afterwards, the
-    # same co-partitioned shape an ingest-time assignment write uses.
-    # Dots are the interpreted HOF fold, not the unrolled form: every
-    # stage here evaluates ≤ K dots per row, so the unrolled
-    # expression's multi-second whole-stage recompile (it embeds
-    # broadcast relation ids, so no codegen-cache hit across plan
-    # instances) costs far more than interpreting 64 multiply-adds —
-    # measured 3× faster end-to-end.  Fold order matches unrolled_dot
-    # and the oracle's list_sum, so hashes still match.
-    en = e.withColumn("nrm", F.sqrt(hof_dot(F.col("embedding"), F.col("embedding"))))
+    Broadcast cross join (K rows) + skinny argmax: only
+    (vec_id, cid, sim) rows enter the groupBy shuffle, and max_by's
+    order key (sim, -cid) reproduces the oracle's ROW_NUMBER
+    ``ORDER BY sim DESC, cid ASC`` tie-break."""
+    en = e.withColumn("nrm", F.sqrt(hof_dot(F.col("emb"), F.col("emb"))))
     cn = cents.withColumn("cnrm", F.sqrt(hof_dot(F.col("cvec"), F.col("cvec"))))
-    sim = hof_dot(F.col("embedding"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
-    assign = (
+    sim = hof_dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+    return (
         en.crossJoin(F.broadcast(cn))
         .select("vec_id", "cid", sim.alias("sim"))
         .groupBy("vec_id")
@@ -422,12 +435,100 @@ def similarity_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _kmeans_centroids(e: DataFrame, iters: int = IVF_KMEANS_ITERS) -> DataFrame:
+    """Train the IVF coarse quantizer: md5-deterministic seed, then
+    ``iters`` Lloyd rounds (cosine assignment → per-cluster mean).
+
+    Scale shape per round: assignment is the broadcast-K argmax above;
+    the update is ONE groupBy(cid) with 64 decimal-sum columns —
+    map-side partial combine, K output rows.  Nothing here grows with
+    corpus size except the linear scans.
+
+    Determinism: component sums are exact DECIMAL(28,12) (binary
+    double accumulation is order-dependent and would diverge between
+    engines and between runs); the mean is a single double division.
+    Empty clusters keep their previous centroid."""
+    cents = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
+    )
+    dec = _MEAN_DEC.lower()
+    for _ in range(iters):
+        assign = _assign_nearest(e, cents)
+        means = (
+            e.join(assign, "vec_id")
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("emb", d + 1).cast(dec)).alias(f"s{d}")
+                    for d in range(EMBEDDING_DIM)
+                ],
+            )
+            .select(
+                "cid",
+                F.array(
+                    *[
+                        (F.col(f"s{d}").cast("double") / F.col("n"))
+                        for d in range(EMBEDDING_DIM)
+                    ]
+                ).alias("mvec"),
+            )
+        )
+        cents = cents.join(means, "cid", "left").select(
+            "cid", F.coalesce(F.col("mvec"), F.col("cvec")).alias("cvec")
+        )
+    return cents
+
+
+@query("similarity_ivf_flat", oracle=_ivf_oracle())
+def similarity_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 scale path #2: IVF-Flat with a TRAINED coarse quantizer.
+    Centroids are md5-seeded then refined by IVF_KMEANS_ITERS Lloyd
+    rounds (``_kmeans_centroids``), so the inverted lists follow the
+    data distribution honestly rather than a raw sample.  Every vector
+    joins its nearest centroid's inverted list; the probe searches the
+    IVF_NPROBE nearest lists.
+
+    Scale shape: centroids are broadcast (K rows); assignment is a
+    map-side broadcast cross join + per-vector argmax with map-side
+    partial combine, written once at ingest (mirrored here by the
+    materialize).  Training costs iters extra linear scans at ingest
+    time only.  A probe reads n_probe/K of the corpus — with the
+    table partitioned by `cid`, a partition-pruned fetch, never a
+    scan.  Recall follows the data distribution rather than sign-LSH's
+    fixed hyperplane grid."""
+    from ..operators.dedup import materialize
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    # Train and score on double components (the oracle widens the same
+    # way): float→double is exact, and keeping one element type means
+    # seed centroids and Lloyd means coalesce without implicit casts.
+    e = raw.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = materialize(_kmeans_centroids(e))
+
+    # Final assignment against the trained centroids — same broadcast
+    # argmax as the training rounds (see _assign_nearest: skinny rows,
+    # hoisted norms, deterministic max_by tie-break).  Dots are the
+    # interpreted HOF fold, not the unrolled form: every stage here
+    # evaluates ≤ K dots per row, so the unrolled expression's
+    # multi-second whole-stage recompile (it embeds broadcast relation
+    # ids, so no codegen-cache hit across plan instances) costs far
+    # more than interpreting 64 multiply-adds — measured 3× faster
+    # end-to-end.  Fold order matches unrolled_dot and the oracle's
+    # list_sum, so hashes still match.
+    assign = _assign_nearest(e, cents)
     lists = materialize(e.join(assign, "vec_id"))
 
     probe = e.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("p"),
-        F.sqrt(hof_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
+        F.col("emb").alias("p"),
+        F.sqrt(hof_dot(F.col("emb"), F.col("emb"))).alias("p_nrm"),
     )
     pc_cos = hof_dot(F.col("cvec"), F.col("p")) / (
         F.sqrt(hof_dot(F.col("cvec"), F.col("cvec")))
@@ -448,14 +549,89 @@ def similarity_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("cid").cast("bigint").alias("cid"),
         (
-            hof_dot(F.col("embedding"), F.col("p"))
-            / (F.sqrt(hof_dot(F.col("embedding"), F.col("embedding"))) * F.col("p_nrm"))
+            hof_dot(F.col("emb"), F.col("p"))
+            / (F.sqrt(hof_dot(F.col("emb"), F.col("emb"))) * F.col("p_nrm"))
         ).alias("cosine"),
     )
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOPK)
         .select("vec_id", "label", "cid", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@k — quantifies each approximate variant's quality/cost
+# trade-off against the exact brute-force top-k: recall = |ANN top-k ∩
+# exact top-k| / k.  LSH reads 1/256 of the corpus, multi-probe 9/256,
+# IVF n_probe/K — this query is the number that says what that pruning
+# costs.
+# ---------------------------------------------------------------------------
+
+_ANN_VARIANTS = ["ivf", "lsh", "multiprobe"]
+
+
+def _recall_oracle() -> str:
+    variants_list = ", ".join(f"'{v}'" for v in _ANN_VARIANTS)
+    return f"""
+WITH exact AS (
+  SELECT vec_id FROM ({_COSINE_TOPK_ORACLE})
+),
+cand AS (
+  SELECT 'lsh' AS variant, vec_id FROM ({_ann_oracle()})
+  UNION ALL
+  SELECT 'multiprobe' AS variant, vec_id FROM ({_multiprobe_oracle()})
+  UNION ALL
+  SELECT 'ivf' AS variant, vec_id FROM ({_ivf_oracle()})
+),
+variants AS (SELECT unnest([{variants_list}]) AS variant),
+hits AS (
+  SELECT c.variant, COUNT(*) AS n_hit
+  FROM cand c JOIN exact e USING (vec_id)
+  GROUP BY c.variant
+)
+SELECT v.variant,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {TOPK} AS recall
+FROM variants v LEFT JOIN hits h ON v.variant = h.variant
+"""
+
+
+@query("similarity_ann_recall", oracle=_recall_oracle())
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOPK} of every ANN variant vs the exact top-k.
+
+    Reuses the registered query pipelines verbatim (so the measurement
+    can never drift from what the variants actually return); the exact
+    set is {TOPK} rows — broadcast — and the per-variant hit count is a
+    {TOPK}-row aggregate.  The variant spine comes from a literal
+    3-row DataFrame so a variant with zero hits still reports 0.0
+    instead of vanishing."""
+    exact = similarity_cosine_topk(spark, sf_dir).select("vec_id")
+    cand = (
+        similarity_ann_lsh(spark, sf_dir)
+        .select(F.lit("lsh").alias("variant"), "vec_id")
+        .unionAll(
+            similarity_ann_multiprobe(spark, sf_dir).select(
+                F.lit("multiprobe").alias("variant"), "vec_id"
+            )
+        )
+        .unionAll(
+            similarity_ivf_flat(spark, sf_dir).select(
+                F.lit("ivf").alias("variant"), "vec_id"
+            )
+        )
+    )
+    hits = (
+        cand.join(F.broadcast(exact), "vec_id")
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    variants = spark.createDataFrame([(v,) for v in _ANN_VARIANTS], "variant string")
+    return variants.join(hits, "variant", "left").select(
+        "variant",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("hits"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / TOPK).alias("recall"),
     )
 
 

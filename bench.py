@@ -56,28 +56,45 @@ def main() -> None:
     # per-query runs + spread make the ±-seconds compile-storm jitter
     # (see session.py JIT notes) visible instead of folklore.
     runs_per_query = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # The similarity family's unrolled dot-product codegen embeds
+    # broadcast relation ids, so every plan instance recompiles; at
+    # n=2 the bench can't separate compile storms from execution.
+    # Give that family ≥4 runs so warm_min is a real execution number.
+    similarity_runs = max(runs_per_query, 4)
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    errors: dict[str, str] = {}
     for name in names:
+        n_runs = similarity_runs if name.startswith("similarity_") else runs_per_query
         runs: list[float] = []
-        for _ in range(runs_per_query):
-            t0 = time.time()
-            df = qs[name](spark, SF_DIR)
-            # noop sink: forces full materialization of every output
-            # column (count() would let Catalyst skip computing them).
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
-            # Release per-query state so it can't squeeze later
-            # queries: clearCache drops catalog-cached relations, and
-            # the explicit Python gc releases py4j refs to
-            # localCheckpoint'd DataFrames (operators materialize
-            # intermediates eagerly) so Spark's ContextCleaner can
-            # free their blocks — without it, block buildup degrades
-            # unrelated queries late in the suite (observed: 6-row
-            # fixture queries at 70 s).
-            df = None
+        # Failure isolation: one raising query must not abort the
+        # suite — record the error row and keep benching the rest.
+        try:
+            for _ in range(n_runs):
+                t0 = time.time()
+                df = qs[name](spark, SF_DIR)
+                # noop sink: forces full materialization of every output
+                # column (count() would let Catalyst skip computing them).
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+                # Release per-query state so it can't squeeze later
+                # queries: clearCache drops catalog-cached relations, and
+                # the explicit Python gc releases py4j refs to
+                # localCheckpoint'd DataFrames (operators materialize
+                # intermediates eagerly) so Spark's ContextCleaner can
+                # free their blocks — without it, block buildup degrades
+                # unrelated queries late in the suite (observed: 6-row
+                # fixture queries at 70 s).
+                df = None
+                spark.catalog.clearCache()
+                gc.collect()
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            detail[name] = {"n": len(runs), "err": errors[name]}
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr, flush=True)
             spark.catalog.clearCache()
             gc.collect()
+            continue
         timings[name] = runs[0]
         detail[name] = {
             "n": len(runs),
@@ -100,6 +117,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "runs_per_query": runs_per_query,
                 "queries_detail": detail,
                 "warm_total": round(

@@ -1,0 +1,79 @@
+"""Runtime-drift canary.
+
+Round 5 showed the Spark runtime can move under frozen code: pyspark
+4.1.2 silently stopped honoring ``spark.sql.legacy.parquet.nanosAsLong``
+and the corpus's TIMESTAMP(NANOS) columns started inferring as
+``TimestampNTZType``, breaking the streaming path at analysis time.
+
+These tests pin the contract in one named place: every column listed in
+``catalog._NANO_TS_COLUMNS`` must infer (batch AND streaming read) as a
+dtype ``normalize_ts_column`` handles, and the normalized output must be
+TimestampType.  A future Spark bump that changes inference fails HERE
+with a clear message instead of as three broken queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from aiesec_guc_spark.catalog import (
+    _NANO_TS_COLUMNS,
+    load_table,
+    normalize_ts_column,
+    table_path,
+)
+
+# The dtypes normalize_ts_column knows how to convert (or pass through).
+_HANDLED = (T.LongType, T.TimestampNTZType, T.TimestampType)
+
+
+@pytest.mark.parametrize(
+    "table,col",
+    [(t, c) for t, cols in _NANO_TS_COLUMNS.items() for c in cols],
+)
+def test_batch_inferred_dtype_is_handled(spark, sf_dir, table, col):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_dir, table))
+    dt = raw.schema[col].dataType
+    assert isinstance(dt, _HANDLED), (
+        f"batch read of {table}.{col} inferred {dt} — this runtime's "
+        "parquet TIMESTAMP(NANOS) inference is not handled by "
+        "catalog.normalize_ts_column; extend its dtype branch"
+    )
+
+
+@pytest.mark.parametrize(
+    "table,col",
+    [(t, c) for t, cols in _NANO_TS_COLUMNS.items() for c in cols],
+)
+def test_stream_inferred_dtype_is_handled(spark, sf_dir, table, col):
+    """The file-stream source takes a declared schema; what matters is
+    that declaring the batch-inferred schema yields a stream whose
+    normalized ts column analyzes to TimestampType (this is exactly the
+    path _events_stream takes)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, table)).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+    out = normalize_ts_column(stream, col)
+    assert isinstance(out.schema[col].dataType, T.TimestampType), (
+        f"streaming read of {table}.{col}: normalize_ts_column produced "
+        f"{out.schema[col].dataType}, expected TimestampType"
+    )
+
+
+@pytest.mark.parametrize("table", sorted(_NANO_TS_COLUMNS))
+def test_load_table_normalizes_to_timestamp(spark, sf_dir, table):
+    df = load_table(spark, sf_dir, table)
+    for col in _NANO_TS_COLUMNS[table]:
+        assert isinstance(df.schema[col].dataType, T.TimestampType)
+
+
+def test_normalize_rejects_unknown_dtype(spark):
+    df = spark.createDataFrame([("x",)], "ts string")
+    with pytest.raises(TypeError, match="unsupported inferred dtype"):
+        normalize_ts_column(df, "ts")
