@@ -22,6 +22,9 @@ coefficients are fixed small odd integers.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -37,16 +40,36 @@ def materialize(df: DataFrame) -> DataFrame:
     InMemoryRelation and the upstream pipeline re-executes per
     consumer (observed: 432 s for a 20 k-row LSH band self-join at
     sf0.1 that takes <1 s once the cache is materialized first).
-    ``localCheckpoint(eager=True)`` computes the subtree exactly once,
-    truncates the lineage, and the blocks are released automatically
-    when the DataFrame is garbage-collected — callers carry no
-    unpersist bookkeeping.
+    The checkpoint computes the subtree exactly once and truncates the
+    lineage.
 
-    On a multi-executor cluster the same pattern holds (blocks live on
-    executors); for fault-tolerance-critical pipelines swap in
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` — the
-    operator shape is identical.
+    Two modes, selected by ``SPARK_GRAFT_CHECKPOINT``:
+
+    - ``local`` (default): ``localCheckpoint(eager=True)`` — blocks
+      live in executor storage and are released automatically when the
+      DataFrame is garbage-collected; callers carry no unpersist
+      bookkeeping.  Fast, but NOT fault-tolerant: an executor loss
+      loses blocks whose lineage was truncated.
+    - ``reliable``: ``checkpoint(eager=True)`` to the directory in
+      ``SPARK_GRAFT_CHECKPOINT_DIR`` (a fresh temp dir if unset — on a
+      real cluster point it at HDFS/S3).  Survives executor loss, so
+      the iterative operators (connected components, LSH band joins)
+      can recover mid-algorithm on a 1000-executor run, at the cost of
+      a write+read through the checkpoint store per round.
     """
+    mode = os.environ.get("SPARK_GRAFT_CHECKPOINT", "local")
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(
+                os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+                or tempfile.mkdtemp(prefix="spark_ckpt_")
+            )
+        return df.checkpoint(eager=True)
+    if mode != "local":
+        raise ValueError(
+            f"SPARK_GRAFT_CHECKPOINT={mode!r}: expected 'local' or 'reliable'"
+        )
     return df.localCheckpoint(eager=True)
 
 # MinHash configuration (shared with the oracle-SQL generator).

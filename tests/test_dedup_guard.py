@@ -75,3 +75,42 @@ def test_error_mode_passes_under_cap(spark):
         df, ["label"], "embedding", HOT_N + 1, n_planes=2, dim=DIM, on_oversize="error"
     )
     assert out.select("sub_block").distinct().collect()[0]["sub_block"] == 0
+
+
+# ---------------------------------------------------------------------------
+# materialize() checkpoint seam: both modes must produce the same data
+# and truncate lineage; 'reliable' is the fault-tolerant cluster path.
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip(spark):
+    from aiesec_guc_spark.operators.dedup import materialize
+
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    out = materialize(df.groupBy("k").count())
+    assert out.count() == 7
+    # Lineage is truncated: the checkpointed plan is a scan, not the
+    # original aggregate.
+    assert "Range" not in out._jdf.queryExecution().toString()
+    return out
+
+
+def test_materialize_local_mode(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT", raising=False)
+    _roundtrip(spark)
+
+
+def test_materialize_reliable_mode(spark, monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    _roundtrip(spark)
+
+
+def test_materialize_rejects_unknown_mode(spark, monkeypatch):
+    import pytest
+
+    from aiesec_guc_spark.operators.dedup import materialize
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "bogus")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CHECKPOINT"):
+        materialize(spark.range(1))
