@@ -14,6 +14,7 @@ nature, fed by an already-reduced (small) DataFrame.
 from __future__ import annotations
 
 import logging
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -130,6 +131,106 @@ def read_snapshot_xlsx(spark, path: str, sheet_name: str = "Sheet1") -> DataFram
         pdf = pd.read_excel(path, sheet_name=sheet_name, keep_default_na=False)
     pdf = pdf.astype(str)
     return spark.createDataFrame(pdf)
+
+
+def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:
+    """Distributed presentation snapshot: one workbook PER PARTITION,
+    written by executors via ``mapInPandas`` — the scale path that
+    ``write_styled_report`` (driver-side collect, presentation edge)
+    deliberately doesn't take.  Returns the manifest (file, n_rows) as
+    a DataFrame; the action that materializes it performs the write.
+
+    The row data never moves to the driver: each executor writes
+    ``part-{partition_id:05d}.xlsx`` for its slice into ``out_dir``
+    (local dir here; a shared filesystem on a real cluster — same
+    contract as every Spark file sink).  Size the partitions with
+    ``df.repartition(n)`` before calling: xlsx has a hard 1,048,576-row
+    sheet cap and openpyxl memory tracks sheet size, so ~100k rows per
+    partition is the practical ceiling.
+
+    Mirrors ``write_styled_report``'s format contract: xlsx with
+    styled headers when openpyxl is importable in the WORKER (the
+    format probe runs per-task, since workers may have different
+    environments than the driver), CSV part files otherwise.  The
+    per-row premium highlight is skipped on purpose — it is an
+    O(cells) driver-format concern for small reports, not a bulk
+    snapshot feature.
+    """
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    schema = "file string, n_rows long"
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        try:
+            import openpyxl
+            from openpyxl.styles import Font, PatternFill
+
+            path = os.path.join(out_dir, f"part-{pid:05d}.xlsx")
+            pdf.to_excel(path, index=False)
+            wb = openpyxl.load_workbook(path)
+            ws = wb.active
+            header_fill = PatternFill("solid", fgColor="1F4E79")
+            for cell in ws[1]:
+                cell.font = Font(bold=True, color="FFFFFF")
+                cell.fill = header_fill
+            wb.save(path)
+        except ImportError:
+            path = os.path.join(out_dir, f"part-{pid:05d}.csv")
+            pdf.to_csv(path, index=False)
+        yield pd.DataFrame({"file": [path], "n_rows": [len(pdf)]})
+
+    return df.mapInPandas(_write, schema=schema)
+
+
+def read_snapshot_dir(spark, path: str) -> DataFrame:
+    """Read a ``write_snapshot_partitioned`` directory back,
+    distributed: the file list parallelizes across executors and each
+    file is parsed worker-side with pandas — no driver-side row
+    funnel.  Handles both part formats (.xlsx/.csv); all columns come
+    back string-typed (the reference's all-strings schema, same
+    contract as ``read_snapshot_xlsx``), with "N/A" sentinels kept as
+    literal strings."""
+    import pandas as pd
+
+    def _read_one(f: str) -> "pd.DataFrame":
+        if f.endswith(".csv"):
+            return pd.read_csv(f, dtype=str, keep_default_na=False)
+        return pd.read_excel(f, keep_default_na=False).astype(str)
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith((".xlsx", ".csv"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no .xlsx/.csv part files under {path}")
+    # Columns from one file's header row (driver reads ONE header, not
+    # the data); every part file shares the writer's schema.
+    if files[0].endswith(".csv"):
+        cols = list(pd.read_csv(files[0], dtype=str, nrows=0).columns)
+    else:
+        cols = list(pd.read_excel(files[0], nrows=0).columns)
+    schema = ", ".join(f"`{c}` string" for c in cols)
+
+    def _read(batches):
+        for pdf in batches:
+            for f in pdf["file"]:
+                yield _read_one(f)[cols]
+
+    flist = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), 32)
+    )
+    return flist.mapInPandas(_read, schema=schema)
 
 
 def notify_if_nonempty(

@@ -4,17 +4,30 @@ Spark 4 Python Data Source API.
 The reference drives a headless browser ("Load more" pagination, 30 s
 sleeps) on the driver; the Spark-native shape is a custom
 ``DataSource`` whose reader partitions the page list so fetching
-parallelizes across executors.  Network fetching is intentionally NOT
-implemented (hermetic builds, FIXTURES.md §A2): the reader serves
-recorded HTML fixtures; a real deployment would swap ``_fetch`` for an
-HTTP call — the partitioning, schema, and registration stay the same.
+parallelizes across executors.
+
+Two fetch modes behind one seam:
+
+- **fixtures** (default): recorded HTML fragments (hermetic builds,
+  FIXTURES.md §A2).
+- **HTTP**: pass ``.option("base_url", ...)`` and ``.option("pages",
+  N)`` — each partition GETs ``{base_url}?page={p}`` with stdlib
+  urllib from its executor, so fetching parallelizes across the
+  cluster instead of serializing behind the reference's per-page
+  sleeps.  Partitioning, schema, and registration are identical in
+  both modes.
 
 Usage:
     register_listing_source(spark)
     spark.read.format("listing_scrape").load()   # page_id, html rows
+    spark.read.format("listing_scrape")
+         .option("base_url", "http://host/listings")
+         .option("pages", 3).load()
 """
 
 from __future__ import annotations
+
+import urllib.request
 
 from pyspark.sql import SparkSession
 
@@ -38,16 +51,20 @@ def _fixture_pages() -> dict[int, list[str]]:
     return pages
 
 
-def _fetch(page_id: int) -> list[str]:
+def _fetch(page_id: int, base_url: str | None = None, timeout: float = 30.0) -> list[str]:
     """The fetch seam: page id → HTML fragments for that page.
 
-    Hermetic builds serve recorded fixtures; a real deployment
-    replaces THIS ONE FUNCTION with an HTTP fetch (the reference's
-    browser pagination, aiesec.py:51-63).  Partitioning, schema, and
-    registration are unchanged by the swap — executors call `_fetch`
-    per assigned page, so fetching parallelizes across the cluster.
+    With no ``base_url`` this serves recorded fixtures (hermetic
+    builds); with one it GETs ``{base_url}?page={page_id}`` — the
+    reference's browser pagination (aiesec.py:51-63) as one stateless
+    HTTP request per page.  Partitioning, schema, and registration are
+    unchanged by the mode — executors call `_fetch` per assigned page,
+    so fetching parallelizes across the cluster.
     """
-    return _fixture_pages()[page_id]
+    if base_url is None:
+        return _fixture_pages()[page_id]
+    with urllib.request.urlopen(f"{base_url}?page={page_id}", timeout=timeout) as r:
+        return [r.read().decode("utf-8", errors="replace")]
 
 
 class ListingScrapeDataSource(DataSource):  # type: ignore[misc]
@@ -61,7 +78,7 @@ class ListingScrapeDataSource(DataSource):  # type: ignore[misc]
         return "page_id int, html string"
 
     def reader(self, schema) -> "ListingScrapeReader":
-        return ListingScrapeReader()
+        return ListingScrapeReader(self.options)
 
 
 class ListingScrapeReader(DataSourceReader):  # type: ignore[misc]
@@ -69,12 +86,20 @@ class ListingScrapeReader(DataSourceReader):  # type: ignore[misc]
     fetches serially behind its per-page sleep (aiesec.py:51-63);
     here pages fetch in parallel across executors."""
 
+    def __init__(self, options=None):
+        options = options or {}
+        self.base_url = options.get("base_url")
+        self.n_pages = int(options.get("pages", "0"))
+        self.timeout = float(options.get("timeout", "30"))
+
     def partitions(self):
+        if self.base_url is not None:
+            return [InputPartition(p) for p in range(1, self.n_pages + 1)]
         return [InputPartition(p) for p in sorted(_fixture_pages())]
 
     def read(self, partition):
         page_id = partition.value
-        for html in _fetch(page_id):
+        for html in _fetch(page_id, self.base_url, self.timeout):
             yield (page_id, html)
 
 
