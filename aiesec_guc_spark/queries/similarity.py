@@ -449,8 +449,16 @@ def _kmeans_centroids(e: DataFrame, iters: int = IVF_KMEANS_ITERS) -> DataFrame:
     Determinism: component sums are exact DECIMAL(28,12) (binary
     double accumulation is order-dependent and would diverge between
     engines and between runs); the mean is a single double division.
-    Empty clusters keep their previous centroid."""
-    cents = (
+    Empty clusters keep their previous centroid.
+
+    Each round's K-row centroid table is materialized: round N's plan
+    is referenced by round N+1 twice (assignment broadcast + the
+    empty-cluster left join) and by the probe/final-assignment stages
+    after training, so an unmaterialized lineage would re-run every
+    earlier round — and its corpus scans — once per consumer."""
+    from ..operators.dedup import materialize
+
+    cents = materialize(
         e.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(IVF_K)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
@@ -478,8 +486,10 @@ def _kmeans_centroids(e: DataFrame, iters: int = IVF_KMEANS_ITERS) -> DataFrame:
                 ).alias("mvec"),
             )
         )
-        cents = cents.join(means, "cid", "left").select(
-            "cid", F.coalesce(F.col("mvec"), F.col("cvec")).alias("cvec")
+        cents = materialize(
+            cents.join(means, "cid", "left").select(
+                "cid", F.coalesce(F.col("mvec"), F.col("cvec")).alias("cvec")
+            )
         )
     return cents
 
@@ -510,7 +520,8 @@ def similarity_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = raw.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cents = materialize(_kmeans_centroids(e))
+    # Already materialized per-round inside _kmeans_centroids.
+    cents = _kmeans_centroids(e)
 
     # Final assignment against the trained centroids — same broadcast
     # argmax as the training rounds (see _assign_nearest: skinny rows,
