@@ -55,7 +55,12 @@ def main() -> None:
     # stays the sum of COLD timings for cross-round comparability;
     # per-query runs + spread make the ±-seconds compile-storm jitter
     # (see session.py JIT notes) visible instead of folklore.
-    runs_per_query = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Default 3 (one cold + TWO warm samples): suite-position
+    # interference (async block cleanup, JIT/GC pressure from a heavy
+    # neighbor) can inflate a single warm run by several seconds —
+    # observed 11 s for a query that runs 1.3 s in isolation — and
+    # with one warm sample that outlier IS the reported warm_min.
+    runs_per_query = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     # The similarity family's unrolled dot-product codegen embeds
     # broadcast relation ids, so every plan instance recompiles; at
     # n=2 the bench can't separate compile storms from execution.
@@ -65,7 +70,15 @@ def main() -> None:
     detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for name in names:
-        n_runs = similarity_runs if name.startswith("similarity_") else runs_per_query
+        # The composite recall query re-runs all four similarity
+        # pipelines per invocation (~15 s each); its components are
+        # already benched individually at high run counts, so it keeps
+        # the default count.
+        n_runs = (
+            similarity_runs
+            if name.startswith("similarity_") and name != "similarity_ann_recall"
+            else runs_per_query
+        )
         runs: list[float] = []
         # Failure isolation: one raising query must not abort the
         # suite — record the error row and keep benching the rest.
