@@ -193,11 +193,18 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "embedding", _bucket(F.col("embedding")).alias("bucket")
         )
     )
+    # Candidate scoring uses the interpreted HOF dot, not the unrolled
+    # form: a bucket holds ~corpus/256 rows, so per-row cost is
+    # negligible while the unrolled expression's multi-second
+    # whole-stage compile (no codegen-cache hit across plan instances)
+    # dominated this query's cold time (measured 16.5 s cold with
+    # 12.3 s spread at sf0.1).  Bit-identical fold order, so the
+    # oracle hash is unchanged.
     probe = b.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p"),
         F.col("bucket").alias("probe_bucket"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
+        F.sqrt(hof_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
     )
     cand = (
         b.join(F.broadcast(probe), b.bucket == F.col("probe_bucket"))
@@ -208,8 +215,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("bucket").cast("int").alias("bucket"),
         (
-            _dot(F.col("embedding"), F.col("p"))
-            / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("p_nrm"))
+            hof_dot(F.col("embedding"), F.col("p"))
+            / (F.sqrt(hof_dot(F.col("embedding"), F.col("embedding"))) * F.col("p_nrm"))
         ).alias("cosine"),
     )
     return (
@@ -274,13 +281,15 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     flips = [0] + [1 << p for p in range(LSH_PLANES)]
+    # HOF dots for the same compile-vs-evaluate reason as
+    # similarity_ann_lsh: 9 buckets ≈ corpus/28 candidate rows.
     probe = (
         b.orderBy("vec_id")
         .limit(1)
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("p"),
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
+            F.sqrt(hof_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
             F.explode(
                 F.array(*[F.col("bucket").bitwiseXOR(F.lit(f)) for f in flips])
             ).alias("pbucket"),
@@ -295,8 +304,8 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("bucket").cast("int").alias("bucket"),
         (
-            _dot(F.col("embedding"), F.col("p"))
-            / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("p_nrm"))
+            hof_dot(F.col("embedding"), F.col("p"))
+            / (F.sqrt(hof_dot(F.col("embedding"), F.col("embedding"))) * F.col("p_nrm"))
         ).alias("cosine"),
     )
     return (
