@@ -174,3 +174,32 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroid_side(spark, sf_dir):
+    # Lloyd-round assignment: the K-row centroid table must broadcast
+    # into the scoring join (BroadcastNestedLoopJoin is the legitimate
+    # physical form of the deliberate K-row cross join); the argmax
+    # must partial-aggregate before its exchange.
+    from aiesec_guc_spark.queries.similarity import _assign_nearest
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = e.limit(16).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
+    )
+    df = _assign_nearest(e, cents)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_recall_joins_broadcast_exact_topk(spark, sf_dir):
+    # The exact top-k side is TOPK rows — the hit join must broadcast
+    # it, and no stage may degrade to a cartesian pairing.
+    df = spark_queries()["similarity_ann_recall"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
