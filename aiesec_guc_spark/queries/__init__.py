@@ -96,6 +96,7 @@ _EVIDENCE_PRIORITY = [
     # new/changed this round
     "similarity_ann_recall",
     "similarity_ivf_flat",
+    "text_repetition_signals",
 ]
 
 

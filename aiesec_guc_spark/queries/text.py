@@ -313,3 +313,101 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_md5("text").alias("fingerprint"),
         hash32(F.lower(F.trim(F.col("text")))).alias("h32"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals — the Gopher-rule quality filters (Rae et al.
+# 2021 §A1.1; corpus has no newlines, so the line-level rules
+# specialize to their token-level counterparts): type-token ratio,
+# most-frequent-token fraction, most-frequent-bigram fraction.
+# Training pipelines threshold these to drop boilerplate/spam docs.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+  WHERE len({_TOKENS_SQL}) >= 2
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+tok_counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+tok_stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_c
+  FROM tok_counts GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM docs
+),
+bg_counts AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bg_stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bc
+  FROM bg_counts GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens,
+       round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 9) AS ttr,
+       round(CAST(t.top_c AS DOUBLE) / t.n_tokens, 9) AS top_token_frac,
+       round(CAST(b.top_bc AS DOUBLE) / b.n_bigrams, 9) AS top_bigram_frac
+FROM tok_stats t JOIN bg_stats b ON t.doc_id = b.doc_id
+"""
+
+
+@query("text_repetition_signals", oracle=_REPETITION_ORACLE)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition/diversity signals: type-token ratio, top
+    token fraction, top bigram fraction.
+
+    Scale shape: one explode per signal family, counts folded by
+    two-phase grouped aggregation (partial map-side combine on
+    (doc_id, gram), then a skinny per-doc max/sum) — the shuffle is
+    linear in corpus tokens, and nothing is collected.  All fractions
+    are single double divisions of exact integer counts, so both
+    engines agree bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+
+    tok_counts = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    bg_counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").cast("bigint").alias("top_bc"),
+    )
+
+    return tok_stats.join(bg_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 9).alias("ttr"),
+        F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 9).alias(
+            "top_token_frac"
+        ),
+        F.round(F.col("top_bc").cast("double") / F.col("n_bigrams"), 9).alias(
+            "top_bigram_frac"
+        ),
+    )

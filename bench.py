@@ -101,6 +101,14 @@ def main() -> None:
                 df = None
                 spark.catalog.clearCache()
                 gc.collect()
+                # The Python gc only releases py4j refs; the JVM must
+                # run ITS collector before ContextCleaner's weak-ref
+                # queue drains and localCheckpoint blocks actually
+                # free.  Without this, block buildup from the heavy
+                # dedup/similarity families bleeds multi-second pauses
+                # into later unrelated queries (observed: 1.5 s query
+                # with a 21 s sample late in the suite).
+                spark._jvm.System.gc()
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             detail[name] = {"n": len(runs), "err": errors[name]}
