@@ -515,7 +515,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     switching to LSH sub-buckets the oracle doesn't model (a red gate
     row would otherwise be divergence-by-construction, not a bug).
     The ``subdivide`` mode remains the documented 100 TB path for
-    callers without an exact-oracle contract."""
+    callers without an exact-oracle contract.
+
+    Dot-impl trade, measured at sf0.1 (~200 k blocked pairs): the
+    unrolled dot's constant ~4 s whole-stage recompile does NOT
+    amortize (interpreted HOF runs the same query in ~1.5-2 s), and
+    the crossover is ≈600 k pairs — but blocked pair count grows
+    linearly with the corpus, so any production scale sits far past
+    the crossover and unrolled is kept deliberately."""
     from ..operators.similarity import subdivide_oversized_blocks
 
     e = load_table(spark, sf_dir, "embeddings")
