@@ -446,12 +446,14 @@ def _assign_nearest(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_centroids(e: DataFrame, iters: int = IVF_KMEANS_ITERS) -> DataFrame:
+def _kmeans_centroids(
+    e: DataFrame, iters: int = IVF_KMEANS_ITERS, dim: int = EMBEDDING_DIM
+) -> DataFrame:
     """Train the IVF coarse quantizer: md5-deterministic seed, then
     ``iters`` Lloyd rounds (cosine assignment → per-cluster mean).
 
     Scale shape per round: assignment is the broadcast-K argmax above;
-    the update is ONE groupBy(cid) with 64 decimal-sum columns —
+    the update is ONE groupBy(cid) with ``dim`` decimal-sum columns —
     map-side partial combine, K output rows.  Nothing here grows with
     corpus size except the linear scans.
 
@@ -482,7 +484,7 @@ def _kmeans_centroids(e: DataFrame, iters: int = IVF_KMEANS_ITERS) -> DataFrame:
                 F.count(F.lit(1)).alias("n"),
                 *[
                     F.sum(F.element_at("emb", d + 1).cast(dec)).alias(f"s{d}")
-                    for d in range(EMBEDDING_DIM)
+                    for d in range(dim)
                 ],
             )
             .select(
@@ -490,7 +492,7 @@ def _kmeans_centroids(e: DataFrame, iters: int = IVF_KMEANS_ITERS) -> DataFrame:
                 F.array(
                     *[
                         (F.col(f"s{d}").cast("double") / F.col("n"))
-                        for d in range(EMBEDDING_DIM)
+                        for d in range(dim)
                     ]
                 ).alias("mvec"),
             )
