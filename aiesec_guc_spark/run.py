@@ -40,13 +40,23 @@ from pyspark.sql import functions as F
 log = logging.getLogger(__name__)
 
 
-def scrape_today(spark: SparkSession) -> DataFrame:
-    """Stages 2-3: scrape source → card extraction."""
+def scrape_today(
+    spark: SparkSession, base_url: str | None = None, pages: int = 0
+) -> DataFrame:
+    """Stages 2-3: scrape source → card extraction.
+
+    With ``base_url`` the source fetches ``{base_url}?page=N`` over
+    HTTP, one page per partition (the reference's live pagination,
+    parallelized); without it the recorded fixtures serve hermetic
+    runs."""
     from .functions.html_cards import extract_cards
     from .sources.listing_scrape import register_listing_source
 
     if register_listing_source(spark):
-        cards = spark.read.format("listing_scrape").load()
+        reader = spark.read.format("listing_scrape")
+        if base_url:
+            reader = reader.option("base_url", base_url).option("pages", pages)
+        cards = reader.load()
     else:  # pragma: no cover - Spark < 4 fallback
         from .sources.fixtures import FIXTURE_CARDS
 
@@ -60,6 +70,8 @@ def run_pipeline(
     out_dir: str,
     run_date: str,
     send: Callable[[str], None] | None = None,
+    base_url: str | None = None,
+    pages: int = 0,
 ) -> dict:
     """One scheduled run, start to finish.  Returns a summary dict
     (rows scraped, delta rows, report path, whether a notification
@@ -70,7 +82,7 @@ def run_pipeline(
 
     snap_path = os.path.join(data_dir, "snapshots")
 
-    today = scrape_today(spark)
+    today = scrape_today(spark, base_url=base_url, pages=pages)
     write_snapshot(today, snap_path, run_date)
 
     snaps = spark.read.parquet(snap_path)
@@ -130,14 +142,50 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--data-dir", required=True, help="snapshot table root")
     p.add_argument("--out-dir", required=True, help="report output dir")
     p.add_argument("--run-date", required=True, help="YYYY-MM-DD of this run")
+    p.add_argument(
+        "--base-url",
+        help="fetch listing pages over HTTP ({base_url}?page=N) instead of fixtures",
+    )
+    p.add_argument(
+        "--pages", type=int, default=0, help="number of pages with --base-url"
+    )
+    p.add_argument(
+        "--smtp-host",
+        help="send the guarded notification via smtplib to this host "
+        "(credentials via SPARK_GRAFT_SMTP_USER/_PASSWORD; default logs only)",
+    )
+    p.add_argument("--smtp-port", type=int, default=587)
+    p.add_argument("--smtp-from", default="pipeline@localhost")
+    p.add_argument("--smtp-to", help="comma-separated recipient list")
+    p.add_argument("--smtp-tls", action="store_true", help="STARTTLS before auth")
     args = p.parse_args(argv)
+
+    send: Callable[[str], None] | None = None
+    if args.smtp_host:
+        from .sinks.smtp import SMTPTransport
+
+        send = SMTPTransport(
+            host=args.smtp_host,
+            port=args.smtp_port,
+            sender=args.smtp_from,
+            recipients=[r.strip() for r in (args.smtp_to or "").split(",") if r.strip()],
+            use_tls=args.smtp_tls,
+        )
 
     logging.basicConfig(level=logging.INFO)
     from .session import get_spark
 
     spark = get_spark("pipeline_run")
     spark.sparkContext.setLogLevel("ERROR")
-    summary = run_pipeline(spark, args.data_dir, args.out_dir, args.run_date)
+    summary = run_pipeline(
+        spark,
+        args.data_dir,
+        args.out_dir,
+        args.run_date,
+        send=send,
+        base_url=args.base_url,
+        pages=args.pages,
+    )
     print(summary)
     return 0
 

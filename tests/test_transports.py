@@ -6,6 +6,7 @@ server) and the HTTP fetch mode of the listing-scrape DataSource
 from __future__ import annotations
 
 import http.server
+import os
 import socket
 import threading
 
@@ -180,3 +181,62 @@ def test_scrape_source_fixture_mode_unchanged(spark):
         pytest.skip("Python DataSource API unavailable")
     df = spark.read.format("listing_scrape").load()
     assert df.count() > 0
+
+
+CARD_PAGE = (
+    '<html><body><div class="card">'
+    '<h3><a href="/opportunity/%d">Role %d</a></h3>'
+    '<span>Germany</span><span>6 weeks</span>'
+    '<div class="org">Org %d</div>'
+    "</div></body></html>"
+)
+
+
+class _CardHandler(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 - stdlib naming
+        from urllib.parse import parse_qs, urlparse
+
+        page = int(parse_qs(urlparse(self.path).query).get("page", ["0"])[0])
+        body = (CARD_PAGE % (page * 100 + 1, page, page)).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):
+        pass
+
+
+def test_pipeline_http_scrape_to_smtp_notify(spark, tmp_path):
+    """The reference's full daily run over real protocols, hermetic:
+    HTTP pagination → extract → snapshot → delta → styled report →
+    SMTP notification, all against loopback servers."""
+    from aiesec_guc_spark.run import run_pipeline
+
+    web = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _CardHandler)
+    threading.Thread(target=web.serve_forever, daemon=True).start()
+    smtp = MiniSMTPServer()
+    smtp.start()
+    try:
+        transport = SMTPTransport(
+            "127.0.0.1", smtp.port, "pipeline@x", ["team@y"], subject="New"
+        )
+        summary = run_pipeline(
+            spark,
+            data_dir=str(tmp_path / "data"),
+            out_dir=str(tmp_path / "out"),
+            run_date="2026-08-13",
+            send=transport,
+            base_url=f"http://127.0.0.1:{web.server_port}/listings",
+            pages=2,
+        )
+    finally:
+        web.shutdown()
+        web.server_close()
+    assert summary["rows_scraped"] == 2
+    assert summary["delta_rows"] == 2  # first run: everything is new
+    assert summary["notified"]
+    smtp.join(timeout=10)
+    assert len(smtp.messages) == 1
+    assert os.path.exists(summary["report_path"])
