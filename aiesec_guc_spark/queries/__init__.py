@@ -97,6 +97,8 @@ _EVIDENCE_PRIORITY = [
     "similarity_ann_recall",
     "similarity_ivf_flat",
     "text_repetition_signals",
+    "text_chunk_windows",
+    "pack_sequences_by_lang",
 ]
 
 

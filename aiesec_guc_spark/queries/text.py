@@ -5,7 +5,7 @@ fingerprinting).  All JVM-side built-ins — no Python in the scan path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -410,4 +410,141 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("top_bc").cast("double") / F.col("n_bigrams"), 9).alias(
             "top_bigram_frac"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pretraining sequence prep: chunk documents into overlapping token
+# windows, then pack the token stream into fixed-budget training
+# sequences.  Both are pure built-ins (sequence/slice/window), so the
+# hot path stays in codegen and the shuffle is linear in tokens.
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32  # tokens per training window
+CHUNK_STRIDE = 24  # window stride (8-token overlap)
+CHUNK_MIN = 8  # drop tail windows shorter than this
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+_CHUNK_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+  WHERE len({_TOKENS_SQL}) >= {CHUNK_MIN}
+),
+win AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS start,
+         toks
+  FROM docs
+),
+chunks AS (
+  SELECT doc_id,
+         CAST((start - 1) / {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_idx,
+         CAST(start AS BIGINT) AS start,
+         toks[start : start + {CHUNK_SIZE} - 1] AS chunk
+  FROM win
+)
+SELECT doc_id, chunk_idx, start,
+       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM chunks
+WHERE len(chunk) >= {CHUNK_MIN}
+"""
+
+
+@query("text_chunk_windows", oracle=_CHUNK_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows per document (size {CHUNK_SIZE},
+    stride {CHUNK_STRIDE}) — the context-window chunking step of a
+    pretraining pipeline.
+
+    Scale shape: explode over per-doc window starts (rows grow ~
+    tokens/stride, i.e. linearly), slice+join computed in codegen per
+    output row, no shuffle at all until a downstream consumer groups —
+    this is a map-only operator."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= CHUNK_MIN)
+    win = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
+    return (
+        win.select(
+            "doc_id",
+            (((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint") + 1).alias(
+                "chunk_idx"
+            ),
+            F.col("start").cast("bigint").alias("start"),
+            F.size(chunk).cast("bigint").alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .filter(F.col("chunk_tokens") >= CHUNK_MIN)
+    )
+
+
+_PACK_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang, len({_TOKENS_SQL}) AS tok_cnt FROM documents
+),
+placed AS (
+  SELECT lang, doc_id, tok_cnt,
+         SUM(tok_cnt) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM docs
+),
+binned AS (
+  SELECT lang, doc_id, tok_cnt,
+         CAST(floor((cum - tok_cnt) / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM placed
+)
+SELECT lang, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok_cnt) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(tok_cnt) AS DOUBLE) / {PACK_BUDGET}, 9) AS fill_ratio
+FROM binned
+GROUP BY lang, bin
+"""
+
+
+@query("pack_sequences_by_lang", oracle=_PACK_ORACLE)
+def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: concatenate each language's
+    token stream in doc_id order and cut every {PACK_BUDGET} tokens; a
+    document belongs to the bin where its first token lands.  Reports
+    per-bin document count, token total, and fill ratio — the packing
+    efficiency number a pretraining data pipeline watches.
+
+    Scale shape: ONE running-sum window partitioned by lang (ordered
+    within partition — never a global single-partition sort; with a
+    skewed language, range-partition the order key first) and one
+    grouped aggregation; everything else is arithmetic on the cumsum,
+    so packing an arbitrarily large corpus is a single shuffle per
+    stage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = d.select("doc_id", "lang", F.size(toks).alias("tok_cnt"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select(
+        "lang",
+        "tok_cnt",
+        F.floor((F.sum("tok_cnt").over(w) - F.col("tok_cnt")) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok_cnt").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("tok_cnt").cast("double") / PACK_BUDGET, 9
+        ).alias("fill_ratio"),
     )
