@@ -99,6 +99,7 @@ _EVIDENCE_PRIORITY = [
     "text_repetition_signals",
     "text_chunk_windows",
     "pack_sequences_by_lang",
+    "streaming_click_purchase_join",
 ]
 
 

@@ -493,3 +493,15 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import run_streaming_dedup
 
     return run_streaming_dedup(spark, sf_dir)
+
+
+@query("streaming_click_purchase_join", oracle=_CLICK_PURCHASE_ORACLE)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 streaming: stream-stream interval join (click → purchase
+    within 5 min) with watermarks on both sides bounding the join
+    state.  The oracle is the SAME SQL as the batch
+    ``events_click_purchase_window`` — streaming and batch must agree
+    exactly."""
+    from ..streaming.incremental import run_streaming_interval_join
+
+    return run_streaming_interval_join(spark, sf_dir)

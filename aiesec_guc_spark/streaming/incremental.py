@@ -165,3 +165,64 @@ def run_incremental_delta(
         )
         q.awaitTermination()
     return spark.table(f"global_temp.{query_name}")
+
+
+def run_streaming_interval_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_cp_join"
+) -> DataFrame:
+    """Stream-stream interval join with watermarks on BOTH sides: each
+    click joins the purchases of the same user within the next 5
+    minutes — the streaming twin of the batch banded interval join
+    (operators/interval.py), and the construct whose dual watermark +
+    time-range condition is what BOUNDS the join state at 100 TB: each
+    side buffers only rows newer than (watermark - range), everything
+    older is evicted.
+
+    Drained with availableNow in append mode (a matched pair emits
+    once its join window can no longer grow).  Results must equal the
+    batch inequality join — the oracle is the same SQL.
+    """
+    src = _events_stream(spark, sf_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 5 MINUTES"
+        ),
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias(
+            "latency_us"
+        ),
+    )
