@@ -505,3 +505,4 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.incremental import run_streaming_interval_join
 
     return run_streaming_interval_join(spark, sf_dir)
+

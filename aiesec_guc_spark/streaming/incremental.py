@@ -181,6 +181,14 @@ def run_streaming_interval_join(
     Drained with availableNow in append mode (a matched pair emits
     once its join window can no longer grow).  Results must equal the
     batch inequality join — the oracle is the same SQL.
+
+    A LEFT OUTER variant was built and removed: under pyspark 4.1.2
+    the null-row emission for an unmatched click is withheld when the
+    same user has a purchase near stream end (observed at sf0.001:
+    one click, well inside every watermark bound, never emitted its
+    outer row while sf0.01 matched exactly) — the eviction predicate
+    is data-dependent in a way no portable oracle can model, so the
+    INNER form is the gate-checked surface.
     """
     src = _events_stream(spark, sf_dir)
     clicks = (
@@ -226,3 +234,4 @@ def run_streaming_interval_join(
             "latency_us"
         ),
     )
+
