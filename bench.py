@@ -140,6 +140,12 @@ def main() -> None:
                 "queries": timings,
                 "errors": errors,
                 "runs_per_query": runs_per_query,
+                # Fixed-membership subtotal: the suite total grows as
+                # queries are added round over round, so cross-round
+                # comparisons should use this stable headline set.
+                "headline_total": round(
+                    sum(timings[n] for n in HEADLINE if n in timings), 3
+                ),
                 "queries_detail": detail,
                 "warm_total": round(
                     sum(
