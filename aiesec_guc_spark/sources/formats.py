@@ -2,7 +2,7 @@
 
 The corpus's canonical format is parquet (self-describing,
 column-pruned, predicate-pushed); real pipelines also exchange tables
-as JSON-lines and CSV.  These helpers keep the repo's no-inference
+as ORC (columnar, Hive-ecosystem interchange), JSON-lines, and CSV.  These helpers keep the repo's no-inference
 discipline (SURVEY.md §1.2) for those formats: every read takes an
 explicit schema, CSV/JSON timestamps round-trip through an ISO pattern
 with microsecond precision, and doubles survive exactly (Spark writes
@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv")
 
 #: Microsecond-precision, timezone-free pattern shared by writer and
 #: reader so event times survive text formats bit-for-bit (the session

@@ -32,8 +32,8 @@ def _canon(df):
     }
 
 
-@pytest.mark.parametrize("fmt", ["json", "csv"])
-def test_text_format_roundtrip_is_exact(spark, sf_dir, fmt, tmp_path):
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
+def test_format_roundtrip_is_exact(spark, sf_dir, fmt, tmp_path):
     df = _sample(spark, sf_dir)
     path = str(tmp_path / f"events_{fmt}")
     write_table(df, path, fmt)
