@@ -100,6 +100,8 @@ _EVIDENCE_PRIORITY = [
     "text_chunk_windows",
     "pack_sequences_by_lang",
     "streaming_click_purchase_join",
+    "asof_click_error_forward",
+    "asof_click_error_nearest",
 ]
 
 

@@ -152,3 +152,111 @@ def udaf_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         _slope_group,
         schema="user_id long, n_events long, slope_cents_per_sec double",
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of directions: forward (next error at/after the click) and
+# nearest (closer of previous/next, ties backward).  DuckDB's native
+# ASOF JOIN is backward-only, so the forward oracle runs it on NEGATED
+# epoch time — greatest -e.ts <= -c.ts is exactly the smallest
+# e.ts >= c.ts — and the nearest oracle composes the two.
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id, -epoch_us(ts) AS neg_us
+  FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, ts, -epoch_us(ts) AS neg_us, event_id AS err_id,
+         CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS err_value
+  FROM events WHERE event_type = 'error'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT c.event_id AS event_id,
+       c.user_id AS user_id,
+       epoch_us(c.ts) AS ts_us,
+       epoch_us(e.ts) AS asof_ts_us,
+       e.err_id AS asof_err_id,
+       e.err_value AS asof_err_value
+FROM clicks c
+ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.neg_us >= e.neg_us
+"""
+
+
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    wr = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("err_id"),
+            F.col("value").cast("decimal(18,2)").cast("double").alias("err_value"),
+        )
+    )
+    return clicks, errors
+
+
+def _asof_output(joined: DataFrame) -> DataFrame:
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        F.col("asof_err_id"),
+        F.col("asof_err_value"),
+    )
+
+
+@query("asof_click_error_forward", oracle=_ASOF_FWD_ORACLE)
+def asof_click_error_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click paired with the user's NEXT error at
+    ts >= click.ts — the same union+window as backward, ordered
+    descending.  Oracle: DuckDB backward ASOF on negated epoch time."""
+    clicks, errors = _asof_inputs(spark, sf_dir)
+    joined = asof_join(
+        clicks, errors, keys=["user_id"], ts_col="ts",
+        right_value_cols=["err_id", "err_value"], direction="forward",
+    )
+    return _asof_output(joined)
+
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH bwd AS ({_ASOF_ORACLE}),
+fwd AS ({_ASOF_FWD_ORACLE})
+SELECT b.event_id, b.user_id, b.ts_us,
+       CASE WHEN f.asof_ts_us IS NULL THEN b.asof_ts_us
+            WHEN b.asof_ts_us IS NULL THEN f.asof_ts_us
+            WHEN b.ts_us - b.asof_ts_us <= f.asof_ts_us - f.ts_us
+              THEN b.asof_ts_us ELSE f.asof_ts_us END AS asof_ts_us,
+       CASE WHEN f.asof_ts_us IS NULL THEN b.asof_err_id
+            WHEN b.asof_ts_us IS NULL THEN f.asof_err_id
+            WHEN b.ts_us - b.asof_ts_us <= f.asof_ts_us - f.ts_us
+              THEN b.asof_err_id ELSE f.asof_err_id END AS asof_err_id,
+       CASE WHEN f.asof_ts_us IS NULL THEN b.asof_err_value
+            WHEN b.asof_ts_us IS NULL THEN f.asof_err_value
+            WHEN b.ts_us - b.asof_ts_us <= f.asof_ts_us - f.ts_us
+              THEN b.asof_err_value ELSE f.asof_err_value END AS asof_err_value
+FROM bwd b JOIN fwd f ON b.event_id = f.event_id
+"""
+
+
+@query("asof_click_error_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def asof_click_error_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: each click paired with whichever same-user error
+    is closer in time (previous vs next; exact ties go backward).
+    Both carries run over one union — a single exchange, two sorts."""
+    clicks, errors = _asof_inputs(spark, sf_dir)
+    joined = asof_join(
+        clicks, errors, keys=["user_id"], ts_col="ts",
+        right_value_cols=["err_id", "err_value"], direction="nearest",
+    )
+    return _asof_output(joined)
