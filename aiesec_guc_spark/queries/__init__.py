@@ -52,6 +52,7 @@ _REGISTRY: dict[str, "Query"] = {}
 # and late-text — unchanged since r01 and driver-green in both prior
 # rounds.
 _QUERY_MODULES = [
+    "relational",
     "similarity",
     "multimodal",
     "udaf",
@@ -102,6 +103,9 @@ _EVIDENCE_PRIORITY = [
     "streaming_click_purchase_join",
     "asof_click_error_forward",
     "asof_click_error_nearest",
+    "order_priority_semi",
+    "small_qty_order_revenue",
+    "salted_revenue_by_nation",
 ]
 
 

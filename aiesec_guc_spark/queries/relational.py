@@ -1,0 +1,188 @@
+"""Relational coverage: semi-join (EXISTS), correlated scalar
+subquery, and explicit salted skew mitigation — the join/subquery
+shapes SURVEY.md §2.3 marks ABSENT in the reference but a user of a
+general engine reaches for daily.
+
+The reference's only join is the left-anti snapshot delta
+(aiesec.py:143); these queries supply the neighboring shapes —
+LEFT SEMI (EXISTS), the per-group-average correlated comparison
+(TPC-H Q17's idiom), and the hot-key salted join from
+operators/salt.py surfaced as an oracle-checked query instead of
+pytest-only evidence.
+
+Scale notes (100 TB): the semi join co-partitions orders/lineitem on
+orderkey (one shuffle each side, never a fact broadcast); the Q17
+shape shuffles lineitem on l_partkey exactly once, reusing that
+partitioning for both the per-part aggregate and the join back; the
+salted join turns one hot hash bucket into n_salts even ones at the
+cost of replicating a small dim 8x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.salt import salted_join
+from . import query
+
+
+def _dec(col: str, prec: int = 9) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},2)")
+
+
+# ---------------------------------------------------------------------------
+# Semi join — EXISTS (TPC-H Q4-shaped order-priority checking).
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+@query("order_priority_semi", oracle=_SEMI_ORACLE)
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via LEFT SEMI join: orders with any lineitem shipped
+    more than 30 days after the order date, counted per priority
+    (TPC-H Q4's shape on the columns this corpus has).
+
+    The semi join carries an equi key (orderkey) plus a residual
+    inequality on both sides' columns — Catalyst plans a hash/SMJ
+    semi join on the key with the residual as a post-probe filter,
+    never a per-key cross product.  Each order emits at most once no
+    matter how many lineitems match (EXISTS semantics, not a count).
+    At 100 TB both sides shuffle once on orderkey; a bucketed layout
+    on orderkey would remove even that.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery — TPC-H Q17-shaped small-quantity revenue.
+# ---------------------------------------------------------------------------
+
+# Determinism: the correlated comparison l_quantity < 0.2 * avg(qty)
+# is rewritten to exact integer/decimal arithmetic —
+# 5 * qty * cnt < sum(qty) — so no engine-specific double averaging
+# can flip rows at the threshold.
+_SMALLQTY_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT count(*) AS n_small_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l
+JOIN per_part pp ON l.l_partkey = pp.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+WHERE CAST(l.l_quantity AS DECIMAL(9,2)) * 5 * pp.cnt < pp.sum_qty
+"""
+
+
+@query("small_qty_order_revenue", oracle=_SMALLQTY_ORACLE)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17): revenue from lineitems
+    whose quantity is below 20% of the average quantity for their
+    part, restricted to one brand.
+
+    The correlated AVG decorrelates into a per-part aggregate joined
+    back to the fact — lineitem shuffles on l_partkey exactly once
+    and that partitioning serves both the aggregate and the join
+    (Catalyst reuses the exchange); the brand dimension broadcasts.
+    The threshold test uses exact decimal arithmetic (5·qty·cnt <
+    Σqty) so Spark and DuckDB agree bit-for-bit at the boundary.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    return (
+        li.join(per_part, "l_partkey")
+        .join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lineitems"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted join — hot-key skew mitigation with plain-join semantics.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT n.n_name AS nation,
+       count(*) AS n_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation  n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("salted_revenue_by_nation", oracle=_SALTED_ORACLE)
+def salted_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by supplier nation through :func:`salted_join` — the
+    explicit skew-mitigation path, oracle-checked to produce exactly
+    the plain join's answer.
+
+    The fact side is sprayed across 8 deterministic content-derived
+    salts (xxhash64 over the unique (l_orderkey, l_linenumber) pair —
+    named explicitly so the salt never forces extra scan columns and
+    column pruning survives); the 8x-replicated supplier-nation dim
+    stays tiny.  A hot l_suppkey that would pin one reducer now
+    spreads over 8 even buckets.  This is the manual fallback for the
+    shapes AQE's skew split can't fix (single hot hash bucket feeding
+    a map-side aggregate); semantics stay identical because every
+    fact row meets exactly the one dim replica sharing its salt.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("s_suppkey").alias("l_suppkey"), "n_name")
+    )
+    joined = salted_join(
+        li, dim, ["l_suppkey"], n_salts=8, spread_cols=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -196,6 +196,40 @@ def test_kmeans_assignment_broadcasts_centroid_side(spark, sf_dir):
     assert has_partial_aggregation(df)
 
 
+def test_order_priority_is_semi_join_not_count(spark, sf_dir):
+    # EXISTS must plan as a LEFT SEMI equi-join on orderkey with the
+    # ship-date inequality as a residual — never a cross product, and
+    # never an inner join + distinct (which would double-count orders
+    # with several late lineitems).
+    df = spark_queries()["order_priority_semi"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_small_qty_reuses_partkey_exchange(spark, sf_dir):
+    # The decorrelated per-part aggregate and the join back share the
+    # l_partkey partitioning — Catalyst/AQE must not degrade either to
+    # a cross product, and the brand dim must broadcast.
+    df = spark_queries()["small_qty_order_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan  # brand dim
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_salted_join_keeps_column_pruning(spark, sf_dir):
+    # The content-derived salt names its spread columns explicitly, so
+    # the lineitem scan must stay pruned to the 5 selected columns —
+    # a salt over all columns would silently read the whole table.
+    df = spark_queries()["salted_revenue_by_nation"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    li_cols = [c for c in read_schema_columns(df) if c.startswith("l_")]
+    assert 0 < len(li_cols) <= 5
+
+
 def test_recall_joins_broadcast_exact_topk(spark, sf_dir):
     # The exact top-k side is TOPK rows — the hit join must broadcast
     # it, and no stage may degrade to a cartesian pairing.
