@@ -53,6 +53,7 @@ _REGISTRY: dict[str, "Query"] = {}
 # rounds.
 _QUERY_MODULES = [
     "relational",
+    "timeseries",
     "similarity",
     "multimodal",
     "udaf",
@@ -106,6 +107,10 @@ _EVIDENCE_PRIORITY = [
     "order_priority_semi",
     "small_qty_order_revenue",
     "salted_revenue_by_nation",
+    "events_gapfill_hourly",
+    "streaming_static_enrich",
+    "customer_balance_analytics",
+    "shard_corpus_for_training",
 ]
 
 

@@ -495,6 +495,33 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_dedup(spark, sf_dir)
 
 
+_STREAM_ENRICH_ORACLE = """
+WITH dim AS (
+    SELECT user_id,
+           CAST(CAST(min(ts) AS DATE) AS VARCHAR) AS first_seen,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS n_clicks
+    FROM events
+    GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, d.first_seen, d.n_clicks, e.value
+FROM events e
+JOIN dim d USING (user_id)
+WHERE e.event_type = 'purchase'
+"""
+
+
+@query("streaming_static_enrich", oracle=_STREAM_ENRICH_ORACLE)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the purchase stream enriched with a
+    batch-computed per-user dimension — stateless (no join state, the
+    static side is re-planned and broadcast per micro-batch).  The
+    oracle is the identical batch join."""
+    from ..streaming.incremental import run_stream_static_enrich
+
+    return run_stream_static_enrich(spark, sf_dir)
+
+
 @query("streaming_click_purchase_join", oracle=_CLICK_PURCHASE_ORACLE)
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 streaming: stream-stream interval join (click → purchase

@@ -761,3 +761,53 @@ def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-function sampler — percent_rank / cume_dist / nth_value,
+# the distribution-ranking surface the window coverage was missing.
+# ---------------------------------------------------------------------------
+
+_ANALYTIC_ORACLE = """
+SELECT c_custkey,
+       c_mktsegment AS segment,
+       c_acctbal,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       nth_value(c_name, 2) OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS runner_up
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("customer_balance_analytics", oracle=_ANALYTIC_ORACLE)
+def customer_balance_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking window functions per market segment:
+    percent_rank and cume_dist over the balance ordering (unique
+    c_custkey tie-break makes both engines agree exactly — the values
+    are rationals of integer ranks, deterministic in double), plus
+    nth_value(2) under an explicit running frame (NULL until two rows
+    have been seen — the SQL-standard default both engines share).
+
+    One shuffle on the 5-value segment key; at 100 TB a segment is a
+    hot partition, so the ranking would move to the range-partitioned
+    offset-merge used by customer_acctbal_deciles — this query pins
+    the semantics, that one pins the scale shape.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    order = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    framed = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.percent_rank().over(order).alias("pr"),
+        F.cume_dist().over(order).alias("cd"),
+        F.nth_value("c_name", 2).over(framed).alias("runner_up"),
+    )

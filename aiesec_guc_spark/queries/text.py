@@ -548,3 +548,50 @@ def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok_cnt").cast("double") / PACK_BUDGET, 9
         ).alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard assignment — the deterministic "global shuffle" a
+# pretraining loader consumes: hash-sharded, hash-ordered positions.
+# ---------------------------------------------------------------------------
+
+_SHARD_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS hx,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+               AS shard
+    FROM documents
+)
+SELECT doc_id,
+       shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
+@query("shard_corpus_for_training", oracle=_SHARD_ORACLE)
+def shard_corpus_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training: every doc lands in a
+    hash shard (portable md5 convention, so re-runs and both engines
+    agree) and gets a contiguous position by hash order within the
+    shard — the (shard, pos) pair a data loader reads sequentially
+    while the corpus is globally pseudo-randomly ordered.
+
+    No rand() anywhere: retries and speculative tasks reproduce the
+    same assignment.  One shuffle (the per-shard ranking window).  The
+    8 shards here mirror the oracle; at 100 TB you raise the modulus
+    (e.g. 4096) so each shard's window partition stays executor-sized
+    — shard count IS the parallelism knob, and the write becomes
+    ``partitionBy(shard)`` so loaders seek one directory each.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    shard = (hash32(F.col("doc_id").cast("string")) % 8).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        d.select("doc_id", hx.alias("hx"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )

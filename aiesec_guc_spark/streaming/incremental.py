@@ -120,6 +120,49 @@ def run_streaming_dedup(
     )
 
 
+def run_stream_static_enrich(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_enrich"
+) -> DataFrame:
+    """Stream-static join: arriving purchase events enrich against a
+    batch-computed per-user dimension (first-seen day + lifetime click
+    count) — the canonical "enrich the stream with a dim table" shape.
+
+    Unlike stream-stream joins this is STATELESS: the static side is
+    (re)planned per micro-batch and broadcast when small, and no join
+    state accumulates — at 100 TB the dim refresh cadence, not state
+    size, is the operational knob.  Inner join, append mode, drained
+    with availableNow; results must equal the identical batch join
+    (the oracle SQL).
+    """
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).cast("string").alias("first_seen"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clicks"),
+    )
+    src = _events_stream(spark, sf_dir)
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    enriched = purchases.join(dim, "user_id")
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name).select(
+        "event_id", "user_id", "first_seen", "n_clicks", "value"
+    )
+
+
 def run_incremental_delta(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_delta"
 ) -> DataFrame:
