@@ -111,6 +111,7 @@ _EVIDENCE_PRIORITY = [
     "streaming_static_enrich",
     "customer_balance_analytics",
     "shard_corpus_for_training",
+    "dedup_segments_exact",
 ]
 
 

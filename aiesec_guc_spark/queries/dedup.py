@@ -680,3 +680,109 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < rate)
         .select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"), "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level exact dedup (C4-style boilerplate removal): drop every
+# repeated 16-token segment except its first occurrence, reassemble.
+# ---------------------------------------------------------------------------
+
+_SEG_LEN = 16
+
+_SEG_DEDUP_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+segs AS (
+    SELECT doc_id, s.seg_idx,
+           array_to_string(
+               t[(s.seg_idx * {_SEG_LEN} + 1):(s.seg_idx * {_SEG_LEN} + {_SEG_LEN})],
+               ' ') AS seg
+    FROM toks,
+         LATERAL (SELECT unnest(range(0,
+             CAST(ceil(len(t) / {_SEG_LEN}.0) AS BIGINT))) AS seg_idx) s
+),
+firsts AS (
+    SELECT seg,
+           min(ROW(doc_id, seg_idx)) AS first_occ
+    FROM segs GROUP BY seg
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN ROW(g.doc_id, g.seg_idx) = f.first_occ
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       string_agg(CASE WHEN ROW(g.doc_id, g.seg_idx) = f.first_occ
+                       THEN g.seg END, ' ' ORDER BY g.seg_idx) AS cleaned_text
+FROM segs g
+JOIN firsts f USING (seg)
+GROUP BY g.doc_id
+"""
+
+
+@query("dedup_segments_exact", oracle=_SEG_DEDUP_ORACLE)
+def dedup_segments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment dedup: every 16-token segment that repeats
+    anywhere in the corpus is dropped except its first occurrence
+    (ordered by doc_id, then position), and each document is
+    reassembled from its surviving segments.
+
+    First-occurrence selection is a ``groupBy(seg).agg(min(struct))``
+    — map-side combinable, so a boilerplate segment repeated millions
+    of times costs one partial per map task, never a hot window
+    partition (a ``row_number() over (partition by seg)`` would funnel
+    every occurrence of a hot segment through one task).  The join
+    back on ``seg`` AQE-broadcasts when the distinct-segment side is
+    small and skew-splits otherwise.  Reassembly is one shuffle on
+    doc_id with an array_sort on (seg_idx) — order is positional, not
+    engine-dependent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    segs = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("t") / F.lit(float(_SEG_LEN))).cast("long") - 1,
+                )
+            ).alias("seg_idx"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_join(
+                F.slice(
+                    F.col("t"),
+                    (F.col("seg_idx") * _SEG_LEN + 1).cast("int"),
+                    _SEG_LEN,
+                ),
+                " ",
+            ).alias("seg"),
+        )
+    )
+    firsts = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_occ")
+    )
+    flagged = segs.join(firsts, "seg").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("seg_idx") == F.col("first_occ.seg_idx")),
+    )
+    kept_struct = F.when(
+        F.col("is_first"), F.struct("seg_idx", "seg")
+    )  # collect_list drops the NULLs for non-first occurrences
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("is_first").cast("bigint")).alias("n_kept"),
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x.seg
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )
