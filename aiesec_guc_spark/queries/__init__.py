@@ -112,6 +112,9 @@ _EVIDENCE_PRIORITY = [
     "customer_balance_analytics",
     "shard_corpus_for_training",
     "dedup_segments_exact",
+    "streaming_session_window",
+    "streaming_upsert_latest",
+    "orders_unpivot_metrics",
 ]
 
 

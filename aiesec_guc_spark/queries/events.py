@@ -495,6 +495,69 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_dedup(spark, sf_dir)
 
 
+_SESSION_WINDOW_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w < INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS last_event_us,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("streaming_session_window", oracle=_SESSION_WINDOW_ORACLE)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` streaming aggregation (native
+    merging-session state), the stock-operator twin of the custom
+    ``applyInPandasWithState`` sessionizer.  Note the STRICT gap
+    semantics (an event exactly at the previous window's end opens a
+    new session) — the oracle's lag comparison uses ``<``, not
+    ``<=``, to match."""
+    from ..streaming.incremental import run_streaming_session_window
+
+    return run_streaming_session_window(spark, sf_dir)
+
+
+_UPSERT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("streaming_upsert_latest", oracle=_UPSERT_ORACLE)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch merge-upsert materialized view: latest event per
+    user, maintained per micro-batch as union(state, batch) →
+    argmax(ts, event_id).  The idempotent per-batch merge is what
+    makes checkpoint recovery exactly-once at the table level; the
+    oracle is the batch argmax over all events."""
+    from ..streaming.incremental import run_streaming_upsert_latest
+
+    return run_streaming_upsert_latest(spark, sf_dir)
+
+
 _STREAM_ENRICH_ORACLE = """
 WITH dim AS (
     SELECT user_id,

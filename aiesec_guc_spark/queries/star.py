@@ -811,3 +811,54 @@ def customer_balance_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(order).alias("cd"),
         F.nth_value("c_name", 2).over(framed).alias("runner_up"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt — wide-to-long reshape (the inverse of the pivot
+# covered by orders_status_pivot).
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT o_orderpriority,
+           CAST(count(*) AS DOUBLE) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'total_price', total_price FROM wide
+UNION ALL
+SELECT o_orderpriority, 'max_price', max_price FROM wide
+"""
+
+
+@query("orders_unpivot_metrics", oracle=_UNPIVOT_ORACLE)
+def orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via the built-in ``unpivot`` (melt): a
+    per-priority metric frame becomes (priority, metric, value) rows —
+    the inverse of orders_status_pivot's long-to-wide.
+
+    unpivot is a zero-shuffle projection (each input row fans out to
+    #metrics rows map-side); the only exchange is the upstream 5-key
+    aggregate.  All metrics are cast to a common DOUBLE before the
+    melt — unpivot requires one value type, same rule as the SQL
+    UNION ALL twin.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -163,6 +163,98 @@ def run_stream_static_enrich(
     )
 
 
+def run_streaming_session_window(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sessions"
+) -> DataFrame:
+    """Gap sessionization via the BUILT-IN ``session_window`` —
+    Spark's native merging-session state operator, complementing the
+    custom ``applyInPandasWithState`` twin (streaming/stateful.py).
+
+    Semantics pinned by the oracle: a new session starts when the gap
+    is ≥ the 30-minute duration (session_window merges on strict
+    overlap — an event landing exactly at the previous window's end
+    starts a NEW session).  ``window.end`` is last-event + gap, so the
+    surfaced last_event_us subtracts the gap back out.  complete mode
+    (bounded historical drain finalizes no watermark); with a live
+    source this runs append + watermark and state is bounded by it.
+    """
+    gap_us = 30 * 60 * 1_000_000
+    src = _events_stream(spark, sf_dir)
+    agg = src.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name).select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        (F.unix_micros(F.col("session_window.end")) - F.lit(gap_us)).alias(
+            "last_event_us"
+        ),
+        "n_events",
+    )
+
+
+def run_streaming_upsert_latest(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_upsert"
+) -> DataFrame:
+    """foreachBatch merge-upsert: each micro-batch merges into a
+    keyed materialized view, keeping the latest event per user —
+    union(state, batch) → argmax(ts, event_id) per key.
+
+    This is the sink-side MERGE pattern for engines without a native
+    one: the per-batch merge is idempotent (replaying a batch
+    reproduces the same argmax), which is what makes checkpoint
+    recovery exactly-once at the table level.  At 100 TB the view is
+    a partitioned table and the merge rewrites only the partitions a
+    batch touches (dynamic partition overwrite) — here the state is a
+    view, the shape is the same.
+    """
+    src = _events_stream(spark, sf_dir)
+    state_name = f"{query_name}_state"
+    empty = spark.createDataFrame(
+        [], "user_id long, ts_us long, event_id long, value double"
+    )
+    empty.createOrReplaceGlobalTempView(state_name)
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        arriving = batch_df.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+        )
+        merged = (
+            spark.table(f"global_temp.{state_name}")
+            .unionByName(arriving)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts_us", "event_id", "value")).alias("m"))
+            .select("user_id", "m.ts_us", "m.event_id", "m.value")
+        )
+        # Materialize (distributed, lineage cut) before swapping the
+        # view it reads from — never a driver-side collect; on a real
+        # cluster this is the partitioned-table overwrite.
+        merged.localCheckpoint(eager=True).createOrReplaceGlobalTempView(state_name)
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            src.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(f"global_temp.{state_name}")
+
+
 def run_incremental_delta(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_delta"
 ) -> DataFrame:
