@@ -54,6 +54,7 @@ _REGISTRY: dict[str, "Query"] = {}
 _QUERY_MODULES = [
     "relational",
     "timeseries",
+    "quality",
     "similarity",
     "multimodal",
     "udaf",
@@ -115,6 +116,8 @@ _EVIDENCE_PRIORITY = [
     "streaming_session_window",
     "streaming_upsert_latest",
     "orders_unpivot_metrics",
+    "dq_constraint_checks",
+    "hll_mergeable_distinct",
 ]
 
 

@@ -1,0 +1,175 @@
+"""Data-quality constraint checks and mergeable-sketch aggregation —
+the validation layer a 100 TB ingest runs before publishing a
+snapshot, plus the persisted-sketch pattern that makes distinct
+counts incremental.
+
+The reference has no validation at all (SURVEY.md §5.1 — its only
+"test" is whether the daily job crashes); these queries are the
+engine-side re-expression of what its pipeline silently assumes
+(unique keys, resolvable foreign keys, sane values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# DQ constraint suite — one row per named check, count of violations.
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'dup_orderkeys' AS check_name,
+       CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_violations
+FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1) d
+WHERE cnt > 1
+UNION ALL
+SELECT 'orphan_orders',
+       CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'orphan_lineitems',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'shipped_before_ordered',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+UNION ALL
+SELECT 'nonpositive_price',
+       CAST(count(*) AS BIGINT)
+FROM lineitem
+WHERE l_extendedprice <= 0
+"""
+
+
+@query("dq_constraint_checks", oracle=_DQ_ORACLE)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-check suite: key uniqueness, referential integrity
+    (both fact→dim directions), cross-table temporal sanity, and a
+    value-domain check — one row per check with its violation count.
+
+    Every check is shuffle-minimal: uniqueness is a map-side-combined
+    count per key; the orphan checks are anti joins (AQE broadcasts
+    the key-pruned side when small); the temporal check rides the
+    same orderkey co-partitioning as the rest of the suite.  At
+    100 TB the whole suite is a handful of aggregates you run before
+    publishing a snapshot partition — violations block the publish
+    (the reference's count-guard S7, generalized).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def row(name: str, df_count: DataFrame) -> DataFrame:
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n"))
+    )
+    orphan_o = (
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orphan_li = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    early_ship = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bad_price = li.filter(F.col("l_extendedprice") <= 0).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        row("dup_orderkeys", dup)
+        .unionByName(row("orphan_orders", orphan_o))
+        .unionByName(row("orphan_lineitems", orphan_li))
+        .unionByName(row("shipped_before_ordered", early_ship))
+        .unionByName(row("nonpositive_price", bad_price))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches — distinct counts that compose without a
+# rescan (the incremental / rollup-friendly form of COUNT DISTINCT).
+# ---------------------------------------------------------------------------
+
+_HLL_TOL = 0.05  # default lgConfigK=12 → rsd ≈ 1.6%; 3σ ≈ 5%
+
+_HLL_ORACLE = """
+WITH per AS (
+    SELECT n.n_name AS nation,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+)
+SELECT nation, exact_customers, TRUE AS sketch_ok FROM per
+UNION ALL
+SELECT 'ALL', CAST(SUM(exact_customers) AS BIGINT), TRUE FROM per
+"""
+
+
+@query("hll_mergeable_distinct", oracle=_HLL_ORACLE)
+def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL: per-nation customer sketches estimated AND
+    merged into a global estimate via ``hll_union_agg`` — without
+    rescanning the input.  This is the pattern that makes distinct
+    counts incremental at 100 TB: persist one sketch per partition /
+    day, merge to answer any rollup, never re-shuffle raw keys.
+
+    Sketch binaries aren't portable across engines, so (like
+    approx_distinct_customers) the surfaced value is the exact count
+    plus a ``sketch_ok`` tolerance flag the oracle expects TRUE —
+    a broken sketch or merge turns the row red.  Every customer has
+    exactly one nation, so the global exact count is the sum of the
+    per-nation ones (which is what lets one query check both levels).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sk"),
+            F.countDistinct("c_custkey").alias("exact_customers"),
+        )
+    )
+    tol = lambda exact: F.lit(_HLL_TOL) * exact  # noqa: E731
+    per_rows = per.select(
+        "nation",
+        "exact_customers",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_customers"))
+            <= tol(F.col("exact_customers"))
+        ).alias("sketch_ok"),
+    )
+    merged = per.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("exact_customers").alias("exact_customers"),
+    ).select(
+        F.lit("ALL").alias("nation"),
+        F.col("exact_customers").cast("bigint").alias("exact_customers"),
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_customers"))
+            <= tol(F.col("exact_customers"))
+        ).alias("sketch_ok"),
+    )
+    return per_rows.unionByName(merged)
