@@ -32,13 +32,19 @@ import urllib.request
 from pyspark.sql import SparkSession
 
 try:  # Spark >= 4.0
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     _HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - older Spark
     DataSource = object  # type: ignore[assignment,misc]
     DataSourceReader = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
     _HAS_DATASOURCE_API = False
 
 
@@ -80,6 +86,9 @@ class ListingScrapeDataSource(DataSource):  # type: ignore[misc]
     def reader(self, schema) -> "ListingScrapeReader":
         return ListingScrapeReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "ListingScrapeStreamReader":
+        return ListingScrapeStreamReader(self.options)
+
 
 class ListingScrapeReader(DataSourceReader):  # type: ignore[misc]
     """One input partition per listing page — the unit the reference
@@ -101,6 +110,62 @@ class ListingScrapeReader(DataSourceReader):  # type: ignore[misc]
         page_id = partition.value
         for html in _fetch(page_id, self.base_url, self.timeout):
             yield (page_id, html)
+
+
+class ListingScrapeStreamReader(SimpleDataSourceStreamReader):  # type: ignore[misc]
+    """Streaming form of the scrape source: ``readStream.format(
+    "listing_scrape")`` serves ONE listing page per micro-batch — the
+    reference's "Load more" loop (aiesec.py:51-63) re-expressed as an
+    incremental source with a durable offset.
+
+    The offset is the next page number, checkpointed by the engine;
+    ``readBetweenOffsets`` replays any page range deterministically
+    (the fetch seam is stateless per page), which is what makes
+    recovery after a checkpointed failure exactly-once.  Each batch
+    reads every page currently available (file-source semantics;
+    one ``availableNow`` batch drains the fixture set and matches the
+    batch reader exactly) — ``option("pages_per_trigger", N)``
+    throttles a live re-scrape to N pages per micro-batch.
+    """
+
+    def __init__(self, options=None):
+        options = options or {}
+        self.base_url = options.get("base_url")
+        self.timeout = float(options.get("timeout", "30"))
+        self.per_trigger = int(options.get("pages_per_trigger", "0"))  # 0 = all
+        if self.base_url is not None:
+            self.max_page = int(options.get("pages", "0"))
+            self.first_page = 1
+        else:
+            pages = sorted(_fixture_pages())
+            self.max_page = pages[-1] if pages else 0
+            self.first_page = pages[0] if pages else 1
+
+    def initialOffset(self) -> dict:
+        return {"page": self.first_page}
+
+    def _rows(self, page: int) -> list[tuple]:
+        if page > self.max_page:
+            return []
+        return [(page, html) for html in _fetch(page, self.base_url, self.timeout)]
+
+    def read(self, start: dict):
+        page = start["page"]
+        if page > self.max_page:  # caught up: empty batch, same offset
+            return iter([]), start
+        last = self.max_page if self.per_trigger <= 0 else min(
+            self.max_page, page + self.per_trigger - 1
+        )
+        rows: list[tuple] = []
+        for p in range(page, last + 1):
+            rows.extend(self._rows(p))
+        return iter(rows), {"page": last + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for page in range(start["page"], end["page"]):
+            rows.extend(self._rows(page))
+        return iter(rows)
 
 
 def register_listing_source(spark: SparkSession) -> bool:

@@ -204,7 +204,10 @@ def run_streaming_session_window(
 
 
 def run_streaming_upsert_latest(
-    spark: SparkSession, sf_dir: str, query_name: str = "stream_upsert"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_upsert",
+    src: DataFrame | None = None,
 ) -> DataFrame:
     """foreachBatch merge-upsert: each micro-batch merges into a
     keyed materialized view, keeping the latest event per user —
@@ -217,8 +220,13 @@ def run_streaming_upsert_latest(
     a partitioned table and the merge rewrites only the partitions a
     batch touches (dynamic partition overwrite) — here the state is a
     view, the shape is the same.
+
+    ``src`` overrides the corpus stream (tests drive multi-batch
+    merges through it with ``maxFilesPerTrigger``); it must carry
+    (user_id, ts, event_id, value).
     """
-    src = _events_stream(spark, sf_dir)
+    if src is None:
+        src = _events_stream(spark, sf_dir)
     state_name = f"{query_name}_state"
     empty = spark.createDataFrame(
         [], "user_id long, ts_us long, event_id long, value double"
