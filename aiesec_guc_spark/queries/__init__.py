@@ -118,6 +118,7 @@ _EVIDENCE_PRIORITY = [
     "orders_unpivot_metrics",
     "dq_constraint_checks",
     "hll_mergeable_distinct",
+    "layout_zorder_stats",
 ]
 
 

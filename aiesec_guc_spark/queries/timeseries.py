@@ -105,3 +105,88 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering — multi-dimensional data layout for scan pruning.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 12
+_Z_BUCKET_SHIFT = 18  # keep the top 6 interleaved bits → 64 buckets max
+
+
+def _z_interleave(x: str, y: str) -> str:
+    """Bit-interleave expression (Morton / Z-value), valid in both
+    Spark SQL and DuckDB — generated from one loop so the engines
+    compute identical values."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Z_MASK = (1 << _Z_BITS) - 1
+
+_ZORDER_ORACLE = f"""
+WITH base AS (
+  SELECT user_id,
+         (epoch_us(ts) // 3600000000) & {_Z_MASK} AS hr_lo,
+         user_id & {_Z_MASK} AS uid_lo
+  FROM events
+),
+z AS (
+  SELECT uid_lo, hr_lo, {_z_interleave("uid_lo", "hr_lo")} AS zval FROM base
+)
+SELECT zval >> {_Z_BUCKET_SHIFT} AS bucket,
+       count(*) AS n_events,
+       CAST(min(uid_lo) AS BIGINT) AS uid_min,
+       CAST(max(uid_lo) AS BIGINT) AS uid_max,
+       CAST(min(hr_lo) AS BIGINT) AS hr_min,
+       CAST(max(hr_lo) AS BIGINT) AS hr_max
+FROM z
+GROUP BY 1
+"""
+
+
+@query("layout_zorder_stats", oracle=_ZORDER_ORACLE)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering of events on (user_id, hour):
+    interleave the low 12 bits of both dimensions, bucket by the
+    top interleaved bits, and report each bucket's per-dimension
+    min/max span — the file-level statistics a Z-ordered layout gives
+    a pruning scan.
+
+    This is the data-layout operator behind multi-dimensional data
+    skipping: writing one file per ALIGNED z block (partition by the
+    high z bits, sort within by zval) makes every parquet file cover
+    a small square of the (user, time) grid, so BOTH ``user_id = ?``
+    and ``ts BETWEEN`` predicates prune files via footer min/max —
+    a single-column sort layout can only prune one of them.
+    Alignment is part of the contract: an arbitrary contiguous
+    z range (e.g. from ``repartitionByRange``'s sampled boundaries)
+    can straddle a high-bit flip and blow one dimension's span to
+    full width — measured in tests/test_plans.py, which writes both
+    layouts and checks the per-file spans.  The z-value is a pure
+    codegen expression (bit ops, no UDF), and fixed-high-bit
+    bucketing is deterministic and oracle-checkable (sampled splits
+    are not).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.expr("unix_micros(ts) div 3600000000").bitwiseAND(F.lit(_Z_MASK))).alias(
+            "hr_lo"
+        ),
+        F.col("user_id").bitwiseAND(F.lit(_Z_MASK)).alias("uid_lo"),
+    )
+    z = base.withColumn("zval", F.expr(_z_interleave("uid_lo", "hr_lo")))
+    return (
+        z.groupBy(F.shiftright("zval", _Z_BUCKET_SHIFT).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("uid_lo").cast("bigint").alias("uid_min"),
+            F.max("uid_lo").cast("bigint").alias("uid_max"),
+            F.min("hr_lo").cast("bigint").alias("hr_min"),
+            F.max("hr_lo").cast("bigint").alias("hr_max"),
+        )
+    )

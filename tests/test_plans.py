@@ -237,3 +237,44 @@ def test_recall_joins_broadcast_exact_topk(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_layout_bounds_both_dimension_spans(spark, tmp_path):
+    # On a full 256×256 (uid, hr) grid, a z-ordered write must give
+    # every file a bounded span in BOTH dimensions (so predicates on
+    # either column prune files via parquet footer min/max), while an
+    # hr-sorted layout leaves uid at full width in every file.  The
+    # span *product* is area-invariant — the balance is the win.
+    from aiesec_guc_spark.queries.timeseries import _z_interleave
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("uid_lo"),
+        (F.col("id") / 256).cast("long").alias("hr_lo"),
+    )
+    # Buckets are ALIGNED z blocks (fixed high bits, zval >> 12 → 16
+    # buckets), matching the layout_zorder_stats query: an arbitrary
+    # contiguous z range from sampled repartitionByRange boundaries
+    # can straddle a high-bit flip and blow a dimension's span to
+    # full width — alignment is part of the layout contract.
+    z = grid.withColumn("zval", F.expr(_z_interleave("uid_lo", "hr_lo")))
+    zdir, tdir = str(tmp_path / "zorder"), str(tmp_path / "bytime")
+    z.withColumn("zb", F.shiftright("zval", 12)).write.partitionBy("zb").parquet(zdir)
+    z.withColumn("hb", F.shiftright("hr_lo", 4)).write.partitionBy("hb").parquet(tdir)
+
+    def max_spans(path: str) -> tuple[int, int]:
+        r = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("uid_lo") - F.min("uid_lo") + 1).alias("us"),
+                (F.max("hr_lo") - F.min("hr_lo") + 1).alias("hs"),
+            )
+            .agg(F.max("us"), F.max("hs"))
+            .collect()[0]
+        )
+        return r[0], r[1]
+
+    z_uid, z_hr = max_spans(zdir)
+    t_uid, _ = max_spans(tdir)
+    assert t_uid == 256  # hr-partitioned: uid predicates prune nothing
+    assert z_uid <= 64 and z_hr <= 64  # aligned z blocks bound BOTH dims
