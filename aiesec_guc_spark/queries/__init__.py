@@ -119,6 +119,8 @@ _EVIDENCE_PRIORITY = [
     "dq_constraint_checks",
     "hll_mergeable_distinct",
     "layout_zorder_stats",
+    "streaming_dedup_within_watermark",
+    "sql_frontdoor_revenue",
 ]
 
 

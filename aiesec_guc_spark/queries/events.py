@@ -585,6 +585,18 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_static_enrich(spark, sf_dir)
 
 
+@query("streaming_dedup_within_watermark", oracle=_STREAM_DEDUP_ORACLE)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on the bare business key via
+    ``dropDuplicatesWithinWatermark`` — state still evicted past the
+    watermark even though event time is NOT part of the key (the
+    right tool when replays of a key carry jittered timestamps).
+    Oracle: batch identity, every original event exactly once."""
+    from ..streaming.incremental import run_streaming_dedup_within_watermark
+
+    return run_streaming_dedup_within_watermark(spark, sf_dir)
+
+
 @query("streaming_click_purchase_join", oracle=_CLICK_PURCHASE_ORACLE)
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 streaming: stream-stream interval join (click → purchase

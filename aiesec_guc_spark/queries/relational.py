@@ -186,3 +186,34 @@ def salted_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door — ONE ANSI string executed by BOTH engines.
+# ---------------------------------------------------------------------------
+
+_FRONTDOOR_SQL = """
+SELECT r.r_name AS region,
+       count(*) AS n_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation  n ON s.s_nationkey = n.n_nationkey
+JOIN region  r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@query("sql_frontdoor_revenue", oracle=_FRONTDOOR_SQL)
+def sql_frontdoor_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the SAME ANSI string is handed verbatim to
+    ``spark.sql`` here and to DuckDB as the oracle — one text, two
+    engines, hash-identical answers.  Proves a SQL-only user gets the
+    full engine (catalog views over the corpus tables + Catalyst
+    planning the identical broadcast-join/partial-agg shape the
+    DataFrame twin star_revenue_by_nation gets).
+    """
+    for t in ("lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_FRONTDOOR_SQL)

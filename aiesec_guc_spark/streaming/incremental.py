@@ -120,6 +120,44 @@ def run_streaming_dedup(
     )
 
 
+def run_streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup_wm"
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark``: unlike
+    plain ``dropDuplicates`` (which only bounds state when the
+    event-time column is PART of the key), this dedups on the bare
+    business key (event_id) while still evicting state once the
+    watermark passes a record's event time — the right tool when the
+    at-least-once replays of the same key can carry slightly different
+    timestamps, which a (key, ts)-keyed dedup would wrongly keep.
+
+    Same replayed-stream drain as run_streaming_dedup; the oracle is
+    the batch identity (every original event exactly once).
+    """
+    src = _events_stream(spark, sf_dir)
+    replayed = src.union(src)
+    deduped = replayed.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
 def run_stream_static_enrich(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_enrich"
 ) -> DataFrame:
