@@ -121,6 +121,7 @@ _EVIDENCE_PRIORITY = [
     "layout_zorder_stats",
     "streaming_dedup_within_watermark",
     "sql_frontdoor_revenue",
+    "snapshot_full_compare",
 ]
 
 

@@ -608,3 +608,65 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
     return run_streaming_interval_join(spark, sf_dir)
 
+
+
+# ---------------------------------------------------------------------------
+# Full-outer snapshot compare — the two-sided completion of the delta
+# family: anti-join shows additions only (E2), the change detector
+# shows updates (E8); FULL OUTER keeps added, removed, AND retained
+# users in one pass with per-side activity counts.
+# ---------------------------------------------------------------------------
+
+_FULL_COMPARE_ORACLE = """
+WITH maxd AS (SELECT CAST(max(ts) AS DATE) AS d FROM events),
+t AS (
+  SELECT user_id, count(*) AS n_today
+  FROM events, maxd WHERE CAST(ts AS DATE) = maxd.d GROUP BY user_id
+),
+y AS (
+  SELECT user_id, count(*) AS n_yesterday
+  FROM events, maxd WHERE CAST(ts AS DATE) = maxd.d - INTERVAL 1 DAY
+  GROUP BY user_id
+)
+SELECT COALESCE(t.user_id, y.user_id) AS user_id,
+       CAST(COALESCE(t.n_today, 0) AS BIGINT) AS n_today,
+       CAST(COALESCE(y.n_yesterday, 0) AS BIGINT) AS n_yesterday,
+       CASE WHEN y.user_id IS NULL THEN 'added'
+            WHEN t.user_id IS NULL THEN 'removed'
+            ELSE 'retained' END AS status
+FROM t FULL OUTER JOIN y ON t.user_id = y.user_id
+"""
+
+
+@query("snapshot_full_compare", oracle=_FULL_COMPARE_ORACLE)
+def snapshot_full_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER snapshot comparison: today's vs yesterday's active
+    users with added / removed / retained status — the two-sided view
+    the reference's insert-only delta silently discards (SURVEY §1.1:
+    deletions never surface in New.xlsx).
+
+    Both sides pre-aggregate to one row per user BEFORE the full
+    outer join, so the join carries |users|, not |events|, and the
+    null-side coalesce gives exact per-side counts.  One shuffle per
+    side on user_id, reused by the join.
+    """
+    from ..operators.snapshot import day_snapshots
+
+    ev = load_table(spark, sf_dir, "events")
+    today, yesterday = day_snapshots(ev)
+    t = today.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_today"))
+    y = yesterday.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_yesterday"))
+    joined = t.withColumnRenamed("user_id", "t_user").join(
+        y.withColumnRenamed("user_id", "y_user"),
+        F.col("t_user") == F.col("y_user"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("t_user", "y_user").alias("user_id"),
+        F.coalesce("n_today", F.lit(0)).cast("bigint").alias("n_today"),
+        F.coalesce("n_yesterday", F.lit(0)).cast("bigint").alias("n_yesterday"),
+        F.when(F.col("y_user").isNull(), "added")
+        .when(F.col("t_user").isNull(), "removed")
+        .otherwise("retained")
+        .alias("status"),
+    )
