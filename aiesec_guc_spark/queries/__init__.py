@@ -122,6 +122,8 @@ _EVIDENCE_PRIORITY = [
     "streaming_dedup_within_watermark",
     "sql_frontdoor_revenue",
     "snapshot_full_compare",
+    "large_volume_orders",
+    "wealthy_inactive_customers",
 ]
 
 

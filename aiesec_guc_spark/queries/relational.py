@@ -217,3 +217,119 @@ def sql_frontdoor_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_FRONTDOOR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-shaped: large-volume orders (HAVING + semi join back).
+# ---------------------------------------------------------------------------
+
+_BIGORDER_QTY = 250
+
+_BIGORDER_ORACLE = f"""
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(9,2))) > {_BIGORDER_QTY}
+)
+SELECT c.c_name,
+       o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(t.sum_qty AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+) t ON t.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+"""
+
+
+@query("large_volume_orders", oracle=_BIGORDER_ORACLE)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (HAVING over an exact-decimal sum), joined back to the
+    order and customer rows.
+
+    The per-order aggregate shuffles lineitem on l_orderkey once; the
+    HAVING filter prunes before the join back, so the join carries
+    only qualifying orders (AQE broadcasts that side when small); the
+    customer dim is a hash join on custkey.  The IN-subquery of the
+    SQL twin is the same aggregate reused — Catalyst deduplicates it.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty")
+    )
+    big = per_order.filter(F.col("sum_qty") > _BIGORDER_QTY)
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22-shaped: wealthy inactive customers (scalar-average
+# subquery + anti join).
+# ---------------------------------------------------------------------------
+
+_GLOBAL_SALES_ORACLE = """
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+               AS a
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("wealthy_inactive_customers", oracle=_GLOBAL_SALES_ORACLE)
+def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    URGENT orders, summarized per market segment.  (Every customer in
+    this corpus has SOME order, so the anti-join side is the urgent
+    subset — the plan shape is identical to Q22's no-orders test and
+    the result is non-trivially non-empty at every SF.)
+
+    The scalar average is a 1-row aggregate cross-joined (broadcast)
+    into the filter — never a driver collect; the no-orders test is a
+    left-anti join on custkey whose key-pruned right side AQE
+    broadcasts.  The average divides an exact decimal sum by the
+    count once, so both engines compare against the identical double.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal", 12)).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal", 12)).cast("double").alias("total_bal"),
+        )
+    )
