@@ -53,6 +53,7 @@ _REGISTRY: dict[str, "Query"] = {}
 # rounds.
 _QUERY_MODULES = [
     "relational",
+    "analytics",
     "timeseries",
     "quality",
     "similarity",
@@ -124,6 +125,17 @@ _EVIDENCE_PRIORITY = [
     "snapshot_full_compare",
     "large_volume_orders",
     "wealthy_inactive_customers",
+    # round-6 second batch (analytics.py) — first driver evidence
+    # wanted; anything past the ~50-row window is still covered by
+    # the local sf0.001 sweep in tests/test_oracle_parity.py.
+    "scd2_user_status_history",
+    "decayed_user_engagement",
+    "text_discriminative_terms",
+    "events_wow_change",
+    "nation_trade_volume",
+    "regional_market_share",
+    "cheapest_offer_per_part",
+    "latest_event_per_user",
 ]
 
 

@@ -278,3 +278,65 @@ def test_zorder_layout_bounds_both_dimension_spans(spark, tmp_path):
     t_uid, _ = max_spans(tdir)
     assert t_uid == 256  # hr-partitioned: uid predicates prune nothing
     assert z_uid <= 64 and z_hr <= 64  # aligned z blocks bound BOTH dims
+
+
+def test_latest_event_is_aggregate_not_window(spark, sf_dir):
+    # CDC compaction must plan as a map-side-combinable max(struct)
+    # aggregate — the window form would shuffle #events rows and is
+    # exactly what the query exists to avoid.
+    df = spark_queries()["latest_event_per_user"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert has_partial_aggregation(df)
+    # props is never referenced; pruning must keep it out of the scan
+    assert "props" not in read_schema_columns(df)
+
+
+def test_trade_volume_broadcasts_pruned_dims(spark, sf_dir):
+    # The nation-filtered supplier/customer sides are tiny after
+    # pruning; AQE must broadcast them, and the disjunctive nation
+    # predicate must never degenerate into a cross product.
+    df = spark_queries()["nation_trade_volume"](spark, sf_dir)
+    plan = final_adaptive_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cheapest_offer_prunes_scan_and_broadcasts_brand(spark, sf_dir):
+    df = spark_queries()["cheapest_offer_per_part"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # argmin window partitions by partkey — never a global window
+    assert "SinglePartition" not in plan
+
+
+def test_scd2_windows_are_user_partitioned(spark, sf_dir):
+    # Every window in the SCD2 build partitions by user (or
+    # user+status) — a single-partition window over the daily frame
+    # would serialize the whole history through one task.
+    df = spark_queries()["scd2_user_status_history"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_decayed_engagement_broadcasts_bounds_row(spark, sf_dir):
+    # The date-bounds scalar is a 1-row aggregate broadcast into the
+    # scan — the plan must show a broadcast nested-loop (1-row cross
+    # join), never a driver collect (which wouldn't appear as a join
+    # at all) and never a shuffled join.
+    df = spark_queries()["decayed_user_engagement"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_discriminative_terms_counts_before_ranking(spark, sf_dir):
+    # tf/df must two-phase aggregate (tokens counted map-side before
+    # any shuffle); the per-lang ranking window runs over the tiny
+    # vocabulary frame.
+    df = spark_queries()["text_discriminative_terms"](spark, sf_dir)
+    assert has_partial_aggregation(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
