@@ -54,6 +54,7 @@ _REGISTRY: dict[str, "Query"] = {}
 _QUERY_MODULES = [
     "relational",
     "analytics",
+    "product",
     "timeseries",
     "quality",
     "similarity",
@@ -136,6 +137,10 @@ _EVIDENCE_PRIORITY = [
     "regional_market_share",
     "cheapest_offer_per_part",
     "latest_event_per_user",
+    "cohort_retention",
+    "weekly_active_users",
+    "median_acctbal_by_segment",
+    "orders_price_histogram",
 ]
 
 

@@ -1,0 +1,241 @@
+"""Product-analytics operators: exact grouped median, histogram
+binning, rolling 7-day actives (WAU), and cohort retention — the
+engagement-metrics surface a product team runs daily on an event
+warehouse.  The reference has nothing here (SURVEY.md §2.4: its only
+aggregate is a count guard); these fill the family out with the same
+exact-arithmetic determinism conventions as the rest of the registry.
+
+Scale notes (100 TB): every query reduces the fact to a per-key /
+per-day frame FIRST (map-side-combined distinct or aggregate), and
+all later windows/joins run on that reduced frame.  The one
+deliberate exception is the grouped-median window (few huge groups
+per segment) — its docstring names the offset-merge decile machinery
+(queries/star.py customer_acctbal_deciles) as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped median — rank-pair average, no percentile_cont.
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+WITH ranked AS (
+    SELECT c_mktsegment AS segment,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+           row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+           ) AS rk,
+           count(*) OVER (PARTITION BY c_mktsegment) AS n
+    FROM customer
+)
+SELECT segment,
+       max(n) AS n_customers,
+       CAST(SUM(bal) AS DOUBLE) / count(*) AS median_bal
+FROM ranked
+WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+GROUP BY segment
+"""
+
+
+@query("median_acctbal_by_segment", oracle=_MEDIAN_ORACLE)
+def median_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median balance per market segment WITHOUT
+    percentile_cont: rank each segment, keep the middle row (odd n)
+    or middle pair (even n), average as exact-decimal-sum ÷ count —
+    one double division, so both engines agree bit-for-bit where
+    interpolation arithmetic could differ.
+
+    Scale caveat (deliberate): the rank window partitions by segment
+    — 5 huge partitions at 100 TB.  That is acceptable for this
+    moderate-cardinality corpus; for few-huge-group exact quantiles
+    the right machinery is the range-repartitioned offset-merge rank
+    (customer_acctbal_deciles, queries/star.py) — this query exists
+    to pin the rank-pair median SEMANTICS against the oracle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rk") == F.expr("(n + 1) div 2"))
+            | (F.col("rk") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("segment")
+        .agg(
+            F.max("n").alias("n_customers"),
+            (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("median_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning — integer-exact width_bucket over order totals.
+# ---------------------------------------------------------------------------
+
+_BIN_CENTS = 50_000 * 100  # $50k buckets, in cents
+
+_HISTOGRAM_ORACLE = f"""
+WITH cents AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+    FROM orders
+)
+SELECT c // {_BIN_CENTS} AS bin,
+       (c // {_BIN_CENTS}) * 50000 AS bin_lo_dollars,
+       count(*) AS n_orders,
+       CAST(SUM(c) AS DOUBLE) / 100.0 / count(*) AS avg_price
+FROM cents
+GROUP BY 1
+"""
+
+
+@query("orders_price_histogram", oracle=_HISTOGRAM_ORACLE)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals with INTEGER-exact
+    bucketing: price → exact decimal → cents (BIGINT) → integer
+    division by the bucket width.  No floor() over a double ratio —
+    a boundary value lands in the same bin on every engine.
+
+    Scale: a single map-side-combined aggregate on a derived integer
+    key; shuffle rows = #bins.  This is the plan shape `width_bucket`
+    should produce, written with portable arithmetic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    return (
+        o.select(cents)
+        .groupBy(F.expr(f"c div {_BIN_CENTS}").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("c").cast("double") / 100.0 / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 50000).alias("bin_lo_dollars"),
+            "n_orders",
+            "avg_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day actives (WAU per day) — spread-and-count, not a
+# sliding distinct window.
+# ---------------------------------------------------------------------------
+
+_WAU_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+bounds AS (
+    SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+),
+spread AS (
+    SELECT user_id,
+           CAST(unnest(range(d, d + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE)
+               AS target
+    FROM days
+)
+SELECT CAST(s.target AS VARCHAR) AS day,
+       count(DISTINCT s.user_id) AS wau
+FROM spread s, bounds b
+WHERE s.target BETWEEN b.mn AND b.mx
+GROUP BY 1
+"""
+
+
+@query("weekly_active_users", oracle=_WAU_ORACLE)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU per day: distinct users active in the trailing 7-day
+    window ending each day.
+
+    Sliding COUNT DISTINCT has no window-function form; the
+    distributed shape is spread-and-count: dedup the fact to (user,
+    active-day) FIRST (map-side combine, the only fact-sized
+    shuffle), then each pair fans out to the ≤7 target days it makes
+    active, and a distinct count per target day finishes.  Work after
+    the dedup is |users × days| × 7, independent of event volume —
+    the property that survives 100 TB.  Day bounds come from a 1-row
+    broadcast aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    b = e.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    spread = days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "target"
+        ),
+    )
+    return (
+        spread.crossJoin(F.broadcast(b))
+        .filter(F.col("target").between(F.col("mn"), F.col("mx")))
+        .groupBy(F.col("target").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — first-seen cohorts × day-k activity.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+coh AS (
+    SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1
+)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', c.cohort_day, d.d) AS INT) AS day_k,
+       count(*) AS n_users
+FROM days d
+JOIN coh c ON d.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", oracle=_RETENTION_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day;
+    for each cohort, how many were active k days later.  n_users is
+    a plain count because the frame is already distinct (user, day).
+
+    Scale: the fact reduces to distinct (user, active-day) in one
+    map-side-combined pass; the cohort table is a grouped min over
+    that frame; the join back is user-keyed (AQE broadcasts the
+    cohort side when it fits, else both sides are already skinny).
+    Everything after the first pass is |users × days|-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    coh = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        days.join(coh, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("int").alias("day_k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
