@@ -141,6 +141,8 @@ _EVIDENCE_PRIORITY = [
     "weekly_active_users",
     "median_acctbal_by_segment",
     "orders_price_histogram",
+    "events_key_skew_profile",
+    "user_event_type_profile",
 ]
 
 

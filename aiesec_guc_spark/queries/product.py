@@ -239,3 +239,37 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Array-aggregation profile — collect_set + array_sort per key.
+# ---------------------------------------------------------------------------
+
+_TYPE_PROFILE_ORACLE = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|')
+           AS types_str,
+       CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("user_event_type_profile", oracle=_TYPE_PROFILE_ORACLE)
+def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral profile via array aggregation: the sorted
+    distinct set of event types each user has produced, surfaced as a
+    '|'-joined string (deterministic scalar for the cross-engine
+    hash) plus its cardinality.
+
+    collect_set is map-side-combinable (partial sets merge in the
+    combiner), array_sort pins the element order both engines agree
+    on, and the joined-string surface sidesteps any engine-specific
+    array serialization in the comparison layer.
+    """
+    e = load_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return e.groupBy("user_id").agg(
+        F.concat_ws("|", types).alias("types_str"),
+        F.size(types).cast("int").alias("n_types"),
+    )

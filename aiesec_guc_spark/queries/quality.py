@@ -173,3 +173,46 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sketch_ok"),
     )
     return per_rows.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile — the pre-join diagnostic that decides whether a
+# shuffle needs salting / AQE skew handling before it runs at scale.
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH per_key AS (
+    SELECT user_id, count(*) AS n FROM events GROUP BY 1
+)
+SELECT count(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       max(n) AS max_rows,
+       CAST(max(n) * count(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT)
+           AS skew_ratio
+FROM per_key
+"""
+
+
+@query("events_key_skew_profile", oracle=_SKEW_ORACLE)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew diagnostic: hottest-key row count vs the
+    mean, as ``skew_ratio = max·n_keys / total`` — the number that
+    says whether a planned shuffle on this key needs salting
+    (operators/salt.py) or AQE skew splitting before it runs at
+    100 TB.  A ratio near 1 is uniform; the salted-join docstring's
+    hot-key scenario shows up here as a large multiple.
+
+    Shape: one map-side-combined count per key, then a 1-row global
+    fold; exact integer arithmetic until one final double division.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_rows"),
+        (
+            (F.max("n") * F.count(F.lit(1))).cast("double")
+            / F.sum("n")
+        ).alias("skew_ratio"),
+    )
