@@ -17,6 +17,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _drain_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    n_partitions: str = "8",
+) -> DataFrame:
+    """Drain a bounded stream to the in-memory sink under
+    ``trigger(availableNow)`` and return the sink table.
+
+    Stateful stages (windowed aggs, dedup, stream-stream joins)
+    materialize one state store per shuffle partition — per SIDE for
+    joins — and for a bounded historical drain the store init
+    dominates at the session default of 32 partitions (measured
+    sf0.1: the interval join runs ~6 s warm at 32 vs ~2.4 s at 8).
+    The drain runs at ``n_partitions`` and the session conf is
+    restored afterwards; a real deployment sizes this to key volume.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_partitions)
+    try:
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events parquet with the same nano-ts
     handling as the batch catalog (schema must be declared up front
@@ -63,17 +99,7 @@ def run_streaming_hourly(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name).select(
+    return _drain_to_memory(spark, agg, query_name, "complete").select(
         F.unix_micros(F.col("window.start")).alias("hour_us"),
         "event_type",
         "n_events",
@@ -101,17 +127,7 @@ def run_streaming_dedup(
     deduped = replayed.withWatermark("ts", "1 hour").dropDuplicates(
         ["event_id", "ts"]
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name).select(
+    return _drain_to_memory(spark, deduped, query_name, "append").select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "user_id",
@@ -139,17 +155,7 @@ def run_streaming_dedup_within_watermark(
     deduped = replayed.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name).select(
+    return _drain_to_memory(spark, deduped, query_name, "append").select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "user_id",
@@ -186,17 +192,7 @@ def run_stream_static_enrich(
         "event_id", "user_id", "value"
     )
     enriched = purchases.join(dim, "user_id")
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            enriched.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name).select(
+    return _drain_to_memory(spark, enriched, query_name, "append").select(
         "event_id", "user_id", "first_seen", "n_clicks", "value"
     )
 
@@ -221,17 +217,7 @@ def run_streaming_session_window(
     agg = src.groupBy(
         F.session_window("ts", "30 minutes"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name).select(
+    return _drain_to_memory(spark, agg, query_name, "complete").select(
         "user_id",
         F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
         (F.unix_micros(F.col("session_window.end")) - F.lit(gap_us)).alias(
@@ -397,27 +383,7 @@ def run_streaming_interval_join(
             "AND p_ts <= c_ts + INTERVAL 5 MINUTES"
         ),
     )
-    # Each shuffle partition materializes TWO state stores (one per
-    # join side); at 32 partitions the store init dominates the
-    # bounded drain (measured sf0.1: warm ~6 s at 32 → ~2.4 s at 8).
-    # Same sizing rationale as streaming/stateful.py — a real
-    # deployment sizes this to key volume; restored afterwards.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-            q = (
-                joined.writeStream.format("memory")
-                .queryName(query_name)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(query_name).select(
+    return _drain_to_memory(spark, joined, query_name, "append").select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",

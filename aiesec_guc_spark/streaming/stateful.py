@@ -89,7 +89,7 @@ def run_streaming_sessionize(
     """Drain the events stream through the stateful sessionizer and
     return final per-user session counts (memory sink, update mode:
     the last emitted row per user is the final state)."""
-    from .incremental import _events_stream
+    from .incremental import _drain_to_memory, _events_stream
 
     src = _events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
     out = src.groupBy("user_id").applyInPandasWithState(
@@ -99,31 +99,12 @@ def run_streaming_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    # Each shuffle partition materializes its own state store; for a
-    # modest key cardinality the store init dominates, so the stateful
-    # stage runs with fewer partitions (a real deployment sizes this
-    # to key volume).  The conf is restored afterwards — the sink
-    # drains synchronously under availableNow, so no other query sees
-    # the temporary setting.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-            q = (
-                out.writeStream.format("memory")
-                .queryName(query_name)
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # _drain_to_memory runs the stateful stage at 8 partitions (store
+    # init dominates bounded drains) and restores the session conf.
     # Update-mode memory sink appends one row per key per batch; the
     # final value per user is the row from the last batch it appeared
     # in — with the single-file corpus there is exactly one.
-    t = spark.table(query_name)
+    t = _drain_to_memory(spark, out, query_name, "update")
     from pyspark.sql import Window, functions as F
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
