@@ -143,6 +143,7 @@ _EVIDENCE_PRIORITY = [
     "orders_price_histogram",
     "events_key_skew_profile",
     "user_event_type_profile",
+    "part_name_fuzzy_pairs",
 ]
 
 

@@ -800,3 +800,61 @@ def dedup_segments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Record-linkage fuzzy matching — blocking + edit-distance verify, the
+# structured-record sibling of the document near-dup family.
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 3
+
+_FUZZY_ORACLE = f"""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+blocked AS (
+    SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM names
+)
+SELECT a.p_name AS name_a,
+       b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM blocked a
+JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+"""
+
+
+@query("part_name_fuzzy_pairs", oracle=_FUZZY_ORACLE)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on structured records: near-identical part
+    names found by blocking on the head noun (equi-join — candidates
+    come from a hash join, never an all-pairs product, the same
+    candidate/verify split as MinHash-LSH) and verifying candidates
+    with Levenshtein edit distance — an exact integer both engines'
+    classic DP implementations agree on.
+
+    Scale: dedup to distinct names FIRST (map-side combine), so the
+    quadratic verify runs per block over the tiny name vocabulary; a
+    skewed block would get the same cap-and-subdivide guard as
+    dedup_embedding_cosine (operators/dedup.py EMB_BLOCK_CAP).
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.split(F.col("p_name"), " ").getItem(1).alias("blk")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
