@@ -144,6 +144,8 @@ _EVIDENCE_PRIORITY = [
     "events_key_skew_profile",
     "user_event_type_profile",
     "part_name_fuzzy_pairs",
+    "sql_frontdoor_lateral_topn",
+    "sql_frontdoor_recursive_spine",
 ]
 
 
