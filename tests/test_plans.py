@@ -340,3 +340,43 @@ def test_discriminative_terms_counts_before_ranking(spark, sf_dir):
     assert has_partial_aggregation(df)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    # At 100 TB Catalyst injects a runtime bloom filter on the fact
+    # side of a selective shuffle join (application side must scan
+    # >10 GB by default — exactly the scale this engine targets).
+    # The corpus is far below that threshold, so lower it to observe
+    # the injection and pin that the feature stays available: the
+    # filtered orders side builds a bloom_filter_agg over the join
+    # key and the lineitem scan probes it before shuffling.
+    from aiesec_guc_spark.catalog import load_table
+    from aiesec_guc_spark.plans.explain import formatted_plan
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = formatted_plan(df)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
