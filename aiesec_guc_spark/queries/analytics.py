@@ -458,6 +458,8 @@ def scd2_user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the island grouping is a plain aggregate.  This is how a 100 TB
     event log becomes a dimension table without a stateful scan.
     """
+    from ..operators.scd import collapse_runs
+
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "user_id", F.to_date("ts").alias("d"), F.col("event_type")
@@ -470,19 +472,12 @@ def scd2_user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "d", F.col("event_type").alias("status"))
     )
-    w_all = Window.partitionBy("user_id").orderBy("d")
-    w_status = Window.partitionBy("user_id", "status").orderBy("d")
-    runs = dominant.withColumn(
-        "island", F.row_number().over(w_all) - F.row_number().over(w_status)
-    )
-    return (
-        runs.groupBy("user_id", "status", "island")
-        .agg(
-            F.min("d").cast("string").alias("valid_from"),
-            F.max("d").cast("string").alias("valid_to"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
-        .drop("island")
+    return collapse_runs(dominant, "user_id", "d", "status").select(
+        "user_id",
+        "status",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        F.col("n_steps").alias("n_days"),
     )
 
 

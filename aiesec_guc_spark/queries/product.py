@@ -177,22 +177,13 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property that survives 100 TB.  Day bounds come from a 1-row
     broadcast aggregate.
     """
+    from ..operators.rolling import rolling_distinct_count
+
     e = load_table(spark, sf_dir, "events")
     days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
-    b = e.agg(
-        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
-    )
-    spread = days.select(
-        "user_id",
-        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
-            "target"
-        ),
-    )
-    return (
-        spread.crossJoin(F.broadcast(b))
-        .filter(F.col("target").between(F.col("mn"), F.col("mx")))
-        .groupBy(F.col("target").cast("string").alias("day"))
-        .agg(F.countDistinct("user_id").alias("wau"))
+    return rolling_distinct_count(days, "user_id", "d", 7).select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_distinct").alias("wau"),
     )
 
 

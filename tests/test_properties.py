@@ -261,3 +261,78 @@ def test_salted_join_matches_plain_random(spark):
                 fact.join(dim, "k", "left").select("k", "v", "name").collect()
             )
             assert salted == expected_left
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct count (WAU spread-and-count)
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_distinct_matches_bruteforce(spark):
+    import datetime
+
+    from aiesec_guc_spark.operators.rolling import rolling_distinct_count
+
+    rng = random.Random(77)
+    base = datetime.date(2024, 3, 1)
+    rows = set()
+    for _ in range(300):
+        rows.add(
+            (rng.randint(0, 9), base + datetime.timedelta(days=rng.randint(0, 25)))
+        )
+    df = spark.createDataFrame(sorted(rows), "user_id int, d date")
+    got = {
+        r["day"]: r["n_distinct"]
+        for r in rolling_distinct_count(df, "user_id", "d", 7).collect()
+    }
+    mn = min(d for _, d in rows)
+    mx = max(d for _, d in rows)
+    expected = {}
+    d = mn
+    while d <= mx:
+        lo = d - datetime.timedelta(days=6)
+        n = len({k for k, ad in rows if lo <= ad <= d})
+        if n > 0:  # days whose window is empty emit no row
+            expected[d] = n
+        d += datetime.timedelta(days=1)
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands run collapsing (SCD2)
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_runs_matches_bruteforce(spark):
+    from aiesec_guc_spark.operators.scd import collapse_runs
+
+    rng = random.Random(99)
+    rows = []
+    for key in range(12):
+        t = 0
+        for _ in range(rng.randint(0, 15)):
+            t += rng.randint(1, 3)  # gaps allowed; strictly increasing per key
+            rows.append((key, t, rng.choice("ABC")))
+    df = spark.createDataFrame(rows, "k int, t int, v string")
+    got = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["v"], r["n_steps"])
+        for r in collapse_runs(df, "k", "t", "v").collect()
+    )
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, t, v in rows:
+        by_key.setdefault(k, []).append((t, v))
+    expected = []
+    for k, seq in by_key.items():
+        seq.sort()
+        run = None
+        for t, v in seq:
+            if run is not None and run[2] == v:
+                run[1] = t
+                run[3] += 1
+            else:
+                if run is not None:
+                    expected.append((k, run[0], run[1], run[2], run[3]))
+                run = [t, t, v, 1]
+        if run is not None:
+            expected.append((k, run[0], run[1], run[2], run[3]))
+    assert got == sorted(expected)
