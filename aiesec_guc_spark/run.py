@@ -106,22 +106,35 @@ def run_pipeline(
     delta = materialize(snapshot_delta(today_rows, yesterday, keys=["opportunity_id"]))
 
     os.makedirs(out_dir, exist_ok=True)
+    # Run metrics ride along on the report-write actions via the
+    # Observation API — no separate count() jobs re-scanning the
+    # snapshot (the reference prints counts from the frames it
+    # already holds, aiesec.py:133/186; this is the Spark analogue).
+    from pyspark.sql import Observation
+
+    obs_today = Observation("today_rows")
+    obs_delta = Observation("delta_rows")
+    today_obs = today_rows.observe(obs_today, F.count(F.lit(1)).alias("n"))
+    delta_obs = delta.observe(obs_delta, F.count(F.lit(1)).alias("n"))
+
     # Literal Today.xlsx parity (aiesec.py:130-132): the FULL snapshot
     # goes through the styled-report edge too, alongside its canonical
     # parquet partition — the reference ships both artifacts per run.
     snapshot_report_path = write_styled_report(
-        today_rows, os.path.join(out_dir, f"today_{run_date}")
+        today_obs, os.path.join(out_dir, f"today_{run_date}")
     )
     report_path = write_styled_report(
-        delta, os.path.join(out_dir, f"new_{run_date}")
+        delta_obs, os.path.join(out_dir, f"new_{run_date}")
     )
 
     notified = notify_if_nonempty(
         delta, send=send or _log_send, renderer=render_email_html
     )
 
-    n_today = today_rows.count()
-    n_delta = delta.count()
+    # .get blocks until the observed action completes — both report
+    # writes above already ran, so these are immediate lookups.
+    n_today = int(obs_today.get["n"])
+    n_delta = int(obs_delta.get["n"])
     log.info("run %s: %d scraped, %d new", run_date, n_today, n_delta)
     return {
         "run_date": run_date,
