@@ -146,6 +146,7 @@ _EVIDENCE_PRIORITY = [
     "part_name_fuzzy_pairs",
     "sql_frontdoor_lateral_topn",
     "sql_frontdoor_recursive_spine",
+    "dau_mau_stickiness",
 ]
 
 

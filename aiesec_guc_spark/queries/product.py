@@ -264,3 +264,71 @@ def user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", types).alias("types_str"),
         F.size(types).cast("int").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stickiness (DAU / trailing-28-day MAU) — two rolling windows, one ratio.
+# ---------------------------------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+bounds AS (
+    SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+),
+dau AS (
+    SELECT d AS day, count(DISTINCT user_id) AS n_dau FROM days GROUP BY 1
+),
+mau AS (
+    SELECT CAST(unnest(range(d, d + INTERVAL 28 DAY, INTERVAL 1 DAY)) AS DATE)
+               AS day,
+           user_id
+    FROM days
+)
+SELECT CAST(m.day AS VARCHAR) AS day,
+       CAST(COALESCE(a.n_dau, 0) AS BIGINT) AS dau,
+       count(DISTINCT m.user_id) AS mau,
+       CAST(COALESCE(a.n_dau, 0) AS DOUBLE) / count(DISTINCT m.user_id)
+           AS stickiness
+FROM mau m
+CROSS JOIN bounds b
+LEFT JOIN dau a ON a.day = m.day
+WHERE m.day BETWEEN b.mn AND b.mx
+GROUP BY m.day, a.n_dau
+"""
+
+
+@query("dau_mau_stickiness", oracle=_STICKINESS_ORACLE)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness = DAU / trailing-28-day MAU per day — the composed
+    form of :func:`aiesec_guc_spark.operators.rolling.
+    rolling_distinct_count` at two window widths, joined on the day
+    and divided ONCE (exact integers until the final double ratio).
+
+    Scale: both windows share the same distinct (user, day) reduction
+    — computed once and reused — so the fact is scanned and shuffled
+    a single time; everything after is |users × days|-sized.  The
+    day-keyed join of the two tiny rolling frames broadcasts.
+    """
+    from ..operators.rolling import rolling_distinct_count
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = rolling_distinct_count(days, "user_id", "d", 1).select(
+        F.col("day"), F.col("n_distinct").alias("dau")
+    )
+    mau = rolling_distinct_count(days, "user_id", "d", 28).select(
+        F.col("day"), F.col("n_distinct").alias("mau")
+    )
+    return (
+        mau.join(dau, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("bigint").alias("dau"),
+            "mau",
+            (
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double") / F.col("mau")
+            ).alias("stickiness"),
+        )
+    )
