@@ -99,3 +99,36 @@ def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
     # may displace a single-bucket one from the top-k.)
     for i, s in enumerate(single):
         assert multi[i]["cosine"] >= s["cosine"]
+
+
+def test_rolling_distinct_single_day_and_empty(spark):
+    import datetime
+
+    from aiesec_guc_spark.operators.rolling import rolling_distinct_count
+
+    d0 = datetime.date(2024, 5, 1)
+    one = spark.createDataFrame([(1, d0), (2, d0)], "user_id int, d date")
+    got = rolling_distinct_count(one, "user_id", "d", 7).collect()
+    assert [(r["day"], r["n_distinct"]) for r in got] == [(d0, 2)]
+
+    empty = spark.createDataFrame([], "user_id int, d date")
+    assert rolling_distinct_count(empty, "user_id", "d", 7).count() == 0
+
+
+def test_collapse_runs_single_rows_and_empty(spark):
+    from aiesec_guc_spark.operators.scd import collapse_runs
+
+    # Alternating values never merge; a lone row is its own run.
+    df = spark.createDataFrame(
+        [(1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (2, 5, "C")],
+        "k int, t int, v string",
+    )
+    got = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["v"], r["n_steps"])
+        for r in collapse_runs(df, "k", "t", "v").collect()
+    )
+    assert got == [(1, 1, 1, "A", 1), (1, 2, 2, "B", 1), (1, 3, 3, "A", 1),
+                   (2, 5, 5, "C", 1)]
+
+    empty = spark.createDataFrame([], "k int, t int, v string")
+    assert collapse_runs(empty, "k", "t", "v").count() == 0
