@@ -1,0 +1,123 @@
+"""Scale-curve probe: replicate the fact tables N× into a scratch
+corpus and measure how each representative query's warm runtime
+scales versus sf0.1 — the measured evidence behind SCALING.md's
+"would survive 100 TB" claims.
+
+    python tools/scale_probe.py [N] [SCRATCH_DIR]
+
+Defaults: N=10 (≈ sf1: 6 M lineitem rows), scratch under /tmp.  The
+derived corpus shifts fact keys per replica (orderkey/event_id) so
+key cardinalities scale with the data; dimension tables are copied
+as-is (their broadcast-ability at fixed size is exactly the 100 TB
+design assumption).  Only fact-driven queries are probed — the
+documents/embeddings tables are fixed-size at every SF, so text/ANN
+queries measure nothing here.
+
+Prints one line per query: sf0.1 warm, scaled warm, ratio (ideal ≈ N
+for linear operators, < N where fixed overhead still dominates).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = "/root/testdata/sf0.1"
+
+PROBE_QUERIES = [
+    "pricing_summary",            # scan + grouped agg
+    "star_revenue_by_nation",     # broadcast star join
+    "snapshot_delta_events",      # anti join
+    "order_priority_semi",        # co-partitioned semi join
+    "large_volume_orders",        # agg + join back
+    "nation_trade_volume",        # multi-join (Q7 shape)
+    "salted_revenue_by_nation",   # salted skew join
+    "events_hourly_tumbling",     # time-window agg
+    "events_sessionize",          # per-key window
+    "events_click_purchase_window",  # banded interval join
+    "weekly_active_users",        # dedup + spread-and-count
+    "customer_acctbal_deciles",   # offset-merge global ranks
+]
+
+
+def build_scaled(spark, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from aiesec_guc_spark.catalog import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    rep = F.col("rep")
+
+    def replicate(df, shifts: dict[str, str]):
+        reps = spark.range(factor).toDF("rep")
+        wide = df.crossJoin(F.broadcast(reps))
+        cols = []
+        for c in df.columns:
+            if c in shifts:
+                cols.append((F.col(c) + rep * F.expr(shifts[c])).alias(c))
+            else:
+                cols.append(F.col(c))
+        return wide.select(*cols)
+
+    li = load_table(spark, BASE_SF, "lineitem")
+    o = load_table(spark, BASE_SF, "orders")
+    e = load_table(spark, BASE_SF, "events")
+    # Key shifts keep referential integrity per replica: lineitem and
+    # orders shift orderkey by the same stride, so every replica is a
+    # self-consistent copy with disjoint keys.
+    okey_stride = str(o.agg(F.max("o_orderkey")).collect()[0][0] + 1)
+    ekey_stride = str(e.agg(F.max("event_id")).collect()[0][0] + 1)
+    replicate(li, {"l_orderkey": okey_stride}).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+    replicate(o, {"o_orderkey": okey_stride}).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+    replicate(e, {"event_id": ekey_stride}).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    for dim in ("region", "nation", "customer", "supplier", "part",
+                "documents", "embeddings"):
+        load_table(spark, BASE_SF, dim).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{dim}.parquet")
+        )
+
+
+def time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    scratch = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_probe_x{factor}"
+
+    from aiesec_guc_spark.queries import spark_queries
+    from aiesec_guc_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(scratch, "lineitem.parquet")):
+        print(f"# building {factor}x corpus at {scratch}", file=sys.stderr)
+        build_scaled(spark, scratch, factor)
+
+    qs = spark_queries()
+    print(f"{'query':<34} {'sf0.1':>8} {'x' + str(factor):>8} {'ratio':>7}")
+    for name in PROBE_QUERIES:
+        base = time_query(spark, qs[name], BASE_SF)
+        scaled = time_query(spark, qs[name], scratch)
+        print(f"{name:<34} {base:>7.2f}s {scaled:>7.2f}s {scaled / base:>6.1f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
