@@ -147,6 +147,7 @@ _EVIDENCE_PRIORITY = [
     "sql_frontdoor_lateral_topn",
     "sql_frontdoor_recursive_spine",
     "dau_mau_stickiness",
+    "bpe_first_merge_pairs",
 ]
 
 

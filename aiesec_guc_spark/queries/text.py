@@ -595,3 +595,71 @@ def shard_corpus_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction — the first merge's pair statistics.
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+_BPE_PAIRS_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+),
+words AS (
+    SELECT term, count(*) AS wf FROM toks WHERE length(term) >= 2 GROUP BY 1
+),
+pairs AS (
+    SELECT substring(term, CAST(i AS INT), 2) AS pair, wf
+    FROM (SELECT term, wf, unnest(range(1, length(term))) AS i FROM words)
+),
+scored AS (
+    SELECT pair, CAST(SUM(wf) AS BIGINT) AS n FROM pairs GROUP BY 1
+)
+SELECT pair, n, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM scored
+) x
+WHERE rk <= {_BPE_TOPK}
+"""
+
+
+@query("bpe_first_merge_pairs", oracle=_BPE_PAIRS_ORACLE)
+def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction, step one: the
+    corpus-weighted character-bigram counts whose argmax is BPE's
+    first merge.  The top-20 pairs are surfaced with a deterministic
+    (count desc, pair) tie-break; the single-partition ranking window
+    is bounded by the ≤26² distinct pairs, not the data.
+
+    Scale shape: the token stream collapses to the WORD-FREQUENCY
+    table first (one map-side-combined count — the same trick real
+    BPE trainers use), so the bigram explosion runs over |vocabulary|
+    rows, not |tokens|; the pair count is a second two-phase
+    aggregate, and the final ranking window sees only distinct pairs
+    (≤26²).  At 100 TB the fact is read once and nothing after the
+    first count scales with corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term")
+    ).filter(F.length("term") >= 2)
+    words = toks.groupBy("term").agg(F.count(F.lit(1)).alias("wf"))
+    pairs = words.select(
+        "term",
+        "wf",
+        F.explode(F.sequence(F.lit(1), F.length("term") - 1)).alias("i"),
+    ).select(F.expr("substring(term, i, 2)").alias("pair"), "wf")
+    scored = pairs.groupBy("pair").agg(F.sum("wf").cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BPE_TOPK)
+        .select("pair", "n", "rk")
+    )
