@@ -148,6 +148,7 @@ _EVIDENCE_PRIORITY = [
     "sql_frontdoor_recursive_spine",
     "dau_mau_stickiness",
     "bpe_first_merge_pairs",
+    "text_oov_fraction",
 ]
 
 

@@ -663,3 +663,78 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BPE_TOPK)
         .select("pair", "n", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary fraction — the coverage signal for tokenizer /
+# vocab sizing decisions.
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 1000
+
+_OOV_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+        FROM toks GROUP BY term
+    ) WHERE rk <= {_OOV_VOCAB_K}
+),
+flags AS (
+    SELECT t.doc_id,
+           CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) AS DOUBLE) / count(*) AS oov_ratio
+FROM flags
+GROUP BY doc_id
+"""
+
+
+@query("text_oov_fraction", oracle=_OOV_ORACLE)
+def text_oov_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary fraction against the corpus's
+    own top-1000 terms — the coverage statistic behind tokenizer
+    vocab-size decisions (a doc with a high OOV ratio under the
+    production vocabulary fragments into byte fallbacks and wastes
+    sequence length).
+
+    Scale: the vocabulary is induced with one two-phase count and a
+    ranking window over distinct terms, then BROADCAST into the
+    token stream's left join (a 1000-row hash set per executor — the
+    membership probe never shuffles the tokens); the per-doc fold is
+    exact integers with one final double division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _OOV_VOCAB_K)
+        .select(F.col("term").alias("v_term"))
+    )
+    flags = toks.join(
+        F.broadcast(vocab), toks.term == vocab.v_term, "left"
+    ).select("doc_id", F.when(F.col("v_term").isNull(), 1).otherwise(0).alias("oov"))
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_ratio"),
+    )
