@@ -149,6 +149,7 @@ _EVIDENCE_PRIORITY = [
     "dau_mau_stickiness",
     "bpe_first_merge_pairs",
     "text_oov_fraction",
+    "events_daily_ops_mart",
 ]
 
 

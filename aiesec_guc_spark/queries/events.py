@@ -670,3 +670,124 @@ def snapshot_full_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("retained")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily ops mart — the events-side flagship composite (the documents
+# side's twin is curate_training_corpus): one day-grain table joining
+# activity, sessionization, monetization, and rolling-actives signals.
+# ---------------------------------------------------------------------------
+
+_OPS_MART_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_active_users,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS purchase_value
+    FROM events GROUP BY 1
+),
+gaps AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CASE WHEN ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+    FROM events
+),
+starts AS (
+    SELECT day, CAST(SUM(new_session) AS BIGINT) AS n_sessions_started
+    FROM gaps GROUP BY 1
+),
+days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+bounds AS (
+    SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+),
+spread AS (
+    SELECT CAST(unnest(range(d, d + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE)
+               AS day,
+           user_id
+    FROM days
+),
+wau AS (
+    SELECT s.day, count(DISTINCT s.user_id) AS wau
+    FROM spread s, bounds b
+    WHERE s.day BETWEEN b.mn AND b.mx
+    GROUP BY 1
+)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       d.n_events, d.n_active_users, d.n_purchases, d.purchase_value,
+       s.n_sessions_started,
+       w.wau
+FROM daily d
+JOIN starts s ON s.day = d.day
+JOIN wau w ON w.day = d.day
+"""
+
+
+@query("events_daily_ops_mart", oracle=_OPS_MART_ORACLE)
+def events_daily_ops_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-side flagship composite: the day-grain ops mart a
+    product team reads every morning — activity volume, distinct
+    actives, purchases and exact-decimal revenue, sessions STARTED
+    (the gap-sessionizer's start flags folded by start day), and the
+    trailing-7-day actives from the rolling operator, one row per day.
+
+    Scale: three fact passes total — the conditional daily aggregate
+    (one map-side-combined shuffle computes four metrics at once),
+    the sessionizer window (user-partitioned), and the (user, day)
+    dedup feeding WAU — then day-keyed joins of day-count-sized
+    frames, which AQE broadcasts.  Each stage is a component query's
+    documented shape (events_hourly_tumbling, events_sessionize,
+    weekly_active_users) composed without changing its physics.
+    """
+    from ..operators.rolling import rolling_distinct_count
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_active_users"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(dec0)
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    starts = (
+        e.withColumn(
+            "new_session",
+            F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
+        )
+        .groupBy(day.alias("day"))
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions_started"))
+    )
+    days = e.select("user_id", day.alias("d")).distinct()
+    wau = rolling_distinct_count(days, "user_id", "d", 7).select(
+        "day", F.col("n_distinct").alias("wau")
+    )
+    return (
+        daily.join(starts, "day")
+        .join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_events",
+            "n_active_users",
+            "n_purchases",
+            "purchase_value",
+            "n_sessions_started",
+            "wau",
+        )
+    )
