@@ -150,6 +150,7 @@ _EVIDENCE_PRIORITY = [
     "bpe_first_merge_pairs",
     "text_oov_fraction",
     "events_daily_ops_mart",
+    "nation_segment_matrix",
 ]
 
 

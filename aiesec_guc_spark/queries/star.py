@@ -862,3 +862,58 @@ def orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed aggregation surface — nested-type construction + rendering.
+# ---------------------------------------------------------------------------
+
+_SEG_MATRIX_ORACLE = """
+SELECT nation,
+       string_agg(seg || '=' || cnt, '|' ORDER BY seg || '=' || cnt)
+           AS seg_counts,
+       CAST(count(*) AS INT) AS n_segments
+FROM (
+    SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+)
+GROUP BY nation
+"""
+
+
+@query("nation_segment_matrix", oracle=_SEG_MATRIX_ORACLE)
+def nation_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed aggregation: per nation, a segment→count MAP built
+    with ``map_from_entries(collect_list(struct))``, rendered through
+    ``map_entries`` → sorted ``k=v`` strings for the cross-engine
+    hash (map iteration order is implementation-defined, so the
+    deterministic surface sorts the rendered entries — the same key
+    the oracle's ordered string_agg uses).
+
+    Scale: the (nation, segment) count is two-phase; the map build
+    aggregates ≤5 entries per nation — nested-type construction costs
+    nothing extra in the shuffle, which carries the counted frame.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("seg", "cnt")))
+    rendered = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat(e.key, F.lit("="), e.value.cast("string")),
+            )
+        ),
+        "|",
+    )
+    return counts.groupBy("nation").agg(
+        rendered.alias("seg_counts"),
+        F.size(m).cast("int").alias("n_segments"),
+    )
