@@ -151,6 +151,7 @@ _EVIDENCE_PRIORITY = [
     "text_oov_fraction",
     "events_daily_ops_mart",
     "nation_segment_matrix",
+    "entity_resolution_parts",
 ]
 
 

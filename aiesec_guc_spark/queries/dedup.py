@@ -858,3 +858,57 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: fuzzy pairs → connected components →
+# canonical entities (the record-linkage pipeline completed).
+# ---------------------------------------------------------------------------
+
+_ER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+    SELECT name_a, name_b FROM ({_FUZZY_ORACLE})
+),
+edges AS (
+    SELECT name_a AS src, name_b AS dst FROM pairs
+    UNION ALL
+    SELECT name_b AS src, name_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+SELECT cluster AS canonical_name,
+       CAST(count(*) AS BIGINT) AS n_members,
+       string_agg(id, '|' ORDER BY id) AS members
+FROM labels
+GROUP BY cluster
+"""
+
+
+@query("entity_resolution_parts", oracle=_ER_ORACLE)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage completed end-to-end: the blocked fuzzy pairs
+    (part_name_fuzzy_pairs) become an undirected match graph whose
+    connected components are the resolved ENTITIES — canonical name =
+    lexicographic min of the cluster, members rendered sorted for the
+    deterministic surface.  The oracle walks the same graph with a
+    recursive CTE (min reachable id ≡ min label at fixpoint).
+
+    Scale: candidate generation stays blocked (never all-pairs); the
+    min-label propagation is the same join+grouped-min round as the
+    document near-dup CC, hash-partitioned on the (string) node id —
+    component diameter bounds the rounds, and fuzzy-match clusters
+    are shallow by construction.
+    """
+    from ..operators.graph import connected_components
+
+    pairs = part_name_fuzzy_pairs(spark, sf_dir).select("name_a", "name_b")
+    labels = connected_components(pairs, src="name_a", dst="name_b")
+    return labels.groupBy(F.col("cluster_id").alias("canonical_name")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_join(F.array_sort(F.collect_list("id")), "|").alias("members"),
+    )
