@@ -152,6 +152,7 @@ _EVIDENCE_PRIORITY = [
     "events_daily_ops_mart",
     "nation_segment_matrix",
     "entity_resolution_parts",
+    "events_transition_matrix",
 ]
 
 

@@ -791,3 +791,59 @@ def events_daily_ops_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix — the Markov base-rate table.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+    SELECT event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+counts AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, next_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM counts
+"""
+
+
+@query("events_transition_matrix", oracle=_TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the base-rate table
+    behind next-event prediction and anomaly scoring.
+
+    The lag window shares the sessionizer's (user_id; ts, event_id)
+    sort; the transition count is two-phase on a ≤#types² key space,
+    and the row-normalizing window runs over that tiny counted frame
+    — one double division per row, exact integers everywhere else.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(wnorm).cast("double")).alias(
+            "p"
+        ),
+    )
