@@ -153,6 +153,7 @@ _EVIDENCE_PRIORITY = [
     "nation_segment_matrix",
     "entity_resolution_parts",
     "events_transition_matrix",
+    "streaming_wau_approx",
 ]
 
 

@@ -847,3 +847,42 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sliding-window approx distinct — streaming WAU.
+# ---------------------------------------------------------------------------
+
+_STREAM_WAU_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+bounds AS (
+    SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+),
+spread AS (
+    SELECT user_id,
+           CAST(unnest(range(d, d + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE)
+               AS day
+    FROM days
+)
+SELECT CAST(s.day AS VARCHAR) AS day,
+       count(DISTINCT s.user_id) AS wau_exact,
+       TRUE AS within_tol
+FROM spread s, bounds b
+WHERE s.day BETWEEN b.mn AND b.mx
+GROUP BY 1
+"""
+
+
+@query("streaming_wau_approx", oracle=_STREAM_WAU_ORACLE)
+def streaming_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trailing-7-day actives via sliding windows +
+    approx_count_distinct, checked within 5% of the exact batch
+    rolling operator (the sketch estimate itself is not
+    cross-engine-reproducible, so the gate surface is exact WAU + the
+    tolerance flag — hll_mergeable_distinct's convention).
+    """
+    from ..streaming.incremental import run_streaming_wau_approx
+
+    return run_streaming_wau_approx(spark, sf_dir)

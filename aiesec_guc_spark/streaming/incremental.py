@@ -392,3 +392,54 @@ def run_streaming_interval_join(
         ),
     )
 
+
+
+def run_streaming_wau_approx(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_wau"
+) -> DataFrame:
+    """Streaming sliding-window approximate distinct: trailing-7-day
+    active users per day via ``window(ts, '7 days', '1 day')`` +
+    ``approx_count_distinct`` — the streaming twin of the batch
+    spread-and-count operator (operators/rolling.py), with the HLL
+    sketch standing in for the exact distinct (sliding exact distinct
+    would hold every user id in every open window's state; the sketch
+    holds a fixed few KB per window).
+
+    HLL++ is deterministic for fixed data (hash-based, merge
+    commutative), but its estimate is NOT reproducible by another
+    engine — so the gate surface is the EXACT batch WAU plus a
+    within-tolerance flag, the same convention as
+    hll_mergeable_distinct.  Each event lands in 7 windows (epoch- and
+    midnight-UTC-aligned, so window membership ≡ date membership);
+    complete-mode drain, edge windows beyond the observed day range
+    dropped against the batch bounds.
+    """
+    from ..catalog import load_table
+    from ..operators.rolling import rolling_distinct_count
+
+    src = _events_stream(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "7 days", "1 day")).agg(
+        F.approx_count_distinct("user_id").alias("wau_approx")
+    )
+    t = _drain_to_memory(spark, agg, query_name, "complete")
+    # day = last day the window covers; [start, start+7d) ≡ dates
+    # start..start+6 because both are midnight-UTC aligned.
+    approx = t.select(
+        F.date_add(F.to_date(F.col("window.start")), 6).alias("day"),
+        "wau_approx",
+    )
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    exact = rolling_distinct_count(days, "user_id", "d", 7).select(
+        "day", F.col("n_distinct").alias("wau_exact")
+    )
+    # Inner join clips the partial edge windows the stream emits past
+    # the observed range; 5% = 3x the default HLL++ rsd (~1.6%).
+    return approx.join(exact, "day").select(
+        F.col("day").cast("string").alias("day"),
+        "wau_exact",
+        (
+            F.abs(F.col("wau_approx") - F.col("wau_exact"))
+            <= F.col("wau_exact") * 0.05
+        ).alias("within_tol"),
+    )
