@@ -154,6 +154,9 @@ _EVIDENCE_PRIORITY = [
     "entity_resolution_parts",
     "events_transition_matrix",
     "streaming_wau_approx",
+    "forecast_revenue_change",
+    "returned_item_customers",
+    "disjunctive_brand_revenue",
 ]
 
 

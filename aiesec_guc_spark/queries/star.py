@@ -917,3 +917,164 @@ def nation_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendered.alias("seg_counts"),
         F.size(m).cast("int").alias("n_segments"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecasting revenue change (pure filtered aggregate).
+# ---------------------------------------------------------------------------
+
+_FORECAST_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+             * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue_effect,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(9,2)) BETWEEN 0.05 AND 0.07
+  AND CAST(l_quantity AS DECIMAL(9,2)) < 24
+"""
+
+
+@query("forecast_revenue_change", oracle=_FORECAST_ORACLE)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the revenue that would have been earned had
+    mid-range discounts not been given in one ship year — a pure
+    filtered aggregate with NO join, the query whose entire cost is
+    how much of the scan the pushed-down predicates skip.
+
+    Every predicate reaches `PushedFilters` (date range + two numeric
+    ranges on plain columns); the aggregate is a 1-row fold with
+    map-side combine.  Discount comparison runs in exact decimals so
+    the 0.05/0.07 boundaries bin identically cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & _dec("l_discount").between(0.05, 0.07)
+            & (_dec("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue_effect"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item customer ranking.
+# ---------------------------------------------------------------------------
+
+_RETURNS_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE)
+           AS lost_revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) DESC,
+         c.c_custkey
+LIMIT 20
+"""
+
+
+@query("returned_item_customers", oracle=_RETURNS_ORACLE)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most
+    revenue — the churn-risk list.
+
+    The returnflag filter prunes lineitem at the scan; the orderkey
+    join shuffles the pruned fact once; customer/nation broadcast.
+    Top-20 orders on the EXACT decimal sum (ties broken on custkey)
+    before the double cast, so both engines rank identically —
+    TakeOrderedAndProject, never a global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(rev.alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.col("rev_dec").cast("double").alias("lost_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive predicate revenue (OR-of-ANDs pushdown).
+# ---------------------------------------------------------------------------
+
+_DISJUNCT_ORACLE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND CAST(l.l_quantity AS DECIMAL(9,2)) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND CAST(l.l_quantity AS DECIMAL(9,2)) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND CAST(l.l_quantity AS DECIMAL(9,2)) BETWEEN 20 AND 30)
+"""
+
+
+@query("disjunctive_brand_revenue", oracle=_DISJUNCT_ORACLE)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    both join sides — the optimizer stress case.  Catalyst extracts
+    the common single-side conjuncts from the disjunction (brand/size
+    prune the part dim BEFORE the join; the quantity bounds' union
+    [1,30] prunes lineitem at the scan) and leaves only the residual
+    cross-side OR as a post-join filter — never a cross product.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qty = _dec("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
