@@ -1042,11 +1042,15 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
 @query("disjunctive_brand_revenue", oracle=_DISJUNCT_ORACLE)
 def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
-    both join sides — the optimizer stress case.  Catalyst extracts
-    the common single-side conjuncts from the disjunction (brand/size
-    prune the part dim BEFORE the join; the quantity bounds' union
-    [1,30] prunes lineitem at the scan) and leaves only the residual
-    cross-side OR as a post-join filter — never a cross product.
+    both join sides — the optimizer stress case.  Verified in-plan:
+    Catalyst pushes the part-side projection of the disjunction into
+    the part SCAN (the full brand/size Or-tree plus the extracted
+    common conjunct p_size >= 1 appear in PushedFilters), broadcasts
+    the pruned dim, and evaluates the residual cross-side OR inside
+    the hash join — never a cross product.  The lineitem quantity
+    bounds stay in the residual (their exact-decimal cast is not a
+    pushable scan predicate — the determinism contract wins over the
+    marginal scan skip).
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")

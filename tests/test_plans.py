@@ -380,3 +380,17 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_disjunctive_predicate_pushes_part_side(spark, sf_dir):
+    # Q19 shape: the part-side projection of the OR-of-ANDs predicate
+    # must reach the part scan (brand/size Or-tree in PushedFilters),
+    # the pruned dim must broadcast, and the cross-side residual must
+    # stay a hash-join condition — never a cross product.
+    df = spark_queries()["disjunctive_brand_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l and "Or(" in l for l in pushed)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
