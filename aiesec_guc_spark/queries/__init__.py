@@ -157,6 +157,7 @@ _EVIDENCE_PRIORITY = [
     "forecast_revenue_change",
     "returned_item_customers",
     "disjunctive_brand_revenue",
+    "events_hourly_anomalies",
 ]
 
 

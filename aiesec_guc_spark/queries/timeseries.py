@@ -190,3 +190,110 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hr_lo").cast("bigint").alias("hr_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection — median/MAD outliers in EXACT integers.
+# ---------------------------------------------------------------------------
+
+# z-scores need stddev (whose accumulation order and sqrt are not
+# cross-engine-exact); the robust median/MAD detector runs entirely in
+# integers by carrying DOUBLED medians: med2 = 2·median is an integer
+# for any integer series (odd n → 2·middle; even n → sum of the two
+# middles), dev2 = |2n − med2| = 2·|n − med|, mad4 = 2·median(dev2) =
+# 4·MAD, and the 3-sigma-analogue test |n−med| > 3·MAD becomes the
+# pure-integer comparison 2·dev2 > 3·mad4.
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n, hr) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM hourly
+),
+med AS (
+    SELECT event_type, CAST(SUM(n) * (3 - count(*)) AS BIGINT) AS med2
+    FROM ranked
+    WHERE rk = (cnt + 1) // 2 OR rk = (cnt + 2) // 2
+    GROUP BY event_type
+),
+devs AS (
+    SELECT h.hr, h.event_type, h.n, m.med2,
+           abs(2 * h.n - m.med2) AS dev2
+    FROM hourly h JOIN med m ON h.event_type = m.event_type
+),
+dranked AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY event_type ORDER BY dev2, hr
+           ) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM devs
+),
+mad AS (
+    SELECT event_type, CAST(SUM(dev2) * (3 - count(*)) AS BIGINT) AS mad4
+    FROM dranked
+    WHERE rk = (cnt + 1) // 2 OR rk = (cnt + 2) // 2
+    GROUP BY event_type
+)
+SELECT epoch_us(d.hr) AS hour_us,
+       d.event_type,
+       CAST(d.n AS BIGINT) AS n,
+       CAST(d.med2 AS DOUBLE) / 2 AS median_n,
+       CAST(m.mad4 AS DOUBLE) / 4 AS mad_n,
+       (2 * d.dev2 > 3 * m.mad4) AS is_anomaly
+FROM devs d JOIN mad m ON d.event_type = m.event_type
+"""
+
+
+@query("events_hourly_anomalies", oracle=_ANOMALY_ORACLE)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection over the hourly event-count series:
+    flag hours whose count deviates from the per-type MEDIAN by more
+    than 3 MADs — computed entirely in exact integer arithmetic via
+    doubled medians (see the module comment), so no stddev/sqrt whose
+    accumulation order could differ cross-engine ever runs.
+
+    Scale: one fact-sized hourly count (map-side combined); both
+    median passes are rank windows over the tiny (hour × type) frame
+    partitioned by type; the MAD join keys on event_type (broadcast).
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def _med2(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val, "hr")
+        wc = Window.partitionBy("event_type")
+        ranked = df.withColumn("rk", F.row_number().over(w)).withColumn(
+            "cnt", F.count(F.lit(1)).over(wc)
+        )
+        return (
+            ranked.filter(
+                (F.col("rk") == F.expr("(cnt + 1) div 2"))
+                | (F.col("rk") == F.expr("(cnt + 2) div 2"))
+            )
+            .groupBy("event_type")
+            .agg(
+                (F.sum(val) * (F.lit(3) - F.count(F.lit(1))))
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    med = _med2(hourly, "n", "med2")
+    devs = hourly.join(med, "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("n") - F.col("med2"))
+    )
+    mad = _med2(devs, "dev2", "mad4")
+    return devs.join(F.broadcast(mad), "event_type").select(
+        F.unix_micros("hr").alias("hour_us"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("med2").cast("double") / 2).alias("median_n"),
+        (F.col("mad4").cast("double") / 4).alias("mad_n"),
+        (2 * F.col("dev2") > 3 * F.col("mad4")).alias("is_anomaly"),
+    )
