@@ -158,6 +158,7 @@ _EVIDENCE_PRIORITY = [
     "returned_item_customers",
     "disjunctive_brand_revenue",
     "events_hourly_anomalies",
+    "discount_quantity_correlation",
 ]
 
 

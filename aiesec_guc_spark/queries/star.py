@@ -1082,3 +1082,68 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation from exact sufficient statistics.
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+    SELECT count(*) AS n,
+           SUM(CAST(l_discount AS DECIMAL(9,2))) AS sx,
+           SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sy,
+           SUM(CAST(l_discount AS DECIMAL(9,2))
+               * CAST(l_discount AS DECIMAL(9,2))) AS sxx,
+           SUM(CAST(l_quantity AS DECIMAL(9,2))
+               * CAST(l_quantity AS DECIMAL(9,2))) AS syy,
+           SUM(CAST(l_discount AS DECIMAL(9,2))
+               * CAST(l_quantity AS DECIMAL(9,2))) AS sxy
+    FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_discount_qty
+FROM s
+"""
+
+
+@query("discount_quantity_correlation", oracle=_CORR_ORACLE)
+def discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between discount and quantity WITHOUT the
+    built-in ``corr`` (whose streaming accumulation order is not
+    cross-engine-reproducible): the five sufficient statistics are
+    EXACT decimal sums, cast to double once, and the closed-form r
+    uses only deterministic double ops — IEEE-754 sqrt is correctly
+    rounded, so identical inputs give bit-identical r on any engine.
+
+    Scale: a single map-side-combined 1-row aggregate over the fact —
+    the mergeable-sufficient-statistics shape that also makes the
+    correlation incrementally maintainable (store the five sums,
+    merge partitions/days exactly).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = _dec("l_discount")
+    y = _dec("l_quantity")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        n.cast("bigint").alias("n"),
+        (
+            (n * dbl("sxy") - dbl("sx") * dbl("sy"))
+            / (
+                F.sqrt(n * dbl("sxx") - dbl("sx") * dbl("sx"))
+                * F.sqrt(n * dbl("syy") - dbl("sy") * dbl("sy"))
+            )
+        ).alias("corr_discount_qty"),
+    )
