@@ -159,6 +159,8 @@ _EVIDENCE_PRIORITY = [
     "disjunctive_brand_revenue",
     "events_hourly_anomalies",
     "discount_quantity_correlation",
+    "sample_weighted_docs",
+    "session_path_mining",
 ]
 
 

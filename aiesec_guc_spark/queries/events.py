@@ -886,3 +886,98 @@ def streaming_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import run_streaming_wau_approx
 
     return run_streaming_wau_approx(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Session path mining — the top click-paths table.
+# ---------------------------------------------------------------------------
+
+_PATHS_TOPK = 10
+
+_PATHS_ORACLE = f"""
+WITH gaps AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM gaps
+),
+paths AS (
+    SELECT user_id, session_id,
+           array_to_string(
+               (array_agg(event_type ORDER BY ts, event_id))[1:3], '>'
+           ) AS path
+    FROM sessions GROUP BY user_id, session_id
+),
+counts AS (
+    SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, n_sessions, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+    FROM counts
+) x
+WHERE rk <= {_PATHS_TOPK}
+"""
+
+
+@query("session_path_mining", oracle=_PATHS_ORACLE)
+def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining: the {k} most common session-opening
+    paths (first 3 event types per gap-session) — transition
+    matrices' (E73) longer-range sibling, the table behind funnel
+    design and bot detection.
+
+    Per-session ordering is pinned by sorting the collected
+    (ts_us, event_id, type) structs — collect_list order is
+    execution-dependent, array_sort makes it exact (the oracle's
+    ordered array_agg is the same contract).  The sessionizer windows
+    partition by user; the path count is two-phase on a tiny key
+    space; the final ranking window sees distinct paths only.
+    """.replace("{k}", str(_PATHS_TOPK))
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = e.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("t"),
+                                F.col("event_id").alias("e"),
+                                F.col("event_type").alias("y"),
+                            )
+                        )
+                    ),
+                    1,
+                    3,
+                ),
+                lambda x: x.y,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= _PATHS_TOPK)
+        .select("path", "n_sessions", "rk")
+    )

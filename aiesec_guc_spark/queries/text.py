@@ -738,3 +738,43 @@ def text_oov_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").cast("bigint").alias("n_oov"),
         (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted sampling — deterministic, integer-exact.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 100  # expected sample size
+
+_WSAMPLE_ORACLE = f"""
+WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w FROM documents)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight
+FROM documents, tot
+WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT * tot.w
+      < {_WSAMPLE_K} * n_chars * 4294967296
+"""
+
+
+@query("sample_weighted_docs", oracle=_WSAMPLE_ORACLE)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted sampling: include a doc with probability
+    ∝ its length (expected sample size {k}), decided by the PURE
+    INTEGER test ``u·W < k·w·2³²`` (u = portable 32-bit md5 hash,
+    w = doc weight, W = Σw) — no floating point, no rand(), so the
+    sample is retry/speculation-stable and bit-identical on any
+    engine.  The fixed-denominator form requires W < 2³¹ to stay in
+    BIGINT; larger corpora pre-scale weights (divide by a power of 2)
+    with negligible probability distortion.
+
+    Scale: the total weight is a 1-row broadcast aggregate; the test
+    is a scan-level filter — embarrassingly parallel, and pushdown-
+    friendly if u·W/w is precomputed at ingest.
+    """.replace("{k}", str(_WSAMPLE_K))
+    d = load_table(spark, sf_dir, "documents")
+    tot = d.agg(F.sum("n_chars").cast("bigint").alias("w"))
+    u = hash32(F.col("text"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .filter(u * F.col("w") < _WSAMPLE_K * F.col("n_chars") * F.lit(2**32))
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("weight"))
+    )
