@@ -32,6 +32,13 @@ def rolling_distinct_count(
 
     Returns (day: date, n_distinct: long).
     """
+    from .dedup import materialize
+
+    # Two consumers (bounds aggregate + spread) — materialized so the
+    # caller's fact-sized dedup runs ONCE, not once per consumer
+    # (Catalyst has no cross-consumer plan CSE; verified: without
+    # this, weekly_active_users scanned the fact 4x).
+    days = materialize(days)
     b = days.agg(F.min(day_col).alias("mn"), F.max(day_col).alias("mx"))
     spread = days.select(
         key_col,

@@ -775,6 +775,8 @@ def events_daily_ops_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("new_session").cast("bigint").alias("n_sessions_started"))
     )
     days = e.select("user_id", day.alias("d")).distinct()
+    # rolling_distinct_count materializes `days` internally, so the
+    # dedup pass over the fact runs once despite its two consumers.
     wau = rolling_distinct_count(days, "user_id", "d", 7).select(
         "day", F.col("n_distinct").alias("wau")
     )

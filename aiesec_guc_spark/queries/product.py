@@ -219,8 +219,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort side when it fits, else both sides are already skinny).
     Everything after the first pass is |users × days|-sized.
     """
+    from ..operators.dedup import materialize
+
     e = load_table(spark, sf_dir, "events")
-    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    # Two consumers (cohort min + activity join) — materialized so the
+    # fact-sized dedup runs once (no cross-consumer plan CSE).
+    days = materialize(
+        e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    )
     coh = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
         days.join(coh, "user_id")

