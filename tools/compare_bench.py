@@ -1,0 +1,62 @@
+"""Diff two bench.py JSON outputs and flag per-query regressions.
+
+    python tools/compare_bench.py OLD.json NEW.json [--threshold 2.0]
+
+Compares warm_min (falling back to cold) per query, prints the
+queries whose ratio NEW/OLD exceeds the threshold, the ones that
+disappeared, and the totals.  Exit code 1 if any regression exceeds
+the threshold — suitable as a CI gate between rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _warm(detail: dict) -> float | None:
+    w = detail.get("warm_min")
+    return w if w is not None else detail.get("cold")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) != 2:
+        print(__doc__)
+        return 2
+    threshold = 2.0
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    old = json.load(open(args[0]))
+    new = json.load(open(args[1]))
+    od = old.get("queries_detail", {})
+    nd = new.get("queries_detail", {})
+
+    print(f"totals: cold {old.get('value')} -> {new.get('value')} | "
+          f"warm {old.get('warm_total')} -> {new.get('warm_total')} | "
+          f"queries {len(od)} -> {len(nd)}")
+    gone = sorted(set(od) - set(nd))
+    if gone:
+        print(f"missing in NEW ({len(gone)}): {', '.join(gone)}")
+    added = sorted(set(nd) - set(od))
+    if added:
+        print(f"new queries ({len(added)}): {', '.join(added)}")
+
+    regressions = []
+    for name in sorted(set(od) & set(nd)):
+        ow, nw = _warm(od[name]), _warm(nd[name])
+        if not ow or not nw or ow <= 0:
+            continue
+        ratio = nw / ow
+        if ratio > threshold and nw - ow > 0.5:  # ignore sub-second jitter
+            regressions.append((ratio, name, ow, nw))
+    for ratio, name, ow, nw in sorted(regressions, reverse=True):
+        print(f"REGRESSION {name}: {ow:.2f}s -> {nw:.2f}s ({ratio:.1f}x)")
+    if not regressions:
+        print(f"no per-query regression above {threshold}x")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
