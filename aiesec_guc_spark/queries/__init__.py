@@ -161,6 +161,7 @@ _EVIDENCE_PRIORITY = [
     "discount_quantity_correlation",
     "sample_weighted_docs",
     "session_path_mining",
+    "events_multigrain_rollup",
 ]
 
 

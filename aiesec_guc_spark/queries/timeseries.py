@@ -307,3 +307,78 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mad4").cast("double") / 4).alias("mad_n"),
         (2 * F.col("dev2") > 3 * F.col("mad4")).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation lattice — day/week/month grains from ONE fact pass.
+# ---------------------------------------------------------------------------
+
+_MULTIGRAIN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           count(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY 1
+)
+SELECT 'day' AS grain, CAST(d AS VARCHAR) AS period_start,
+       CAST(n AS BIGINT) AS n_events, CAST(v AS DOUBLE) AS total_value
+FROM daily
+UNION ALL
+SELECT 'week', CAST(CAST(date_trunc('week', d) AS DATE) AS VARCHAR),
+       CAST(SUM(n) AS BIGINT), CAST(SUM(v) AS DOUBLE)
+FROM daily GROUP BY 2
+UNION ALL
+SELECT 'month', CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR),
+       CAST(SUM(n) AS BIGINT), CAST(SUM(v) AS DOUBLE)
+FROM daily GROUP BY 2
+"""
+
+
+@query("events_multigrain_rollup", oracle=_MULTIGRAIN_ORACLE)
+def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation lattice: day, week, and month grains emitted from
+    ONE pass over the fact — the daily frame is materialized and the
+    coarser grains re-aggregate IT (exact decimal partials re-sum
+    exactly, so week/month equal what a direct fact aggregation would
+    produce — the property that makes pre-aggregated rollup tables
+    trustworthy).
+
+    Scale: one map-side-combined daily aggregate reads the fact; the
+    week/month re-rolls and the 3-way union run over the #days-sized
+    frame.  This is the build step for an aggregate-navigator layout
+    (store all three grains, route queries to the coarsest usable).
+    """
+    from ..operators.dedup import materialize
+
+    e = load_table(spark, sf_dir, "events")
+    daily = materialize(
+        e.groupBy(F.to_date("ts").alias("d")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+    )
+
+    def grain(name: str, period: F.Column, src: DataFrame) -> DataFrame:
+        return (
+            src.groupBy(period.alias("period_start"))
+            .agg(
+                F.sum("n").cast("bigint").alias("n_events"),
+                F.sum("v").cast("double").alias("total_value"),
+            )
+            .select(
+                F.lit(name).alias("grain"),
+                "period_start",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    day = daily.select(
+        F.lit("day").alias("grain"),
+        F.col("d").cast("string").alias("period_start"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("v").cast("double").alias("total_value"),
+    )
+    week = grain("week", F.to_date(F.date_trunc("week", F.col("d"))).cast("string"), daily)
+    month = grain("month", F.to_date(F.date_trunc("month", F.col("d"))).cast("string"), daily)
+    return day.unionByName(week).unionByName(month)
