@@ -162,6 +162,7 @@ _EVIDENCE_PRIORITY = [
     "sample_weighted_docs",
     "session_path_mining",
     "events_multigrain_rollup",
+    "sample_negative_pairs",
 ]
 
 

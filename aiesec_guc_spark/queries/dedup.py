@@ -912,3 +912,65 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.array_join(F.array_sort(F.collect_list("id")), "|").alias("members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative-pair sampling — contrastive-training counterpart of the
+# near-dup (positive-pair) family.
+# ---------------------------------------------------------------------------
+
+_NEGPAIRS_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, lang, md5(text) AS fp,
+           row_number() OVER (ORDER BY md5(text), doc_id) AS rk,
+           count(*) OVER () AS n
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.lang AS lang_a, b.lang AS lang_b
+FROM ranked a
+JOIN ranked b
+  ON b.rk = ((a.rk - 1 + a.n // 2) % a.n) + 1
+WHERE a.fp <> b.fp AND a.rk <= a.n // 2
+"""
+
+
+@query("sample_negative_pairs", oracle=_NEGPAIRS_ORACLE)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: pair
+    each doc with the one N/2 positions away in md5-hash order — a
+    fixed derangement that is uniform-random-like (hash order is
+    content-keyed) yet retry/speculation-stable and reproducible on
+    any engine, with exact-dup accidental positives filtered by
+    fingerprint inequality.  Each unordered pair emits once
+    (rk ≤ n/2).
+
+    Scale caveat (deliberate, documented like E14): the global
+    row_number here is a single-partition window at the corpus scale
+    of this table; at 100 TB the rank comes from the offset-merge
+    machinery (customer_acctbal_deciles) or a precomputed shard+rank
+    (shard_corpus_for_training) — the pairing arithmetic is unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("fp", "doc_id")
+    ranked = (
+        d.select("doc_id", "lang", F.md5("text").alias("fp"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("b.rk")
+            == ((F.col("a.rk") - 1 + F.expr("a.n div 2")) % F.col("a.n")) + 1,
+        )
+        .filter((F.col("a.fp") != F.col("b.fp")) & (F.col("a.rk") <= F.expr("a.n div 2")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+    )
