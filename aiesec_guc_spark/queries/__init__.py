@@ -163,6 +163,7 @@ _EVIDENCE_PRIORITY = [
     "session_path_mining",
     "events_multigrain_rollup",
     "sample_negative_pairs",
+    "user_ltv_deciles",
 ]
 
 

@@ -345,3 +345,57 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# User-LTV deciles — the exact-ntile operator over a DERIVED frame.
+# ---------------------------------------------------------------------------
+
+_LTV_DECILES_ORACLE = """
+WITH ltv AS (
+    SELECT user_id,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events GROUP BY user_id
+),
+t AS (
+    SELECT user_id, total_value,
+           ntile(10) OVER (ORDER BY total_value, user_id) AS decile
+    FROM ltv
+)
+SELECT CAST(decile AS INT) AS decile,
+       count(*) AS n_users,
+       CAST(min(total_value) AS DOUBLE) AS min_ltv,
+       CAST(max(total_value) AS DOUBLE) AS max_ltv,
+       CAST(SUM(total_value) AS DOUBLE) AS total_ltv
+FROM t GROUP BY decile
+"""
+
+
+@query("user_ltv_deciles", oracle=_LTV_DECILES_ORACLE)
+def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifetime-value deciles: per-user exact-decimal value sums
+    bucketed by :func:`aiesec_guc_spark.operators.quantiles.
+    exact_ntile` — equal-frequency bucketing over a DERIVED frame
+    with no global single-task sort (the offset-merge rank machinery,
+    reused from the customer-balance deciles).
+
+    Scale: one map-side-combined per-user aggregate reads the fact;
+    the ntile runs over the #users-sized frame via range partitions +
+    an O(#partitions) driver prefix-sum.
+    """
+    from ..operators.quantiles import exact_ntile
+
+    e = load_table(spark, sf_dir, "events")
+    ltv = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value")
+    )
+    return (
+        exact_ntile(ltv, ["total_value", "user_id"], 10)
+        .groupBy(F.col("bucket").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("total_value").cast("double").alias("min_ltv"),
+            F.max("total_value").cast("double").alias("max_ltv"),
+            F.sum("total_value").cast("double").alias("total_ltv"),
+        )
+    )

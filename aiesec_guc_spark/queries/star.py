@@ -625,52 +625,14 @@ def customer_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
        extra row) maps rank → decile exactly, matching the oracle's
        native ``ntile(10)`` bit-for-bit.
     """
+    from ..operators.quantiles import exact_ntile
+
     c = load_table(spark, sf_dir, "customer")
     bal = F.col("c_acctbal").cast("decimal(12,2)")
     t = c.select(F.col("c_custkey"), bal.alias("bal"))
-
-    nparts = max(spark.sparkContext.defaultParallelism, 2)
-    ranged = materialize(
-        t.repartitionByRange(nparts, F.col("bal"), F.col("c_custkey")).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-    )
-
-    # Tiny driver-side prefix sum: one row per range partition.
-    sizes = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    total = sum(sizes.values())
-    offsets, acc = [], 0
-    for pid in sorted(sizes):
-        offsets.append((pid, acc))
-        acc += sizes[pid]
-    off = F.broadcast(spark.createDataFrame(offsets, "_pid int, _offset long"))
-
-    local_rank = F.row_number().over(
-        Window.partitionBy("_pid").orderBy(F.col("bal"), F.col("c_custkey"))
-    )
-    ranked = ranged.withColumn("_lrank", local_rank).join(off, "_pid")
-    grank = F.col("_offset") + F.col("_lrank")
-
-    # ntile(10): q = N div 10 rows per bucket, first `rem` buckets get
-    # one extra.  Integer DIV keeps it exact at any N.
-    q, rem = divmod(total, 10)
-    cut = rem * (q + 1)
-    decile = F.when(
-        grank <= F.lit(cut),
-        F.expr(f"CAST((_offset + _lrank + {q}) DIV {q + 1} AS INT)"),
-    ).otherwise(
-        F.expr(
-            f"CAST({rem} + (_offset + _lrank - {cut} + {max(q, 1) - 1})"
-            f" DIV {max(q, 1)} AS INT)"
-        )
-    )
-
     return (
-        ranked.withColumn("decile", decile)
-        .groupBy("decile")
+        exact_ntile(t, ["bal", "c_custkey"], 10)
+        .groupBy(F.col("bucket").alias("decile"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.min("bal").cast("double").alias("min_bal"),

@@ -336,3 +336,32 @@ def test_collapse_runs_matches_bruteforce(spark):
         if run is not None:
             expected.append((k, run[0], run[1], run[2], run[3]))
     assert got == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# Exact ntile (offset-merge global rank)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_ntile_matches_bruteforce(spark):
+    from aiesec_guc_spark.operators.quantiles import exact_ntile
+
+    rng = random.Random(31)
+    for n_rows, k in [(97, 10), (40, 7), (12, 12), (5, 10)]:
+        rows = [(i, rng.randint(0, 50)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "id int, v int")
+        got = {
+            r["id"]: r["bucket"]
+            for r in exact_ntile(df, ["v", "id"], k).collect()
+        }
+        # brute force: sort by (v, id), standard ntile distribution
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        q, rem = divmod(n_rows, k)
+        expected, pos = {}, 0
+        for b in range(1, k + 1):
+            size = q + (1 if b <= rem else 0)
+            for _ in range(size):
+                if pos < n_rows:
+                    expected[order[pos][0]] = b
+                    pos += 1
+        assert got == expected, f"n={n_rows} k={k}"
