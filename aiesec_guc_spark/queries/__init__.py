@@ -164,6 +164,7 @@ _EVIDENCE_PRIORITY = [
     "events_multigrain_rollup",
     "sample_negative_pairs",
     "user_ltv_deciles",
+    "purchase_click_attribution",
 ]
 
 

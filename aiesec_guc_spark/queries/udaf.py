@@ -260,3 +260,78 @@ def asof_click_error_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value_cols=["err_id", "err_value"], direction="nearest",
     )
     return _asof_output(joined)
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — the as-of join applied to revenue credit.
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH purchases AS (
+    SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+    FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+att AS (
+    SELECT p.user_id, p.ts, p.v, c.ts AS click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_purchases,
+       CAST(SUM(CASE WHEN click_ts IS NOT NULL
+                      AND ts - click_ts <= INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN click_ts IS NOT NULL
+                      AND ts - click_ts <= INTERVAL 1 HOUR
+                     THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS attributed_revenue,
+       CAST(SUM(CASE WHEN click_ts IS NOT NULL
+                      AND ts - click_ts <= INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+           AS attribution_rate
+FROM att
+GROUP BY 1
+"""
+
+
+@query("purchase_click_attribution", oracle=_ATTRIBUTION_ORACLE)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click within a 1-hour lookback; daily totals report the
+    attribution rate and the exactly-summed attributed revenue — the
+    marketing-analytics capstone of the as-of join operator (the
+    DuckDB oracle uses its native ASOF LEFT JOIN; the Spark side is
+    operators/asof.py's union+window carry, one shuffle).
+
+    Inclusive-at-equality semantics match on both sides (the carry
+    orders the right side first at equal timestamps; ASOF's >= is
+    inclusive).  Ties between same-instant clicks are harmless —
+    only the click timestamp is surfaced.
+    """
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    att = asof_join(purchases, clicks, ["user_id"], "ts", [])
+    within = F.col("asof_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("asof_ts") <= 3600 * 1_000_000
+    )
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    return att.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(within, 1).otherwise(0)).cast("bigint").alias("n_attributed"),
+        F.sum(F.when(within, F.col("v")).otherwise(dec0))
+        .cast("double")
+        .alias("attributed_revenue"),
+        (
+            F.sum(F.when(within, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("attribution_rate"),
+    )
