@@ -165,6 +165,7 @@ _EVIDENCE_PRIORITY = [
     "sample_negative_pairs",
     "user_ltv_deciles",
     "purchase_click_attribution",
+    "pit_purchase_status",
 ]
 
 

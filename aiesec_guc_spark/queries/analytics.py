@@ -554,3 +554,104 @@ def text_discriminative_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _DISCRIM_TOPK)
         .select("lang", "term", "tf", "df", "score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time dimension join: fact rows joined to the SCD2 status
+# run valid AT the fact's time — the lookup every SCD2 history exists
+# to serve (scd2_user_status_history builds the dimension; this query
+# consumes it).
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+),
+dominant AS (
+    SELECT user_id, d, event_type AS status,
+           row_number() OVER (
+               PARTITION BY user_id, d ORDER BY n DESC, event_type
+           ) AS rk
+    FROM daily
+),
+runs AS (
+    SELECT user_id, d, status,
+           row_number() OVER (PARTITION BY user_id ORDER BY d)
+         - row_number() OVER (PARTITION BY user_id, status ORDER BY d) AS island
+    FROM dominant WHERE rk = 1
+),
+scd AS (
+    SELECT user_id, status,
+           min(d) AS valid_from, max(d) AS valid_to
+    FROM runs GROUP BY user_id, status, island
+),
+purchases AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT s.status,
+       count(*) AS n_purchases,
+       CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value,
+       CAST(SUM(date_diff('day', s.valid_from, p.d)) AS BIGINT) AS run_age_days
+FROM purchases p
+JOIN scd s
+  ON s.user_id = p.user_id
+ AND p.d BETWEEN s.valid_from AND s.valid_to
+GROUP BY s.status
+"""
+
+
+@query("pit_purchase_status", oracle=_PIT_ORACLE)
+def pit_purchase_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every purchase matched to the SCD2 status
+    run valid ON the purchase day, then revenue/age rolled up per
+    status — "what state was this user in when they converted?".
+
+    The oracle expresses the lookup as an interval join (BETWEEN
+    valid_from AND valid_to); the Spark plan deliberately does NOT —
+    SCD2 runs are non-overlapping and ordered per user, so the
+    containing run is exactly the latest run with valid_from <= day:
+    a backward as-of join (operators/asof.py union+window carry, ONE
+    user-keyed shuffle, no range cross-product).  That as-of rewrite
+    is the scale story: at 100 TB the interval form would need a
+    banded join, while the as-of carry rides the same exchange the
+    per-user windows already use.  Purchase days are observed days,
+    so every purchase lands inside a run (inclusive-at-equality: a
+    run starting on the purchase day matches — the carry sorts the
+    dimension row first at ties).
+
+    Fact work: one (user, day, type) count over raw events + one
+    purchase projection; everything after runs on the tiny daily/run
+    frames.  Sums are exact-decimal, ages exact integers.
+    """
+    from ..operators.asof import asof_join
+    from ..operators.scd import collapse_runs
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("d"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_dom = Window.partitionBy("user_id", "d").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    dominant = (
+        daily.withColumn("rk", F.row_number().over(w_dom))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "d", F.col("event_type").alias("status"))
+    )
+    scd = collapse_runs(dominant, "user_id", "d", "status").select(
+        "user_id", "status", F.col("valid_from").alias("d")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    matched = asof_join(
+        purchases, scd, keys=["user_id"], ts_col="d",
+        right_value_cols=["status"], direction="backward",
+    )
+    return matched.groupBy(F.col("asof_status").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("purchase_value"),
+        F.sum(F.datediff(F.col("d"), F.col("asof_ts"))).alias("run_age_days"),
+    )
