@@ -166,6 +166,7 @@ _EVIDENCE_PRIORITY = [
     "user_ltv_deciles",
     "purchase_click_attribution",
     "pit_purchase_status",
+    "basket_pair_lift",
 ]
 
 

@@ -399,3 +399,94 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_value").cast("double").alias("total_ltv"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair affinity — support + lift over co-ordered brands.
+# ---------------------------------------------------------------------------
+
+_BASKET_TOPK = 20
+
+_BASKET_ORACLE = f"""
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+tot AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+cnt AS (SELECT brand, count(*) AS n FROM ob GROUP BY brand),
+pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+    FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+    GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_ab, n_a, n_b,
+       CAST(n_ab * n_orders AS DOUBLE) / (n_a * n_b) AS lift
+FROM (
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           ca.n AS n_a, cb.n AS n_b, t.n_orders,
+           row_number() OVER (
+               ORDER BY p.n_ab DESC, p.brand_a, p.brand_b
+           ) AS rk
+    FROM pairs p
+    JOIN cnt ca ON ca.brand = p.brand_a
+    JOIN cnt cb ON cb.brand = p.brand_b
+    CROSS JOIN tot t
+)
+WHERE rk <= {_BASKET_TOPK}
+"""
+
+
+@query("basket_pair_lift", oracle=_BASKET_ORACLE)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: brand pairs co-occurring in an order,
+    with support counts and lift = P(a,b)/(P(a)·P(b)) — the
+    co-occurrence statistic behind recommenders ("bought together").
+
+    Scale shape (100 TB): the fact collapses to DISTINCT (order,
+    brand) first — one shuffle, and the per-order basket is bounded
+    by the brand cardinality, so the orderkey self-join fans out at
+    most |basket|² pairs per order and the pair key space is ≤
+    brands² (two-phase grouped count, map-side combined).  Brand
+    marginals (≤ #brands rows) and the 1-row order total broadcast
+    into the scoring join.  Lift is exact-integer products (n_ab·N
+    and n_a·n_b both fit BIGINT comfortably below ~3e9 orders) with
+    ONE double division; top-k ties break on the pair itself.  The
+    part dimension broadcasts into the fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    n_ab = (
+        a.join(b, on="okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    cnt = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    scored = (
+        n_ab.join(
+            F.broadcast(cnt.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))),
+            on="brand_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))),
+            on="brand_b",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy(F.desc("n_ab"), F.asc("brand_a"), F.asc("brand_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BASKET_TOPK)
+        .select(
+            "brand_a", "brand_b", "n_ab", "n_a", "n_b",
+            ((F.col("n_ab") * F.col("n_orders")).cast("double") / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+    )
