@@ -167,6 +167,7 @@ _EVIDENCE_PRIORITY = [
     "purchase_click_attribution",
     "pit_purchase_status",
     "basket_pair_lift",
+    "basket_brand_triangles",
 ]
 
 

@@ -490,3 +490,111 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_ab") * F.col("n_orders")).cast("double") / (F.col("n_a") * F.col("n_b"))).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — graph-structure statistics over the co-purchase
+# brand graph (edges = pairs with >= 2% order support).
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+tot AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+edges AS (
+    SELECT a.brand AS a, b.brand AS b
+    FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+    CROSS JOIN tot t
+    GROUP BY a.brand, b.brand, t.n_orders
+    HAVING 100 * count(*) >= 2 * t.n_orders
+),
+tris AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pernode AS (
+    SELECT a AS brand FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+),
+deg AS (
+    SELECT brand, count(*) AS degree FROM (
+        SELECT a AS brand FROM edges UNION ALL SELECT b FROM edges
+    ) GROUP BY brand
+)
+SELECT d.brand, d.degree,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles
+FROM deg d
+LEFT JOIN (SELECT brand, count(*) AS n_tri FROM pernode GROUP BY brand) t
+  ON t.brand = d.brand
+"""
+
+
+@query("basket_brand_triangles", oracle=_TRI_ORACLE)
+def basket_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase brand graph
+    (edges = brand pairs in >= 2% of orders) — the local clustering
+    signal community-detection and spam-graph pipelines start from.
+
+    Enumeration uses the ordered orientation a < b < c: each triangle
+    is produced exactly once by joining two ordered two-paths and
+    checking the closing edge.  Scale shape: the expensive part is
+    building the EDGE list, which is the basket machinery (fact →
+    distinct (order, brand) → bounded self-join → two-phase count);
+    the triangle joins run on the post-aggregation edge frame, tiny
+    here and broadcast by AQE.  On graphs where edges don't collapse
+    this far, the same ordered-join plan holds with degree-based
+    orientation (orient each edge low-degree → high-degree) bounding
+    the two-path fan-out — the standard distributed triangle recipe.
+    The 2%-support HAVING uses exact integers (100·n_ab >= 2·N), no
+    float thresholds.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    pa = ob.select("okey", F.col("brand").alias("a"))
+    pb = ob.select("okey", F.col("brand").alias("b"))
+    edges = (
+        pa.join(pb, on="okey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.lit(100) * F.col("n_ab") >= F.lit(2) * F.col("n_orders"))
+        .select("a", "b")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tris = (
+        e1.join(e2, on="b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    pernode = (
+        tris.select(F.col("a").alias("brand"))
+        .unionAll(tris.select(F.col("b").alias("brand")))
+        .unionAll(tris.select(F.col("c").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("brand"))
+        .unionAll(edges.select(F.col("b").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(pernode, on="brand", how="left").select(
+        "brand",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+    )
