@@ -168,6 +168,7 @@ _EVIDENCE_PRIORITY = [
     "pit_purchase_status",
     "basket_pair_lift",
     "basket_brand_triangles",
+    "dedup_incremental_index",
 ]
 
 

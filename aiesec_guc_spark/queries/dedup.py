@@ -974,3 +974,123 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.lang").alias("lang_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: a NEW ingest batch checked against the
+# already-indexed corpus — new×corpus candidates only, never
+# corpus×corpus (the daily-ingest shape of LSH dedup at 100 TB).
+# ---------------------------------------------------------------------------
+
+INCR_NEW_MOD = 10  # ~1/10 of docs play the "newly ingested batch"
+INCR_JACCARD_DUP = 0.5
+
+
+def _incremental_oracle() -> str:
+    base = _minhash_oracle()
+    # Reuse the generated docs/sh/h/sig/bands CTE chain verbatim
+    # (identical constants => identical signatures); replace the
+    # corpus×corpus candidate join and the downstream SELECT.
+    head = base.split("cand AS (")[0]
+    split = f"{_H32.format(x='CAST(doc_id AS VARCHAR)')} % {INCR_NEW_MOD} = 0"
+    return f"""{head}cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id <> b.doc_id
+  WHERE ({split.replace('doc_id', 'a.doc_id')})
+    AND NOT ({split.replace('doc_id', 'b.doc_id')})
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS icnt
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.doc_a
+  JOIN shd y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(COALESCE(i.icnt, 0) AS DOUBLE)
+           / (sa.sz + sb.sz - COALESCE(i.icnt, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_cand, 0) AS BIGINT) AS n_candidates,
+       s.best_jaccard,
+       COALESCE(s.best_jaccard >= {INCR_JACCARD_DUP}, FALSE) AS is_dup
+FROM (SELECT doc_id FROM docs WHERE {split}) d
+LEFT JOIN (
+  SELECT doc_a, count(*) AS n_cand, max(jaccard) AS best_jaccard
+  FROM scored GROUP BY doc_a
+) s ON s.doc_a = d.doc_id
+"""
+
+
+@query("dedup_incremental_index", oracle=_incremental_oracle())
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup: a newly-ingested batch (a deterministic
+    md5 1/10th of the corpus standing in for today's crawl) checked
+    for near-dups against the ALREADY-INDEXED corpus.
+
+    This is the shape that actually runs daily at 100 TB: the corpus's
+    band keys are a precomputed index (here rebuilt because the
+    testdata has no persisted state — in production they'd be read
+    back from the banded parquet the last run wrote), and the bucket
+    join is NEW-side × corpus-side only.  Candidate cost scales with
+    the BATCH size, not the corpus: corpus docs never pair with each
+    other, so a 1000× corpus at constant batch size costs the same
+    join fan-out per bucket occupancy.  Verification (exact Jaccard)
+    again touches only candidates.  Every new doc reports: candidate
+    count, best Jaccard, and the is_dup admission decision — the
+    admission filter a crawl pipeline applies before appending to the
+    corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
+    ).select("doc_id", "text")
+    is_new = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % INCR_NEW_MOD == 0
+    )
+    docs = docs.withColumn("_is_new", is_new)
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    bands = materialize(
+        lsh_band_keys(sigs, "doc_id").join(
+            docs.select("doc_id", "_is_new"), on="doc_id"
+        )
+    )
+    new_bands = bands.filter(F.col("_is_new")).select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    corpus_bands = bands.filter(~F.col("_is_new")).select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    cand = (
+        new_bands.join(corpus_bands, on=["band", "band_key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    scored = jaccard_verify(cand, shingle_rows(docs, "doc_id", "text"), "doc_id")
+    per_new = scored.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    return (
+        docs.filter(F.col("_is_new"))
+        .select("doc_id")
+        .join(per_new, docs.doc_id == per_new.doc_a, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+            F.col("best_jaccard"),
+            F.coalesce(
+                F.col("best_jaccard") >= INCR_JACCARD_DUP, F.lit(False)
+            ).alias("is_dup"),
+        )
+    )
