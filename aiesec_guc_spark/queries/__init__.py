@@ -169,6 +169,7 @@ _EVIDENCE_PRIORITY = [
     "basket_pair_lift",
     "basket_brand_triangles",
     "dedup_incremental_index",
+    "brand_pagerank",
 ]
 
 

@@ -598,3 +598,128 @@ def basket_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank in exact integer arithmetic — 2 unrolled power iterations
+# over the co-purchase brand graph.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12  # fixed-point: 1.0 == 10^12
+
+_PAGERANK_ORACLE = f"""
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+tot AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+und AS (
+    SELECT a.brand AS a, b.brand AS b
+    FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+    CROSS JOIN tot t
+    GROUP BY a.brand, b.brand, t.n_orders
+    HAVING 100 * count(*) >= 2 * t.n_orders
+),
+edges AS (
+    SELECT a AS src, b AS dst FROM und
+    UNION ALL
+    SELECT b AS src, a AS dst FROM und
+),
+deg AS (SELECT src AS brand, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT brand, d, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
+c1 AS (
+    SELECT e.dst AS brand, SUM(r0.r // r0.d) AS contrib
+    FROM edges e JOIN r0 ON r0.brand = e.src GROUP BY e.dst
+),
+r1 AS (
+    SELECT r0.brand, r0.d,
+           (85 * COALESCE(c1.contrib, 0)) // 100
+         + (15 * {_PR_SCALE}) // 100 AS r
+    FROM r0 LEFT JOIN c1 ON c1.brand = r0.brand
+),
+c2 AS (
+    SELECT e.dst AS brand, SUM(r1.r // r1.d) AS contrib
+    FROM edges e JOIN r1 ON r1.brand = e.src GROUP BY e.dst
+),
+r2 AS (
+    SELECT r1.brand, r1.d,
+           (85 * COALESCE(c2.contrib, 0)) // 100
+         + (15 * {_PR_SCALE}) // 100 AS r
+    FROM r1 LEFT JOIN c2 ON c2.brand = r1.brand
+)
+SELECT r2.brand, r2.d AS degree,
+       r1.r AS rank_iter1, r2.r AS rank_iter2
+FROM r2 JOIN r1 ON r1.brand = r2.brand
+"""
+
+
+@query("brand_pagerank", oracle=_PAGERANK_ORACLE)
+def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, two power iterations) over the
+    co-purchase brand graph, in FIXED-POINT INTEGER arithmetic: ranks
+    are BIGINTs scaled by 10^12, contributions are floor-divided by
+    degree, and the damping mix is integer 85/100 + 15/100 — so both
+    engines produce bit-identical ranks where a double implementation
+    would drift with summation order.
+
+    Scale shape: each iteration is the canonical distributed PageRank
+    step — join ranks to edges on src (rank frame keyed by node,
+    edges pre-partitioned by src reuse the exchange across
+    iterations), grouped integer sum on dst with map-side combine.
+    Two iterations are unrolled declaratively (Catalyst sees one
+    plan); a convergence-driven variant would loop with
+    checkpointing every few rounds exactly like operators/graph.py's
+    connected components.  The edge build reuses the 2%-support
+    basket graph.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    pa = ob.select("okey", F.col("brand").alias("a"))
+    pb = ob.select("okey", F.col("brand").alias("b"))
+    und = (
+        pa.join(pb, on="okey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.lit(100) * F.col("n_ab") >= F.lit(2) * F.col("n_orders"))
+        .select("a", "b")
+    )
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("brand")).agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.withColumn("r", F.lit(_PR_SCALE).cast("long"))
+
+    def step(r: DataFrame) -> DataFrame:
+        contrib = (
+            edges.join(r.withColumnRenamed("brand", "src"), on="src")
+            .groupBy(F.col("dst").alias("brand"))
+            .agg(F.sum(F.expr("r div d")).alias("contrib"))
+        )
+        return (
+            r.select("brand", "d")
+            .join(contrib, on="brand", how="left")
+            .select(
+                "brand",
+                "d",
+                (
+                    F.expr(f"(85 * coalesce(contrib, 0)) div 100")
+                    + F.lit(15 * _PR_SCALE // 100)
+                ).alias("r"),
+            )
+        )
+
+    r1 = step(ranks)
+    r2 = step(r1)
+    return (
+        r2.select("brand", F.col("d").alias("degree"), F.col("r").alias("rank_iter2"))
+        .join(r1.select("brand", F.col("r").alias("rank_iter1")), on="brand")
+        .select("brand", "degree", "rank_iter1", "rank_iter2")
+    )
