@@ -170,6 +170,7 @@ _EVIDENCE_PRIORITY = [
     "basket_brand_triangles",
     "dedup_incremental_index",
     "brand_pagerank",
+    "join_size_estimate",
 ]
 
 

@@ -419,3 +419,75 @@ def sql_frontdoor_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation — the cost-based-optimizer statistic computed
+# exactly from per-key histograms, next to the textbook NDV estimate.
+# ---------------------------------------------------------------------------
+
+_JOINEST_ORACLE = """
+WITH la AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+ob AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+stats AS (
+    SELECT (SELECT count(*) FROM lineitem) AS n_left,
+           (SELECT count(*) FROM orders) AS n_right,
+           (SELECT count(*) FROM la) AS ndv_left,
+           (SELECT count(*) FROM ob) AS ndv_right,
+           (SELECT COALESCE(SUM(ca * cb), 0) FROM la JOIN ob USING (k))
+               AS exact_join_rows
+)
+SELECT CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(ndv_left AS BIGINT) AS ndv_left,
+       CAST(ndv_right AS BIGINT) AS ndv_right,
+       CAST(n_left * n_right // GREATEST(ndv_left, ndv_right) AS BIGINT)
+           AS est_textbook,
+       CAST(exact_join_rows AS BIGINT) AS exact_join_rows
+FROM stats
+"""
+
+
+@query("join_size_estimate", oracle=_JOINEST_ORACLE)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join cardinality estimation for lineitem⋈orders on orderkey:
+    the textbook CBO formula |A|·|B| / max(ndv_A, ndv_B) next to the
+    EXACT join size Σ_k cnt_A(k)·cnt_B(k) — computed from per-key
+    count frames WITHOUT executing the join.  This is the statistic a
+    cost-based planner (or a pre-flight "will this join explode?"
+    guard in a pipeline) needs before committing to a shuffle.
+
+    Scale shape: each side collapses to its per-key count first
+    (map-side combined, shuffle rows = #keys); the count frames join
+    on the key and fold to one row.  All arithmetic is exact BIGINT —
+    products of per-key counts, integer division for the estimate —
+    so the comparison is reproducible cross-engine.  At 100 TB the
+    same frames feed the key-skew profile (events_key_skew_profile);
+    a planner keeps them as table statistics rather than recomputing.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    la = li.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    ob = o.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    sa = la.agg(
+        F.sum("ca").alias("n_left"), F.count(F.lit(1)).alias("ndv_left")
+    )
+    sb = ob.agg(
+        F.sum("cb").alias("n_right"), F.count(F.lit(1)).alias("ndv_right")
+    )
+    exact = (
+        la.join(ob, on="k")
+        .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("exact_join_rows"))
+    )
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_left",
+            "n_right",
+            "ndv_left",
+            "ndv_right",
+            F.expr("n_left * n_right div greatest(ndv_left, ndv_right)").alias("est_textbook"),
+            "exact_join_rows",
+        )
+    )
