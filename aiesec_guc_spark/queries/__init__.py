@@ -171,6 +171,7 @@ _EVIDENCE_PRIORITY = [
     "dedup_incremental_index",
     "brand_pagerank",
     "join_size_estimate",
+    "table_profile_orders",
 ]
 
 

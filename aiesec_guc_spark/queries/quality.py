@@ -216,3 +216,74 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n")
         ).alias("skew_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiler — the ANALYZE-TABLE statistics surface.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c == "o_totalprice":
+            mn = f"CAST(CAST(min({c}) AS DECIMAL(12,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(max({c}) AS DECIMAL(12,2)) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS ndv,
+       {mn} AS min_val,
+       {mx} AS max_val
+FROM orders""")
+    return "\nUNION ALL".join(parts)
+
+
+@query("table_profile_orders", oracle=_profile_oracle())
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profile (rows / nulls / NDV / min / max per
+    column in long format) — the statistics ANALYZE TABLE persists
+    and a data catalog displays; also exactly the inputs the
+    join-size estimator (join_size_estimate) consumes.
+
+    One aggregation statement computes every column's stats: Spark
+    plans the multi-column DISTINCT aggregate with a single Expand +
+    partial-aggregate pass (rows × #profiled-columns map-side, one
+    shuffle) — no per-column rescan of the fact.  At 100 TB swap the
+    exact NDVs for approx_count_distinct / hll_sketch_agg
+    (hll_mergeable_distinct shows the persisted-sketch form) and the
+    Expand cost drops away; exact is kept here so the oracle pins the
+    semantics.  Min/max surface as strings (decimal-pinned for the
+    double column) so one schema carries every type.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        mn, mx = F.min(c), F.max(c)
+        if c == "o_totalprice":
+            mn = F.min(F.col(c).cast("decimal(12,2)"))
+            mx = F.max(F.col(c).cast("decimal(12,2)"))
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            mn.cast("string").alias(f"{c}__min"),
+            mx.cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__ndv, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, ndv, min_val, max_val)"
+    )
