@@ -1,0 +1,99 @@
+"""Table maintenance: small-file compaction — the background chore a
+100 TB lake needs constantly (streaming sinks, incremental appends,
+and over-parallel writes all fragment tables into files far below the
+scan-efficient size, and every downstream scan then pays per-file
+open/footer overhead and tiny row groups).
+
+The reference has nothing here (its "table" is a single xlsx,
+aiesec.py:185-204); this is engine-side scope that any Spark lake
+deployment scripts by hand.
+
+Design:
+
+- ``file_stats`` is a pure-metadata walk (driver-side ``os.walk`` —
+  the same listing the Spark scan itself performs; no data is read).
+  On an object store this becomes one LIST call per prefix.
+- ``compact_table`` rewrites the table at ``ceil(total_bytes /
+  target_bytes)`` output files via ``repartition(n)`` — a full
+  shuffle, deliberately: coalesce(n) would chain upstream
+  parallelism to n and can skew output sizes, while a round-robin
+  repartition yields near-uniform files.  For very large tables
+  compact per partition-directory instead (same helper applied per
+  prefix) so one job never rewrites the whole table.
+- The rewrite goes to a sibling temp directory first and swaps in
+  with two renames, so a reader never observes a half-written table
+  and a crash mid-compaction leaves the original intact (the temp
+  dir is abandoned, never the live one).  On HDFS/local the renames
+  are atomic metadata ops; on S3-like stores swap via a metastore /
+  table-format pointer instead (documented, not emulated here).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.formats import FORMATS, _check_fmt
+
+_DATA_EXTS = {".parquet", ".orc", ".json", ".csv"}
+
+
+def file_stats(path: str) -> dict:
+    """Data-file census for a table directory: count, total bytes,
+    min/max/mean file size.  Metadata only — nothing is read."""
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            ext = os.path.splitext(f)[1]
+            if ext in _DATA_EXTS and not f.startswith(("_", ".")):
+                sizes.append(os.path.getsize(os.path.join(root, f)))
+    if not sizes:
+        return {"n_files": 0, "total_bytes": 0, "min_bytes": 0, "max_bytes": 0}
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes),
+        "max_bytes": max(sizes),
+    }
+
+
+def plan_target_files(total_bytes: int, target_bytes: int) -> int:
+    """ceil(total/target), at least 1 — how many output files the
+    compacted table should have."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    return max(1, math.ceil(total_bytes / target_bytes))
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """Rewrite the table at ``path`` into ~``target_bytes`` files.
+
+    Returns {"before": stats, "after": stats, "n_target": n}.  The
+    rewrite is a read → round-robin ``repartition(n)`` → write to a
+    temp sibling → two-rename swap; see the module docstring for why
+    each choice.  No-op (returns with after == before) when the table
+    already has <= n_target files.
+    """
+    _check_fmt(fmt)
+    before = file_stats(path)
+    n_target = plan_target_files(before["total_bytes"], target_bytes)
+    if before["n_files"] <= n_target:
+        return {"before": before, "after": before, "n_target": n_target}
+
+    df: DataFrame = getattr(spark.read, fmt)(path)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    getattr(df.repartition(n_target).write.mode("overwrite"), fmt)(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"before": before, "after": file_stats(path), "n_target": n_target}
