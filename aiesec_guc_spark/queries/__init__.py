@@ -172,6 +172,7 @@ _EVIDENCE_PRIORITY = [
     "brand_pagerank",
     "join_size_estimate",
     "table_profile_orders",
+    "funnel_conversion_latency",
 ]
 
 

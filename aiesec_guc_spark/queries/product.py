@@ -723,3 +723,95 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r1.select("brand", F.col("r").alias("rank_iter1")), on="brand")
         .select("brand", "degree", "rank_iter1", "rank_iter2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion latency — exact median / p90 time from first
+# click to the first purchase after it.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LAT_ORACLE = """
+WITH first_click AS (
+    SELECT user_id, min(ts) AS c_ts
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+    SELECT f.user_id,
+           epoch_us(min(e.ts)) - epoch_us(f.c_ts) AS latency_us
+    FROM first_click f
+    JOIN events e
+      ON e.user_id = f.user_id
+     AND e.event_type = 'purchase'
+     AND e.ts >= f.c_ts
+    GROUP BY f.user_id, f.c_ts
+),
+ranked AS (
+    SELECT latency_us,
+           row_number() OVER (ORDER BY latency_us, user_id) AS rk,
+           count(*) OVER () AS n
+    FROM conv
+)
+SELECT max(n) AS n_converted,
+       CAST(SUM(CASE WHEN rk IN ((n + 1) // 2, (n + 2) // 2)
+                     THEN latency_us END) AS DOUBLE)
+         / count(CASE WHEN rk IN ((n + 1) // 2, (n + 2) // 2)
+                      THEN 1 END) AS median_latency_us,
+       CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN latency_us END)
+            AS BIGINT) AS p90_latency_us
+FROM ranked
+"""
+
+
+@query("funnel_conversion_latency", oracle=_FUNNEL_LAT_ORACLE)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the latency from the
+    FIRST click to the FIRST purchase at-or-after it, summarized as
+    exact median (rank-pair, no interpolation) and exact p90 (rank
+    ceil(0.9·n) via integer (9n+9)//10) — the funnel-health numbers
+    a growth team watches, with percentiles that reproduce
+    bit-for-bit cross-engine.
+
+    Scale shape: the fact collapses to the per-user first-click frame
+    (conditional min, map-side combined, one shuffle), purchases
+    join it user-keyed with the >= residual inside the probe, and a
+    second grouped min lands the per-user latency — everything after
+    runs on the #converted-users frame.  The global rank window over
+    that tiny frame is deliberate; for frames that stay huge, the
+    offset-merge rank machinery (operators/quantiles.py) computes the
+    same ranks without a single-partition window.  Latencies are
+    exact integer microseconds.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        purchases.join(first_click, on="user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id", "c_ts")
+        .agg(
+            (F.unix_micros(F.min("ts")) - F.unix_micros(F.col("c_ts").cast("timestamp"))).alias("latency_us")
+        )
+    )
+    w = Window.orderBy("latency_us", "user_id")
+    ranked = conv.select(
+        "latency_us",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    mid = (F.col("rk") == F.expr("(n + 1) div 2")) | (
+        F.col("rk") == F.expr("(n + 2) div 2")
+    )
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        (
+            F.sum(F.when(mid, F.col("latency_us"))).cast("double")
+            / F.count(F.when(mid, F.lit(1)))
+        ).alias("median_latency_us"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(9 * n + 9) div 10"), F.col("latency_us"))
+        ).alias("p90_latency_us"),
+    )
