@@ -173,6 +173,7 @@ _EVIDENCE_PRIORITY = [
     "join_size_estimate",
     "table_profile_orders",
     "funnel_conversion_latency",
+    "pareto_revenue_concentration",
 ]
 
 

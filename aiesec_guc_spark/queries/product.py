@@ -815,3 +815,89 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rk") == F.expr("(9 * n + 9) div 10"), F.col("latency_us"))
         ).alias("p90_latency_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration — the Pareto (80/20) curve in exact integers.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH percust AS (
+    SELECT o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, rev,
+           row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+           SUM(rev) OVER (
+               ORDER BY rev DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_rev,
+           SUM(rev) OVER () AS total_rev,
+           count(*) OVER () AS n_cust
+    FROM percust
+)
+SELECT CAST(p AS BIGINT) AS pct_revenue,
+       CAST(min(rk) AS BIGINT) AS n_customers,
+       CAST(max(n_cust) AS BIGINT) AS n_customers_total,
+       CAST(CAST(min(rk) * 10000 // max(n_cust) AS BIGINT) AS DOUBLE) / 100
+           AS pct_customers
+FROM ranked
+CROSS JOIN (SELECT unnest([50, 80, 90, 99]) AS p)
+WHERE 100 * cum_rev >= p * total_rev
+GROUP BY p
+"""
+
+
+@query("pareto_revenue_concentration", oracle=_PARETO_ORACLE)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the minimum number of top customers
+    covering 50/80/90/99% of total revenue — the Pareto curve behind
+    "how concentrated is our business?" (and, for a training corpus,
+    "how few sources dominate the tokens?").
+
+    The threshold test is exact: 100·cum_rev >= p·total_rev in
+    DECIMAL, so no floating cumulative sum decides a boundary
+    customer; the reported customer-percentage does its one division
+    after integer basis-point truncation.  Scale shape: the fact
+    collapses to per-customer exact-decimal revenue first; the global
+    running-sum window orders the #customers frame (tiny here —
+    offset-merge rank machinery named for frames that stay huge);
+    the four thresholds fan out from ONE ranked frame via a literal
+    spine, grouped min per threshold.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    percust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = percust.select(
+        "o_custkey",
+        "rev",
+        F.row_number().over(w).alias("rk"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum_rev"),
+        F.sum("rev").over(Window.partitionBy()).alias("total_rev"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+    )
+    spine = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (50, 80, 90, 99)])).alias("p")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(spine))
+        .filter(F.lit(100) * F.col("cum_rev") >= F.col("p") * F.col("total_rev"))
+        .groupBy("p")
+        .agg(
+            F.min("rk").alias("n_customers"),
+            F.max("n_cust").alias("n_customers_total"),
+            (
+                F.expr("min(rk) * 10000 div max(n_cust)").cast("double") / 100
+            ).alias("pct_customers"),
+        )
+        .select(
+            F.col("p").cast("long").alias("pct_revenue"),
+            "n_customers",
+            "n_customers_total",
+            "pct_customers",
+        )
+    )
