@@ -174,6 +174,7 @@ _EVIDENCE_PRIORITY = [
     "table_profile_orders",
     "funnel_conversion_latency",
     "pareto_revenue_concentration",
+    "inverted_index_postings",
 ]
 
 

@@ -778,3 +778,91 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u * F.col("w") < _WSAMPLE_K * F.col("n_chars") * F.lit(2**32))
         .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("weight"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build — positional posting lists with a portable
+# digest (the search-index construction pass, made hash-checkable).
+# ---------------------------------------------------------------------------
+
+_POSTINGS_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+pos AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks)),
+                                 i -> {{'p': i, 'term': toks[i]}})) AS u
+    FROM docs
+),
+flat AS (SELECT doc_id, u.term AS term, u.p AS p FROM pos),
+perdoc AS (
+    SELECT term, doc_id,
+           count(*) AS tf,
+           CAST(doc_id AS VARCHAR) || ':' ||
+               string_agg(CAST(p AS VARCHAR), ',' ORDER BY p) AS posting
+    FROM flat GROUP BY term, doc_id
+)
+SELECT term,
+       count(*) AS df,
+       CAST(SUM(tf) AS BIGINT) AS tf_total,
+       ('0x' || substr(md5(string_agg(posting, '|' ORDER BY doc_id)), 1, 8))::BIGINT
+           AS postings_digest
+FROM perdoc GROUP BY term
+"""
+
+
+@query("inverted_index_postings", oracle=_POSTINGS_ORACLE)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index: term → ordered posting list
+    (doc_id : sorted positions), surfaced as per-term df / total tf
+    plus a 32-bit md5 digest of the canonical posting string — the
+    full index content is hash-pinned cross-engine without shipping
+    megabytes of postings through the compare layer.
+
+    Scale shape: posexplode is map-side (rows grow linearly with
+    tokens); the (term, doc) grouping is the only token-sized
+    shuffle, with positions collected then SORTED (collect order is
+    execution-dependent — array_sort IS the determinism contract,
+    same as session_path_mining); the per-term reduction runs on the
+    |vocabulary × docs| frame.  At 100 TB the posting payload per hot
+    term is the skew risk — shard hot terms by doc-range (term,
+    doc_bucket) exactly like the segment-dedup hot-key note, and
+    concatenate buckets at read time.  Positions are 1-based on both
+    engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    flat = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("p0", "term"),
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("p"))
+    perdoc = flat.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.array_join(F.array_sort(F.collect_list(F.col("p"))), ","),
+        ).alias("posting"),
+    )
+    return perdoc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("doc_id"), F.col("posting")))
+                        ).getField("posting"),
+                        "|",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("postings_digest"),
+    )
