@@ -407,6 +407,75 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BASKET_TOPK = 20
 
+
+def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(okey, bs): each order's SORTED distinct-brand array — the
+    shared first stage of the basket family (pair lift, triangles,
+    PageRank).
+
+    ONE fact-sized shuffle total: the part dim broadcasts into the
+    lineitem scan, and ``collect_set`` groups by orderkey with
+    map-side partial sets (each partial is ≤ #brands entries).  The
+    earlier shape — DISTINCT (order, brand) then an orderkey
+    self-join — paid a second fact-sized shuffle for the join;
+    enumerating pairs from the basket array is pure map-side work on
+    top of this single exchange.  (At sf0.1 wall-clock is flat —
+    local-mode stage overhead dominates these tiny frames — but the
+    eliminated shuffle is the one that grows with the fact at 100 TB.)
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+    )
+
+
+def _brand_pair_counts(baskets: DataFrame) -> DataFrame:
+    """(brand_a < brand_b, n_ab) co-occurrence counts.
+
+    The ordered pairs of each basket are enumerated MAP-SIDE by an
+    indexed transform over the sorted array (x paired with every
+    later element) — ≤ |basket|² structs per order, no join — and the
+    two-phase count shuffles only the ≤ brands² key space.
+    """
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> "
+                "transform(slice(bs, i + 2, size(bs)), "
+                "y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.brand_a", "pr.brand_b")
+    return pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+
+
+def _support_edges(baskets: DataFrame) -> DataFrame:
+    """(a, b) brand pairs in >= 2% of orders — the graph-edge build
+    shared by the triangle and PageRank queries.  Integer-exact
+    threshold; the 1-row order total broadcasts.
+
+    MATERIALIZED before return: both downstream queries consume the
+    edge frame from several plan branches (two-path joins + degree /
+    per-iteration rank joins), and Catalyst does no cross-branch CSE
+    — without the cut, each branch re-runs the whole fact scan +
+    basket shuffle (measured sf0.1: pagerank cold 10.5 s → 3.6 s).
+    The frame is ≤ brands² rows, so the checkpoint is pennies.
+    """
+    from ..operators.dedup import materialize
+
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    return materialize(
+        _brand_pair_counts(baskets)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.lit(100) * F.col("n_ab") >= F.lit(2) * F.col("n_orders"))
+        .select(F.col("brand_a").alias("a"), F.col("brand_b").alias("b"))
+    )
+
 _BASKET_ORACLE = f"""
 WITH ob AS (
     SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
@@ -442,34 +511,24 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     with support counts and lift = P(a,b)/(P(a)·P(b)) — the
     co-occurrence statistic behind recommenders ("bought together").
 
-    Scale shape (100 TB): the fact collapses to DISTINCT (order,
-    brand) first — one shuffle, and the per-order basket is bounded
-    by the brand cardinality, so the orderkey self-join fans out at
-    most |basket|² pairs per order and the pair key space is ≤
-    brands² (two-phase grouped count, map-side combined).  Brand
-    marginals (≤ #brands rows) and the 1-row order total broadcast
-    into the scoring join.  Lift is exact-integer products (n_ab·N
-    and n_a·n_b both fit BIGINT comfortably below ~3e9 orders) with
-    ONE double division; top-k ties break on the pair itself.  The
-    part dimension broadcasts into the fact scan.
+    Scale shape (100 TB): one fact-sized shuffle builds the sorted
+    basket arrays (_brand_baskets); ordered pairs explode MAP-SIDE
+    from the arrays (≤ |basket|² per order) and two-phase-count on
+    the ≤ brands² key space.  Brand marginals (≤ #brands rows) and
+    the 1-row order total broadcast into the scoring join.  Lift is
+    exact-integer products (n_ab·N and n_a·n_b both fit BIGINT
+    comfortably below ~3e9 orders) with ONE double division; top-k
+    ties break on the pair itself.  The part dimension broadcasts
+    into the fact scan.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+    baskets = _brand_baskets(spark, sf_dir)
+    n_ab = _brand_pair_counts(baskets)
+    cnt = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    a = ob.select("okey", F.col("brand").alias("brand_a"))
-    b = ob.select("okey", F.col("brand").alias("brand_b"))
-    n_ab = (
-        a.join(b, on="okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
-    cnt = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
-    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     scored = (
         n_ab.join(
             F.broadcast(cnt.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))),
@@ -543,35 +602,16 @@ def basket_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Enumeration uses the ordered orientation a < b < c: each triangle
     is produced exactly once by joining two ordered two-paths and
     checking the closing edge.  Scale shape: the expensive part is
-    building the EDGE list, which is the basket machinery (fact →
-    distinct (order, brand) → bounded self-join → two-phase count);
-    the triangle joins run on the post-aggregation edge frame, tiny
-    here and broadcast by AQE.  On graphs where edges don't collapse
-    this far, the same ordered-join plan holds with degree-based
-    orientation (orient each edge low-degree → high-degree) bounding
-    the two-path fan-out — the standard distributed triangle recipe.
-    The 2%-support HAVING uses exact integers (100·n_ab >= 2·N), no
-    float thresholds.
+    building the EDGE list, which is the shared basket machinery
+    (_brand_baskets: ONE fact shuffle, map-side pair explode,
+    integer-exact 2% support threshold); the triangle joins run on
+    the post-aggregation edge frame, tiny here and broadcast by AQE.
+    On graphs where edges don't collapse this far, the same
+    ordered-join plan holds with degree-based orientation (orient
+    each edge low-degree → high-degree) bounding the two-path
+    fan-out — the standard distributed triangle recipe.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
-    pa = ob.select("okey", F.col("brand").alias("a"))
-    pb = ob.select("okey", F.col("brand").alias("b"))
-    edges = (
-        pa.join(pb, on="okey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .crossJoin(F.broadcast(tot))
-        .filter(F.lit(100) * F.col("n_ab") >= F.lit(2) * F.col("n_orders"))
-        .select("a", "b")
-    )
+    edges = _support_edges(_brand_baskets(spark, sf_dir))
     e1 = edges
     e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
@@ -669,28 +709,10 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two iterations are unrolled declaratively (Catalyst sees one
     plan); a convergence-driven variant would loop with
     checkpointing every few rounds exactly like operators/graph.py's
-    connected components.  The edge build reuses the 2%-support
-    basket graph.
+    connected components.  The edge build reuses the shared
+    2%-support basket graph (_support_edges — one fact shuffle).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
-    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
-    pa = ob.select("okey", F.col("brand").alias("a"))
-    pb = ob.select("okey", F.col("brand").alias("b"))
-    und = (
-        pa.join(pb, on="okey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .crossJoin(F.broadcast(tot))
-        .filter(F.lit(100) * F.col("n_ab") >= F.lit(2) * F.col("n_orders"))
-        .select("a", "b")
-    )
+    und = _support_edges(_brand_baskets(spark, sf_dir))
     edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
