@@ -175,6 +175,7 @@ _EVIDENCE_PRIORITY = [
     "funnel_conversion_latency",
     "pareto_revenue_concentration",
     "inverted_index_postings",
+    "null_semantics_pins",
 ]
 
 

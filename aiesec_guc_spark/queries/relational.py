@@ -20,7 +20,7 @@ cost of replicating a small dim 8x.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -491,3 +491,105 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_join_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-semantics pins — the cross-engine traps (null ordering,
+# null-safe equality, all-null aggregates) pinned by one query.
+# ---------------------------------------------------------------------------
+
+_NULLS_ORACLE = """
+WITH v AS (
+    SELECT o_orderkey, o_orderpriority AS prio,
+           NULLIF(o_orderstatus, 'O') AS status,
+           CASE WHEN o_orderstatus = 'O' THEN NULL
+                ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS price_nn
+    FROM orders
+),
+dim(s) AS (SELECT 'F' UNION ALL SELECT NULL),
+first_nn AS (
+    SELECT prio, status
+    FROM (
+        SELECT prio, status,
+               row_number() OVER (
+                   PARTITION BY prio
+                   ORDER BY status ASC NULLS LAST, o_orderkey
+               ) AS rk
+        FROM v
+    ) WHERE rk = 1
+),
+nullsafe AS (
+    SELECT prio, count(*) AS n_nullsafe_matches
+    FROM v JOIN dim d ON v.status IS NOT DISTINCT FROM d.s
+    GROUP BY prio
+),
+aggs AS (
+    SELECT prio,
+           count(*) AS n_rows,
+           count(*) - count(status) AS n_null_status,
+           CAST(SUM(price_nn) AS DOUBLE) AS sum_nonopen_price,
+           CAST(SUM(CASE WHEN status IS NULL THEN price_nn END) AS DOUBLE)
+               AS sum_allnull_group
+    FROM v GROUP BY prio
+)
+SELECT a.prio, a.n_rows, a.n_null_status,
+       f.status AS first_nonnull_status,
+       n.n_nullsafe_matches,
+       a.sum_nonopen_price,
+       a.sum_allnull_group
+FROM aggs a
+JOIN first_nn f ON f.prio = a.prio
+JOIN nullsafe n ON n.prio = a.prio
+"""
+
+
+@query("null_semantics_pins", oracle=_NULLS_ORACLE)
+def null_semantics_pins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One query pinning the null behaviors that silently differ
+    between engines unless spelled out: sort-order placement of
+    nulls (made EXPLICIT with NULLS LAST — Spark defaults nulls
+    first ascending, many engines default last), null-safe equality
+    (Spark ``<=>`` ≡ ANSI IS NOT DISTINCT FROM, here matching an
+    intentionally-NULL dim row), aggregate null-skipping (count(col)
+    vs count(*)), and a SUM over an all-null group surfacing as NULL
+    (never 0).  Nulls are manufactured deterministically with NULLIF
+    since the corpus has none.
+
+    Scale shape: one fact aggregate + one per-priority rank window on
+    the fact (5 partitions — acceptable at this cardinality, same
+    caveat as median_acctbal_by_segment) + a 2-row broadcast dim for
+    the null-safe join.  Exact-decimal sum convention throughout.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("NULLIF(o_orderstatus, 'O')").alias("status"),
+        F.when(
+            F.col("o_orderstatus") != "O",
+            F.col("o_totalprice").cast("decimal(14,2)"),
+        ).alias("price_nn"),
+    )
+    dim = spark.createDataFrame([("F",), (None,)], "s string")
+    w = Window.partitionBy("prio").orderBy(
+        F.col("status").asc_nulls_last(), F.col("o_orderkey")
+    )
+    first_nn = (
+        v.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("prio", F.col("status").alias("first_nonnull_status"))
+    )
+    nullsafe = (
+        v.join(F.broadcast(dim), v.status.eqNullSafe(dim.s))
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n_nullsafe_matches"))
+    )
+    aggs = v.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("status")).alias("n_null_status"),
+        F.sum("price_nn").cast("double").alias("sum_nonopen_price"),
+        F.sum(F.when(F.col("status").isNull(), F.col("price_nn")))
+        .cast("double")
+        .alias("sum_allnull_group"),
+    )
+    return aggs.join(first_nn, on="prio").join(nullsafe, on="prio")
