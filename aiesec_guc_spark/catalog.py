@@ -77,6 +77,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (to_date/date_trunc and the NTZ→TZ cast below are tz-sensitive;
     # the DuckDB oracle treats naive timestamps as UTC).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Infer the nano-ts columns as TimestampType AT THE SCAN instead of
+    # TimestampNTZType + a post-read cast: the cast blocked predicate
+    # pushdown on every date filter in the registry (a range predicate
+    # over cast(ntz AS timestamp) never reached PushedFilters — at
+    # 100 TB that is the difference between pruning row groups and
+    # reading a year of data to drop it).  Under the pinned-UTC session
+    # the instants are identical either way; normalize_ts_column's
+    # TimestampType branch then passes the column through untouched.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in _NANO_TS_COLUMNS.get(name, ()):
         df = normalize_ts_column(df, c)

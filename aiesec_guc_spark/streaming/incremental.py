@@ -70,6 +70,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NTZ→TZ cast below is session-tz-sensitive; pin UTC like the
     # batch catalog so streaming and batch agree on instants.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Same scan-level TimestampType inference as the batch catalog
+    # (pushdown-transparent; see catalog.load_table) — the declared
+    # stream schema below inherits it via this probe read.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file-stream source wants a directory; select just the events
     # file out of the sf dir with a glob.

@@ -394,3 +394,55 @@ def test_disjunctive_predicate_pushes_part_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_build_has_single_fact_exchange(spark, sf_dir):
+    # the basket family's first stage: part broadcasts into the scan,
+    # and the ONLY fact-sized exchange is the orderkey collect_set —
+    # pair enumeration must stay map-side (no join after the agg)
+    from aiesec_guc_spark.queries.product import (
+        _brand_baskets,
+        _brand_pair_counts,
+    )
+
+    pairs = _brand_pair_counts(_brand_baskets(spark, sf_dir))
+    plan = formatted_plan(pairs)
+    assert "BroadcastHashJoin" in plan  # part dim into the fact scan
+    assert "SortMergeJoin" not in plan  # never a fact self-join
+    # two aggregates (baskets + pair counts), each with partial phase
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+
+def test_pit_join_is_asof_carry_not_range_join(spark, sf_dir):
+    # the SCD2 point-in-time lookup must plan as the union+window
+    # as-of carry: no join between purchases and runs at all (the
+    # interval form would show a join with a non-equi condition)
+    df = spark_queries()["pit_purchase_status"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_size_estimate_never_joins_raw_facts(spark, sf_dir):
+    # the estimator's whole point: per-key count frames join, the raw
+    # facts never do — every join input is an aggregate
+    df = spark_queries()["join_size_estimate"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    # both fact scans feed an aggregate before any join: the word
+    # "Join" must never appear between a Scan and the first Aggregate
+    # in the per-side subtrees — cheap proxy: plan has ≥4 aggregates
+    # (2 per-key + 2 fold sides) and exactly tiny-side joins
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q6_date_range_reaches_lineitem_scan(spark, sf_dir):
+    # the Q6 claim "every predicate reaches PushedFilters" is only
+    # true now that load_table infers nano-ts columns as TimestampType
+    # at the scan (the NTZ + cast shape silently kept ALL date ranges
+    # out of PushedFilters) — pin the query-level behavior here
+    df = spark_queries()["forecast_revenue_change"](spark, sf_dir)
+    plan = formatted_plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l and "GreaterThanOrEqual" in l for l in pushed), pushed

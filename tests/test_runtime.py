@@ -77,3 +77,26 @@ def test_normalize_rejects_unknown_dtype(spark):
     df = spark.createDataFrame([("x",)], "ts string")
     with pytest.raises(TypeError, match="unsupported inferred dtype"):
         normalize_ts_column(df, "ts")
+
+
+@pytest.mark.parametrize(
+    "table,col",
+    [(t, c) for t, cols in _NANO_TS_COLUMNS.items() for c in cols],
+)
+def test_ts_range_predicate_reaches_scan(spark, sf_dir, table, col):
+    """Date-range filters must reach the parquet scan.  This is why
+    load_table infers nano-ts columns as TimestampType at the scan
+    (inferTimestampNTZ=false): an NTZ + post-read cast blocked every
+    date predicate in the registry from pushing down."""
+    from pyspark.sql import functions as F
+
+    from aiesec_guc_spark.plans.explain import formatted_plan
+
+    df = load_table(spark, sf_dir, table).filter(
+        F.col(col) >= F.lit("1996-01-01").cast("timestamp")
+    )
+    plan = formatted_plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any(col in l and "GreaterThanOrEqual" in l for l in pushed), (
+        f"range predicate on {table}.{col} not in PushedFilters: {pushed}"
+    )
