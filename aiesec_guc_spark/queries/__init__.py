@@ -176,6 +176,7 @@ _EVIDENCE_PRIORITY = [
     "pareto_revenue_concentration",
     "inverted_index_postings",
     "null_semantics_pins",
+    "embedding_int8_quantize",
 ]
 
 

@@ -756,3 +756,103 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mean_component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (SQ) of the embedding table — the FAISS-style
+# compression step an ANN index applies before sharding, with the
+# quantized codes hash-pinned and the reconstruction error bounded.
+# ---------------------------------------------------------------------------
+
+_SQ_ORACLE = f"""
+WITH flat AS (
+    SELECT vec_id, label, u.d AS dim, CAST(u.v AS DOUBLE) AS val
+    FROM embeddings,
+         LATERAL (
+            SELECT unnest(generate_series(1, {EMBEDDING_DIM})) AS d,
+                   unnest(embedding) AS v
+         ) u
+),
+stats AS (
+    SELECT dim, min(val) AS mn, max(val) AS mx FROM flat GROUP BY dim
+),
+codes AS (
+    SELECT f.vec_id, f.label, f.dim, f.val, s.mn, s.mx,
+           CASE WHEN s.mx = s.mn THEN 0
+                ELSE GREATEST(0, LEAST(255,
+                     CAST(floor((f.val - s.mn) / (s.mx - s.mn) * 255) AS INT)))
+           END AS q
+    FROM flat f JOIN stats s ON s.dim = f.dim
+),
+recon AS (
+    SELECT vec_id, label, q,
+           CASE WHEN mx = mn THEN mn
+                ELSE mn + (q + 0.5) * (mx - mn) / 256 END AS dq,
+           val
+    FROM codes
+)
+SELECT vec_id, label,
+       CAST(SUM(q) AS BIGINT) AS q_sum,
+       max(abs(val - dq)) AS max_abs_err
+FROM recon
+GROUP BY vec_id, label
+"""
+
+
+@query("embedding_int8_quantize", oracle=_SQ_ORACLE)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding column: per-dim
+    min/max train the quantizer, each value maps to floor((v-mn)/
+    (mx-mn)·255), and midpoint dequantization bounds the per-vector
+    reconstruction error — the 4× compression an ANN serving tier
+    applies before sharding an index.
+
+    Determinism: the CODES are pinned exactly (q_sum is an integer
+    over integer codes; the floor/clamp arithmetic is identical IEEE
+    double math on both engines), and the error surface uses only
+    order-independent MAX — no floating sums whose accumulation order
+    could drift.  Constant dims quantize to code 0 with zero error
+    (explicit mx=mn branch, no 0/0 NaN).
+
+    Scale shape: posexplode is map-side; the trainer is a 64-key
+    map-side-combined min/max aggregate whose result BROADCASTS back
+    into the exploded stream; per-vector reduction shuffles
+    #vectors×dims skinny rows once.  At 100 TB the trainer would run
+    on a sample (same plan, sampled scan) and the codes write out as
+    the index payload.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d0", "v"),
+    ).select(
+        "vec_id", "label", (F.col("d0") + 1).alias("dim"), F.col("v").cast("double").alias("val")
+    )
+    stats = flat.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    codes = flat.join(F.broadcast(stats), on="dim").withColumn(
+        "q",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (F.col("val") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * 255
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    recon = codes.withColumn(
+        "dq",
+        F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+            F.col("mn") + (F.col("q") + 0.5) * (F.col("mx") - F.col("mn")) / 256
+        ),
+    )
+    return recon.groupBy("vec_id", "label").agg(
+        F.sum("q").alias("q_sum"),
+        F.max(F.abs(F.col("val") - F.col("dq"))).alias("max_abs_err"),
+    )
