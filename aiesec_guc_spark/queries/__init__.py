@@ -177,6 +177,7 @@ _EVIDENCE_PRIORITY = [
     "inverted_index_postings",
     "null_semantics_pins",
     "embedding_int8_quantize",
+    "session_bounce_rate",
 ]
 
 

@@ -983,3 +983,88 @@ def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PATHS_TOPK)
         .select("path", "n_sessions", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate per day — single-event sessions over the gap
+# sessionizer, the engagement-health ratio next to DAU/WAU.
+# ---------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM gaps
+),
+per_session AS (
+  SELECT user_id, session_id,
+         CAST(min(ts) AS DATE) AS day,
+         count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       count(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS DOUBLE) / 100 AS bounce_pct
+FROM per_session
+GROUP BY day
+"""
+
+
+@query("session_bounce_rate", oracle=_BOUNCE_ORACLE)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per day: the share of gap-sessions (30 min, same
+    sessionizer as events_sessionize) containing exactly ONE event,
+    keyed by the session's start day — the engagement-health ratio a
+    product dashboard shows beside DAU/WAU.
+
+    Scale shape: ONE user-keyed shuffle runs both session windows
+    (lag + running sum share the sort); the per-session reduction is
+    a grouped aggregate on (user, session); the daily roll-up runs on
+    the #sessions frame.  The percentage is basis-point integer
+    truncation then one division — no float ratio at the boundary.
+    The running-sum tie-break includes event_id (same-timestamp
+    events would otherwise order nondeterministically between
+    engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sessions = ev.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_session.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            (
+                F.expr("n_bounces * 10000 div n_sessions").cast("double") / 100
+            ).alias("bounce_pct"),
+        )
+    )

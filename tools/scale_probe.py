@@ -42,6 +42,11 @@ PROBE_QUERIES = [
     "events_click_purchase_window",  # banded interval join
     "weekly_active_users",        # dedup + spread-and-count
     "customer_acctbal_deciles",   # offset-merge global ranks
+    "basket_pair_lift",           # basket arrays + map-side pair explode
+    "pit_purchase_status",        # SCD2 build + as-of carry
+    "funnel_conversion_latency",  # conditional-min frames + rank window
+    "pareto_revenue_concentration",  # per-key agg + running-sum window
+    "join_size_estimate",         # per-key count frames, no fact join
 ]
 
 
