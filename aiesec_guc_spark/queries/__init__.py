@@ -178,6 +178,7 @@ _EVIDENCE_PRIORITY = [
     "null_semantics_pins",
     "embedding_int8_quantize",
     "session_bounce_rate",
+    "purchase_multitouch_attribution",
 ]
 
 

@@ -335,3 +335,104 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("attribution_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — position-weighted credit split with
+# INTEGER-exact proportional allocation (no float credit sums).
+# ---------------------------------------------------------------------------
+
+_MULTITOUCH_ORACLE = """
+WITH purchases AS (
+    SELECT user_id, event_id AS p_id, ts AS p_ts,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, event_id AS c_id, ts AS c_ts
+    FROM events WHERE event_type = 'click'
+),
+touches AS (
+    SELECT p.p_id, p.cents, c.c_id, c.c_ts,
+           row_number() OVER (
+               PARTITION BY p.p_id ORDER BY c.c_ts, c.c_id
+           ) AS i,
+           count(*) OVER (PARTITION BY p.p_id) AS n
+    FROM purchases p
+    JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.c_ts <= p.p_ts
+     AND c.c_ts > p.p_ts - INTERVAL 1 HOUR
+)
+SELECT CAST(CAST(c_ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_touches,
+       count(DISTINCT p_id) AS n_purchases,
+       CAST(SUM(cents * i * 1000000 // (n * (n + 1) // 2)) AS DOUBLE)
+           / 100000000 AS credited_dollars
+FROM touches
+GROUP BY 1
+"""
+
+
+@query("purchase_multitouch_attribution", oracle=_MULTITOUCH_ORACLE)
+def purchase_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every click in the 1-hour lookback
+    shares a purchase's revenue, weighted linearly by recency rank
+    (position i of n gets i/(n(n+1)/2) — later touches earn more),
+    credited to the click's day.
+
+    The determinism trick is the allocation arithmetic: per-touch
+    credit is ``(cents · i · 10^6) div (n(n+1)/2)`` — all BIGINT, so
+    the daily roll-up is an exact integer sum with ONE final double
+    division.  A float weight (value·i/denom) would make daily totals
+    depend on summation order.  Floor division under-credits each
+    purchase by < n micro-cents, deterministically on both engines
+    (documented, not hidden).  Headroom: cents·i·10^6 stays under
+    2^63 for purchases ≤ $10 M with ≤ 9000 touches.
+
+    Scale shape: the touch join is user-keyed equi with the lookback
+    range as a probe residual (per-user fan-out bounded by activity;
+    the banded interval join of operators/interval.py is the swap for
+    heavy-tailed users); both position windows share one p_id sort on
+    the already-joined touch frame; the daily roll-up is
+    #touch-days-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    touches = purchases.join(clicks, on="user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.unix_micros("p_ts") - F.unix_micros("c_ts")
+            < 3600 * 1_000_000
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    wn = Window.partitionBy("p_id")
+    ranked = touches.select(
+        "p_id",
+        "cents",
+        "c_ts",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy(F.to_date("c_ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("p_id").alias("n_purchases"),
+            (
+                F.sum(
+                    F.expr("cents * i * 1000000 div (n * (n + 1) div 2)")
+                ).cast("double")
+                / 100_000_000
+            ).alias("credited_dollars"),
+        )
+    )
