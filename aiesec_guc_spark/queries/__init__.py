@@ -53,6 +53,7 @@ _REGISTRY: dict[str, "Query"] = {}
 # rounds.
 _QUERY_MODULES = [
     "relational",
+    "tpchx",
     "analytics",
     "product",
     "timeseries",
