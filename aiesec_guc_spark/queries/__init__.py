@@ -180,6 +180,14 @@ _EVIDENCE_PRIORITY = [
     "embedding_int8_quantize",
     "session_bounce_rate",
     "purchase_multitouch_attribution",
+    "customer_order_distribution",
+    "shipping_lateness_priority",
+    "top_supplier_revenue",
+    "important_stock_parts",
+    "product_profit_by_nation_year",
+    "part_supplier_diversity",
+    "dominant_part_suppliers",
+    "suppliers_kept_orders_waiting",
 ]
 
 

@@ -183,3 +183,351 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: per-part value share vs a global scalar
+# threshold derived from the SAME aggregate.
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH asian AS (
+    SELECT s.s_suppkey
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+),
+value_by_part AS (
+    SELECT l.l_partkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS val
+    FROM lineitem l
+    JOIN asian a ON a.s_suppkey = l.l_suppkey
+    GROUP BY l.l_partkey
+),
+total AS (SELECT SUM(val) AS tv FROM value_by_part)
+SELECT v.l_partkey AS partkey,
+       CAST(v.val AS DOUBLE) AS part_value
+FROM value_by_part v, total t
+WHERE v.val * 1000 > t.tv
+"""
+
+
+@query("important_stock_parts", oracle=_Q11_ORACLE)
+def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts representing more than 0.1% of the total
+    value shipped by one region's suppliers — the GROUP BY + HAVING
+    against a scalar derived from the same aggregation.  Adaptation:
+    no partsupp table, so "stock value" is lineitem extendedprice
+    through region-filtered suppliers (same two-level plan: per-key
+    aggregate, 1-row total of it, threshold join).
+
+    Scale: the supplier pruning broadcasts into the fact scan; ONE
+    partkey shuffle builds the per-part frame, and Catalyst reuses it
+    for the 1-row total (broadcast back into the filter — no second
+    fact pass).  The threshold compares EXACT decimals scaled by an
+    integer (val·1000 > total), never a float fraction.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    value_by_part = (
+        li.join(F.broadcast(asian), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice", 14)).alias("val"))
+    )
+    total = value_by_part.agg(F.sum("val").alias("tv"))
+    return (
+        value_by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * 1000 > F.col("tv"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year.
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(14,2))
+                - CAST(p.p_retailprice AS DECIMAL(14,2))
+                  * CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+           AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@query("product_profit_by_nation_year", oracle=_Q9_ORACLE)
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on a product line by supplier nation and
+    order year.  Adaptation: no partsupp, so unit cost is the part's
+    retail price (profit = revenue − retailprice·quantity); the
+    product line is the '%widget%' name pattern, kept as a
+    dim-side filter exactly like the original.
+
+    Scale: the name-filtered part dim prunes the fact FIRST
+    (broadcast into the lineitem scan — only widget lineitems
+    survive to later joins); supplier/nation broadcast; the only
+    fact-fact shuffle is lineitem⋈orders on orderkey.  The profit
+    expression is a single exact-decimal sum per group (one
+    shuffle, map-side combined), cast to double at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        _dec("l_extendedprice", 14)
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(14,2)")
+        - _dec("p_retailprice", 14) * F.col("l_quantity").cast("decimal(14,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier diversity per part class, with a NOT-IN supplier
+# exclusion.
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'BRAND_0'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+"""
+
+
+@query("part_supplier_diversity", oracle=_Q16_ORACLE)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: how many distinct suppliers serve each (brand,
+    type, size) part class, excluding a denylisted supplier set via
+    NOT IN — the anti-join + multi-key COUNT DISTINCT shape.
+    Adaptations: supplier relationships come from lineitem (no
+    partsupp), and the denylist is negative-balance suppliers (no
+    comment column to pattern-match; the set is empty at tiny SFs and
+    non-empty from sf0.01 up — the anti join is exercised either way).
+
+    Scale: the size/brand filter prunes the part dim BEFORE its
+    broadcast into the fact; the denylist is a LEFT ANTI broadcast
+    join (NOT IN with a provably non-null subquery = anti join);
+    count(DISTINCT suppkey) two-phases through an Expand on the
+    (class, suppkey) key.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "BRAND_0")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    deny = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(deny), li.l_suppkey == deny.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant suppliers of a product line: nested-IN semi-join
+# chain.
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH widget_parts AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+),
+part_totals AS (
+    SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(14,2))) AS total_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM widget_parts)
+    GROUP BY l_partkey
+),
+dominant AS (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part_totals t ON t.l_partkey = l.l_partkey
+    GROUP BY l.l_suppkey, l.l_partkey, t.total_qty
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(14,2))) * 10 > t.total_qty
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""
+
+
+@query("dominant_part_suppliers", oracle=_Q20_ORACLE)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's shape: suppliers who shipped more than 10% of
+    some widget part's total volume — the nested-IN semi-join chain
+    (parts → per-part threshold → qualifying suppliers → supplier
+    rows).  Adaptation: no partsupp availqty, so the threshold is
+    "this supplier's shipped qty > 10% of the part's total shipped
+    qty" (same correlated-threshold structure; exact-decimal
+    comparison via qty·10 > total, no float fraction — 50% selects
+    nobody on this corpus's ~100-supplier spread).
+
+    Scale: the name-filtered part keys broadcast into the fact scan
+    (only widget lineitems continue); ONE partkey shuffle computes
+    both per-part totals and per-(supplier, part) sums (the second
+    grouping reuses the first's exchange via the join); the final
+    supplier membership is a LEFT SEMI broadcast join on the
+    distinct qualifying suppkeys.
+    """
+    wp = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(wp), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("decimal(14,2)").alias("qty"))
+    )
+    part_totals = li.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = (
+        li.join(part_totals, on="l_partkey")
+        .groupBy("l_suppkey", "l_partkey", "total_qty")
+        .agg(F.sum("qty").alias("supp_qty"))
+        .filter(F.col("supp_qty") * 10 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept multi-supplier orders waiting (the
+# EXISTS / NOT-EXISTS pair).
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH lates AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+                THEN 1 ELSE 0 END AS is_late
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+per_order AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+               AS n_late_supps
+    FROM lates GROUP BY l_orderkey
+),
+waiters AS (
+    SELECT DISTINCT l.l_suppkey, l.l_orderkey
+    FROM lates l
+    JOIN per_order p ON p.l_orderkey = l.l_orderkey
+    WHERE l.is_late = 1
+      AND p.n_supps > 1
+      AND p.n_late_supps = 1
+)
+SELECT s.s_name, count(*) AS numwait
+FROM waiters w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+GROUP BY s.s_name
+"""
+
+
+@query("suppliers_kept_orders_waiting", oracle=_Q21_ORACLE)
+def suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the ONLY late supplier on a
+    multi-supplier order — the spec's EXISTS (another supplier on the
+    order) AND NOT EXISTS (another LATE supplier) pair, decorrelated
+    into ONE per-order aggregate carrying both distinct counts (the
+    plan the correlated form optimizes to anyway; at 100 TB the
+    aggregate form does one orderkey pass where naive EXISTS pairs
+    would self-join lineitem twice).  Adaptation: "late" is
+    ship − order date > 60 days (no receipt/commit columns), same
+    definition as shipping_lateness_priority.
+
+    Scale: lineitem⋈orders on orderkey (one fact-fact shuffle); the
+    per-order distinct pair two-phases on that same key; the waiter
+    join moves only late lineitems of qualifying orders; supplier dim
+    broadcasts for the final name roll-up.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lates = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, 1
+        ).otherwise(0).alias("is_late"),
+    )
+    per_order = lates.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supps"),
+    )
+    waiters = (
+        lates.filter(F.col("is_late") == 1)
+        .join(per_order, on="l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiters.join(F.broadcast(s), waiters.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
