@@ -188,6 +188,7 @@ _EVIDENCE_PRIORITY = [
     "part_supplier_diversity",
     "dominant_part_suppliers",
     "suppliers_kept_orders_waiting",
+    "corpus_filter_cascade",
 ]
 
 

@@ -866,3 +866,90 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("postings_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter-cascade attrition report — the sequential keep/drop funnel a
+# corpus curation pipeline publishes with every snapshot.
+# ---------------------------------------------------------------------------
+
+def _cascade_oracle() -> str:
+    toks = _TOKENS_SQL
+    stop = _hits_sql(sorted(STOPWORDS))
+    p1 = "n_chars >= 100"
+    p2 = f"len({toks}) >= 20"
+    p3 = f"100 * {stop} BETWEEN 1 * len({toks}) AND 50 * len({toks})"
+    p4 = f"2 * len(list_distinct({toks})) >= len({toks})"
+    preds = [("min_chars", p1), ("min_tokens", p2), ("stopword_band", p3), ("type_token_ratio", p4)]
+    rows = []
+    prefix = "TRUE"
+    for i, (name, p) in enumerate(preds, start=1):
+        rows.append(
+            f"SELECT {i} AS stage_idx, '{name}' AS stage,\n"
+            f"       CAST(SUM(CASE WHEN {prefix} THEN 1 ELSE 0 END) AS BIGINT) AS n_in,\n"
+            f"       CAST(SUM(CASE WHEN ({prefix}) AND NOT ({p}) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,\n"
+            f"       CAST(SUM(CASE WHEN ({prefix}) AND ({p}) THEN 1 ELSE 0 END) AS BIGINT) AS n_out\n"
+            f"FROM documents"
+        )
+        prefix = f"({prefix}) AND ({p})"
+    return "\nUNION ALL\n".join(rows)
+
+
+@query("corpus_filter_cascade", oracle=_cascade_oracle())
+def corpus_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential filter-cascade attrition (FineWeb/C4-style): each
+    stage reports how many docs reached it, how many it dropped, and
+    how many survived — the funnel report that justifies a curation
+    pipeline's yield.  Stages: min chars → min tokens → stopword
+    band → type-token ratio; every predicate is INTEGER arithmetic
+    (100·hits BETWEEN n AND 50·n, 2·distinct ≥ n — no float ratios
+    at the decision boundary).
+
+    Scale shape: ONE map pass computes all stage booleans per doc
+    (the tokenization is projected once and every predicate reads the
+    same array column), ONE 1-row aggregate computes all 12 counters
+    with map-side combine, and `stack` fans the wide row into the
+    4-stage long format — the fact is read exactly once regardless of
+    stage count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id",
+        "n_chars",
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in sorted(STOPWORDS)])
+    counted = toked.select(
+        "n_chars",
+        F.size("toks").alias("n_tok"),
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).alias("hits"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    flagged = counted.select(
+        (F.col("n_chars") >= 100).alias("p1"),
+        (F.col("n_tok") >= 20).alias("p2"),
+        (
+            (F.lit(100) * F.col("hits") >= F.col("n_tok"))
+            & (F.lit(100) * F.col("hits") <= F.lit(50) * F.col("n_tok"))
+        ).alias("p3"),
+        (F.lit(2) * F.col("n_distinct") >= F.col("n_tok")).alias("p4"),
+    )
+    preds = ["p1", "p2", "p3", "p4"]
+    names = ["min_chars", "min_tokens", "stopword_band", "type_token_ratio"]
+    aggs = []
+    prefix = F.lit(True)
+    for i, p in enumerate(preds, start=1):
+        cur = F.col(p)
+        aggs += [
+            F.sum(F.when(prefix, 1).otherwise(0)).alias(f"in_{i}"),
+            F.sum(F.when(prefix & ~cur, 1).otherwise(0)).alias(f"drop_{i}"),
+            F.sum(F.when(prefix & cur, 1).otherwise(0)).alias(f"out_{i}"),
+        ]
+        prefix = prefix & cur
+    wide = flagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{names[i-1]}', in_{i}, drop_{i}, out_{i}" for i in range(1, 5)
+    )
+    return wide.selectExpr(
+        f"stack(4, {stack_args}) AS (stage_idx, stage, n_in, n_dropped, n_out)"
+    )
