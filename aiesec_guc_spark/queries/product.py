@@ -923,3 +923,69 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_customers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile bands per group — p50/p90/p99 picked by integer
+# rank, one ranked frame fanned out to all percentiles.
+# ---------------------------------------------------------------------------
+
+_BANDS = (50, 90, 99)
+
+_BANDS_ORACLE = f"""
+WITH ranked AS (
+    SELECT event_type,
+           value,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+           ) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type,
+       CAST(p AS INT) AS pct,
+       max(n) AS n_rows,
+       max(value) AS band_value
+FROM ranked
+CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in _BANDS)}]) AS p)
+WHERE rk = (p * n + 99) // 100
+GROUP BY event_type, p
+"""
+
+
+@query("value_percentile_bands", oracle=_BANDS_ORACLE)
+def value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per event type — the latency-
+    band style summary, computed by INTEGER rank selection (rank
+    ceil(p·n/100) via (p·n+99)//100) rather than percentile_cont,
+    so both engines pick the identical row; ties pinned by event_id.
+
+    Scale shape: ONE rank window per type feeds every percentile —
+    the literal band spine cross-joins (broadcast, 3 rows) and each
+    band selects its row by rank equality, grouped max to collapse.
+    Few-huge-group caveat as median_acctbal_by_segment: for
+    planet-scale single groups, the offset-merge rank machinery
+    (operators/quantiles.py) computes the same ranks without a
+    per-type sort owning a whole group.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    spine = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _BANDS])).alias("p")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(spine))
+        .filter(F.col("rk") == F.expr("(p * n + 99) div 100"))
+        .groupBy("event_type", F.col("p").cast("int").alias("pct"))
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.max("value").alias("band_value"),
+        )
+    )

@@ -382,3 +382,66 @@ def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     week = grain("week", F.to_date(F.date_trunc("week", F.col("d"))).cast("string"), daily)
     month = grain("month", F.to_date(F.date_trunc("month", F.col("d"))).cast("string"), daily)
     return day.unionByName(week).unionByName(month)
+
+
+# ---------------------------------------------------------------------------
+# Seasonality heatmap — events by (day-of-week, hour), with PORTABLE
+# weekday arithmetic (engines disagree on dayofweek numbering).
+# ---------------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = """
+WITH b AS (
+    SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS dow,
+           (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events
+),
+tot AS (SELECT count(*) AS n FROM b)
+SELECT CAST(dow AS INT) AS dow,
+       CAST(hour AS INT) AS hour,
+       count(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS total_value,
+       CAST(count(*) * 10000 // max(t.n) AS DOUBLE) / 100 AS pct_of_total
+FROM b CROSS JOIN tot t
+GROUP BY dow, hour
+"""
+
+
+@query("events_seasonality_heatmap", oracle=_SEASONALITY_ORACLE)
+def events_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the seasonality profile
+    capacity planning and anomaly baselines start from.
+
+    The weekday is computed as ``(epoch_days + 4) % 7`` (0=Sunday)
+    straight from epoch microseconds rather than any dayofweek()
+    builtin: engines disagree on weekday NUMBERING (Spark's
+    dayofweek is 1=Sunday, DuckDB's dayofweek is 0=Sunday, ISO
+    variants are 1=Monday), and integer epoch arithmetic sidesteps
+    the whole family plus any session-timezone sensitivity.  Shares
+    the same integer-division idiom as the hour bucket.
+
+    Scale: single map-side-combined aggregate on a ≤168-key space;
+    the 1-row total broadcasts for the share; percentage is
+    basis-point integer truncation then one division.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.unix_micros("ts").alias("_us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    ).select(
+        F.expr("(_us div 86400000000 + 4) % 7").cast("int").alias("dow"),
+        F.expr("(_us % 86400000000) div 3600000000").cast("int").alias("hour"),
+        "v",
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+            (
+                F.expr("count(1) * 10000 div max(n)").cast("double") / 100
+            ).alias("pct_of_total"),
+        )
+    )
