@@ -189,6 +189,8 @@ _EVIDENCE_PRIORITY = [
     "dominant_part_suppliers",
     "suppliers_kept_orders_waiting",
     "corpus_filter_cascade",
+    "events_seasonality_heatmap",
+    "value_percentile_bands",
 ]
 
 
