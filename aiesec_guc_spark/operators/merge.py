@@ -1,0 +1,95 @@
+"""Batch MERGE (upsert) for plain-parquet tables — the `MERGE INTO`
+a lakehouse format provides, built from the engine's own pieces for
+environments that run on bare parquet directories.
+
+Semantics: key-matched rows are REPLACED by the newest version
+(update), unmatched update rows are INSERTED, unmatched target rows
+are retained — i.e. classic upsert.  "Newest" is decided by
+``order_col`` descending with the key as the final tie-break, the
+same deterministic argmax contract as the CDC compaction query
+(latest_event_per_user) and the streaming merge sink
+(run_streaming_upsert_latest, streaming/incremental.py) — this is
+their batch twin.
+
+Scale shape: ONE shuffle on the merge keys over target ∪ updates
+(row_number + keep rank 1); at real table sizes you partition the
+target (e.g. by key range or date), prune the union to partitions the
+updates touch, and merge per partition — the helper takes any path,
+so partition-wise application is the same call.  The rewrite uses the
+temp-sibling + two-rename swap from operators/maintenance.py: readers
+never observe a half-merged table and a crash leaves the original.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> dict:
+    """Upsert ``updates`` into the parquet table at ``target_path``.
+
+    Update rows win over target rows with the same key when their
+    ``order_col`` is greater-or-equal (ties prefer the update — the
+    at-least-once redelivery case).  Returns
+    ``{"n_before", "n_updates", "n_after"}``.
+    """
+    exists = os.path.isdir(target_path) and any(
+        f.endswith(".parquet") for f in os.listdir(target_path)
+    )
+    if exists:
+        target = spark.read.parquet(target_path)
+        missing = set(target.columns) ^ set(updates.columns)
+        if missing:
+            raise ValueError(
+                f"updates schema must match target; differing columns {sorted(missing)}"
+            )
+        n_before = target.count()
+        # _src=1 for updates so equal (order_col, key) prefers the update.
+        unioned = target.withColumn("_src", F.lit(0)).unionByName(
+            updates.withColumn("_src", F.lit(1))
+        )
+    else:
+        n_before = 0
+        unioned = updates.withColumn("_src", F.lit(1))
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("_src").desc()
+    )
+    merged = (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+    if not exists:
+        os.makedirs(os.path.dirname(target_path.rstrip("/")) or ".", exist_ok=True)
+        merged.write.mode("overwrite").parquet(target_path)
+        return {
+            "n_before": 0,
+            "n_updates": updates.count(),
+            "n_after": spark.read.parquet(target_path).count(),
+        }
+
+    tmp = f"{target_path.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
+    old = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old)
+    return {
+        "n_before": n_before,
+        "n_updates": updates.count(),
+        "n_after": spark.read.parquet(target_path).count(),
+    }
