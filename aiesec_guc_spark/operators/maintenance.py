@@ -97,3 +97,32 @@ def compact_table(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return {"before": before, "after": file_stats(path), "n_target": n_target}
+
+
+_SWAP_MARKERS = ("__compact_", "__merge_", "__old_")
+
+
+def vacuum_siblings(path: str, dry_run: bool = False) -> list[str]:
+    """Remove orphaned swap siblings (``tbl__compact_*`` /
+    ``tbl__merge_*`` / ``tbl__old_*``) left by a compaction or merge
+    that crashed between write and rename.
+
+    The swap protocol guarantees the LIVE table is never the damaged
+    party — a crash abandons only temp/old siblings — so vacuuming is
+    always safe on a quiesced table: nothing references these
+    directories once the table path itself exists.  (On a table
+    actively being compacted, run vacuum before/after the job, not
+    during — exactly like lakehouse VACUUM retention rules.)
+
+    Returns the removed (or, with ``dry_run``, matched) paths.
+    """
+    parent, name = os.path.split(path.rstrip("/"))
+    victims = [
+        os.path.join(parent, f)
+        for f in os.listdir(parent or ".")
+        if any(f.startswith(f"{name}{m}") for m in _SWAP_MARKERS)
+    ]
+    if not dry_run:
+        for v in victims:
+            shutil.rmtree(v)
+    return sorted(victims)

@@ -75,3 +75,26 @@ def test_compaction_respects_target_size(spark, sf_dir, tmp_path):
     out = compact_table(spark, path, target_bytes=target)
     assert out["after"]["n_files"] == out["n_target"]
     assert out["after"]["n_files"] < before["n_files"]
+
+
+def test_vacuum_removes_only_orphan_siblings(spark, sf_dir, tmp_path):
+    from aiesec_guc_spark.operators.maintenance import vacuum_siblings
+
+    path = str(tmp_path / "tbl")
+    _fragmented(spark, sf_dir, path, n=4)
+    # simulate a crash mid-swap: stale temp + old dirs beside the table
+    for orphan in ("tbl__compact_dead1", "tbl__merge_dead2", "tbl__old_dead3"):
+        os.makedirs(tmp_path / orphan)
+    # an unrelated sibling must survive
+    os.makedirs(tmp_path / "tbl_backup")
+
+    matched = vacuum_siblings(path, dry_run=True)
+    assert len(matched) == 3
+    assert all(os.path.exists(m) for m in matched)
+
+    removed = vacuum_siblings(path)
+    assert len(removed) == 3
+    left = sorted(os.listdir(tmp_path))
+    assert left == ["tbl", "tbl_backup"]
+    # table untouched
+    assert spark.read.parquet(path).count() > 0
