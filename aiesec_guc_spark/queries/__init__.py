@@ -191,6 +191,8 @@ _EVIDENCE_PRIORITY = [
     "corpus_filter_cascade",
     "events_seasonality_heatmap",
     "value_percentile_bands",
+    "revenue_max_drawdown",
+    "revenue_gini",
 ]
 
 

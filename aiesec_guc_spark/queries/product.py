@@ -989,3 +989,63 @@ def value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("band_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue — exact rank-sum formula.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH percust AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT rev,
+           row_number() OVER (ORDER BY rev, o_custkey) AS i,
+           count(*) OVER () AS n,
+           SUM(rev) OVER () AS s
+    FROM percust
+)
+SELECT max(n) AS n_customers,
+       CAST(max(s) AS DOUBLE) AS total_revenue,
+       CAST(2 * SUM(i * rev) AS DOUBLE) / (max(n) * CAST(max(s) AS DOUBLE))
+         - CAST(max(n) + 1 AS DOUBLE) / max(n) AS gini
+FROM ranked
+"""
+
+
+@query("revenue_gini", oracle=_GINI_ORACLE)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality
+    scalar beside the Pareto curve (pareto_revenue_concentration),
+    via the rank-sum identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending-ranked values.  Σ(i·xᵢ) is an EXACT decimal sum
+    (rank·decimal), so the only doubles are the two final divisions —
+    deterministic cross-engine; rank ties pin on custkey.
+
+    Scale shape: per-customer exact revenue first (one fact shuffle);
+    the global rank window orders the #customers frame (offset-merge
+    rank machinery named for frames that stay huge); ONE final 1-row
+    fold.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    percust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = percust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("s"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.max("s").cast("double").alias("total_revenue"),
+        (
+            (F.lit(2) * F.sum(F.col("i") * F.col("rev"))).cast("double")
+            / (F.max("n") * F.max("s").cast("double"))
+            - (F.max("n") + 1).cast("double") / F.max("n")
+        ).alias("gini"),
+    )

@@ -445,3 +445,60 @@ def events_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_of_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the daily revenue series — running-peak window
+# composition in exact decimals.
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+),
+runpeak AS (
+    SELECT d, rev,
+           MAX(rev) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS peak
+    FROM daily
+)
+SELECT CAST(max(peak - rev) AS DOUBLE) AS max_drawdown,
+       CAST(max(CASE WHEN peak = rev THEN rev END) AS DOUBLE) AS peak_revenue,
+       count(*) AS n_days
+FROM runpeak
+"""
+
+
+@query("revenue_max_drawdown", oracle=_DRAWDOWN_ORACLE)
+def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of daily revenue (largest drop from a running
+    peak) — the risk-metric window composition: running MAX over the
+    ordered daily series, then a global max of (peak − value).  All
+    comparisons and differences happen in EXACT decimals; the two
+    output casts are display-only, so engines agree bit-for-bit.
+
+    Scale shape: the fact collapses to the #days frame first (one
+    map-side-combined shuffle); the running-peak window orders that
+    tiny frame (a global window over #days rows — for decade-long
+    minute-grain series, range-partition by coarse time and carry
+    per-partition peaks through the offset-merge pattern, same as the
+    deciles machinery).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runpeak = daily.select(
+        "rev", F.max("rev").over(w).alias("peak")
+    )
+    return runpeak.agg(
+        F.max(F.col("peak") - F.col("rev")).cast("double").alias("max_drawdown"),
+        F.max(F.when(F.col("peak") == F.col("rev"), F.col("rev")))
+        .cast("double")
+        .alias("peak_revenue"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
