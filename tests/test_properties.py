@@ -365,3 +365,45 @@ def test_exact_ntile_matches_bruteforce(spark):
                     expected[order[pos][0]] = b
                     pos += 1
         assert got == expected, f"n={n_rows} k={k}"
+
+
+# ---------------------------------------------------------------------------
+# Batch MERGE upsert vs a dict-based reference over random batches
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_matches_dict_reference(spark, tmp_path):
+    import random
+
+    from aiesec_guc_spark.operators.merge import merge_upsert
+
+    rng = random.Random(42)
+    path = str(tmp_path / "tbl")
+    ref: dict[int, tuple[int, str]] = {}
+
+    for batch in range(4):
+        rows = [
+            (rng.randrange(8), rng.randrange(5), f"b{batch}r{i}")
+            for i in range(12)
+        ]
+        # reference semantics: per batch, the winning update per key is
+        # max (ts, value-as-tiebreak is NOT defined) — make updates
+        # unique per (k, ts) within a batch to keep the contract
+        # deterministic, like real CDC batches keyed by (key, ts)
+        dedup: dict[tuple[int, int], str] = {}
+        for k, ts, v in rows:
+            dedup[(k, ts)] = v
+        rows = [(k, ts, v) for (k, ts), v in dedup.items()]
+
+        df = spark.createDataFrame(rows, "k int, ts long, v string")
+        merge_upsert(spark, path, df, keys=["k"], order_col="ts")
+
+        for k, ts, v in sorted(rows, key=lambda r: r[1]):
+            cur = ref.get(k)
+            if cur is None or ts >= cur[0]:
+                ref[k] = (ts, v)
+
+        got = {
+            r.k: (r.ts, r.v) for r in spark.read.parquet(path).collect()
+        }
+        assert got == ref, f"batch {batch}: {got} != {ref}"
