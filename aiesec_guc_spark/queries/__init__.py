@@ -193,6 +193,7 @@ _EVIDENCE_PRIORITY = [
     "value_percentile_bands",
     "revenue_max_drawdown",
     "revenue_gini",
+    "ab_test_proportions",
 ]
 
 

@@ -655,3 +655,101 @@ def pit_purchase_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("purchase_value"),
         F.sum(F.datediff(F.col("d"), F.col("asof_ts"))).alias("run_age_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test readout — two-proportion z statistic from exact counts,
+# arms assigned by portable hash (the experiment-analysis staple).
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH assign AS (
+    SELECT user_id,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+               AS arm,
+           CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                THEN 1 ELSE 0 END AS converted
+    FROM events
+    GROUP BY user_id
+),
+arms AS (
+    SELECT arm,
+           count(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted
+    FROM assign GROUP BY arm
+),
+wide AS (
+    SELECT
+        max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+        max(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+        max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+        max(CASE WHEN arm = 1 THEN n_converted END) AS c1
+    FROM arms
+)
+SELECT n0, c0, n1, c1,
+       CAST(c0 AS DOUBLE) / n0 AS rate0,
+       CAST(c1 AS DOUBLE) / n1 AS rate1,
+       (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+         / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))
+           AS z_stat
+FROM wide
+"""
+
+
+@query("ab_test_proportions", oracle=_AB_ORACLE)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout for a hash-assigned experiment:
+    users split 50/50 by portable md5 parity (deterministic,
+    retry-stable — the same no-rand() convention as shard
+    assignment), conversion = a heavy-buyer threshold (>= 14 purchases — "any
+    purchase" saturates this corpus at 100%, degenerating the pooled
+    variance to zero), and the z statistic
+    computed from EXACT integer counts with only IEEE-deterministic
+    double ops at the end (divisions and one correctly-rounded sqrt
+    — no order-dependent float accumulation anywhere).
+
+    Scale shape: ONE user-keyed aggregate reduces the fact to
+    (user, arm, converted); the arm roll-up is a 2-key map-side
+    combine; the final fold is 1 row.  This is the readout an
+    experimentation platform recomputes per metric per day.
+    """
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 14
+        ).cast("int").alias("converted")
+    ).select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2
+        ).alias("arm"),
+        "converted",
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        r0.alias("rate0"),
+        r1.alias("rate1"),
+        (
+            (r0 - r1)
+            / F.sqrt(
+                pool * (F.lit(1) - pool)
+                * (F.lit(1).cast("double") / F.col("n0") + F.lit(1).cast("double") / F.col("n1"))
+            )
+        ).alias("z_stat"),
+    )
