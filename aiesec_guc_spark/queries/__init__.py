@@ -194,6 +194,7 @@ _EVIDENCE_PRIORITY = [
     "revenue_max_drawdown",
     "revenue_gini",
     "ab_test_proportions",
+    "label_centroid_separation",
 ]
 
 

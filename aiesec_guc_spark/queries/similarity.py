@@ -856,3 +856,109 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("q_sum"),
         F.max(F.abs(F.col("val") - F.col("dq"))).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid separation — pairwise cosine between per-label
+# centroid directions, with every accumulation in EXACT decimals.
+# ---------------------------------------------------------------------------
+
+_CENTROID_SEP_ORACLE = f"""
+WITH flat AS (
+    SELECT label, u.d AS dim,
+           CAST(floor(CAST(u.v AS DOUBLE) * 100000) AS BIGINT) AS val
+    FROM embeddings,
+         LATERAL (
+            SELECT unnest(generate_series(1, {EMBEDDING_DIM})) AS d,
+                   unnest(embedding) AS v
+         ) u
+),
+sums AS (
+    SELECT label, dim, CAST(SUM(val) AS BIGINT) AS s
+    FROM flat GROUP BY label, dim
+),
+dots AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+    FROM sums a
+    JOIN sums b ON a.dim = b.dim AND a.label <= b.label
+    GROUP BY 1, 2
+)
+SELECT p.label_a, p.label_b,
+       CAST(p.dot AS DOUBLE)
+         / (sqrt(CAST(na.dot AS DOUBLE)) * sqrt(CAST(nb.dot AS DOUBLE)))
+           AS centroid_cos
+FROM dots p
+JOIN dots na ON na.label_a = p.label_a AND na.label_b = p.label_a
+JOIN dots nb ON nb.label_a = p.label_b AND nb.label_b = p.label_b
+WHERE p.label_a < p.label_b
+"""
+
+
+@query("label_centroid_separation", oracle=_CENTROID_SEP_ORACLE)
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation diagnostic: cosine between every pair of
+    label centroid DIRECTIONS (the sum vector's direction equals the
+    mean's, so no division happens until display), computed with all
+    accumulations in exact BIGINTs — values fixed-point quantized to
+    floor(v·10⁵) (headroom: |s| ≤ n·10⁵ and the 64-dim dot stays well
+    under 2⁶³ for n ≤ 10⁶ vectors/label; rescale the factor beyond),
+    then per-(label, dim) sums and pairwise dots of the sum vectors —
+    doubles appear only in the final sqrt/divide, which are
+    IEEE-deterministic.  A float `avg(embedding[d])` would be
+    order-dependent per partition, and decimal accumulators hit
+    engine-specific overflow scale-capping (measured: Spark truncates
+    the (37,18)×(37,18) product to scale 6, DuckDB keeps more — a
+    1e-5 drift).
+
+    Scale shape: posexplode map-side; the (label, dim) reduction is
+    the only data-sized shuffle (key space = labels × dims, fully
+    map-side combined); the pairwise join runs on that tiny frame
+    (labels² × dims rows at worst) and norms fall out of the same
+    frame as the self-pairs — no second pass over the vectors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("d0", "v")
+    ).select(
+        "label",
+        (F.col("d0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 100000).cast("bigint").alias("val"),
+    )
+    sums = flat.groupBy("label", "dim").agg(F.sum("val").cast("bigint").alias("s"))
+    a = sums.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("s_a")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("s_b")
+    )
+    dots = (
+        a.join(b, (a.dim == b.dim) & (F.col("label_a") <= F.col("label_b")), "inner")
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("s_a") * F.col("s_b")).cast("bigint").alias("dot"))
+    )
+    from ..operators.dedup import materialize
+
+    dots = materialize(dots)
+    na = dots.filter(F.col("label_a") == F.col("label_b")).select(
+        F.col("label_a").alias("la"), F.col("dot").alias("dot_a")
+    )
+    nb = dots.filter(F.col("label_a") == F.col("label_b")).select(
+        F.col("label_b").alias("lb"), F.col("dot").alias("dot_b")
+    )
+    return (
+        dots.filter(F.col("label_a") < F.col("label_b"))
+        .join(F.broadcast(na), F.col("label_a") == F.col("la"))
+        .join(F.broadcast(nb), F.col("label_b") == F.col("lb"))
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("dot_a").cast("double"))
+                    * F.sqrt(F.col("dot_b").cast("double"))
+                )
+            ).alias("centroid_cos"),
+        )
+    )
