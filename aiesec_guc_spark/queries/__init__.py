@@ -195,6 +195,7 @@ _EVIDENCE_PRIORITY = [
     "revenue_gini",
     "ab_test_proportions",
     "label_centroid_separation",
+    "open_orders_backlog",
 ]
 
 

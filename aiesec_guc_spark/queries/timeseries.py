@@ -502,3 +502,100 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("peak_revenue"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog — the sweep-line (+1/−1 delta + running sum)
+# pattern for "how many intervals are open on day d".
+# ---------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH closes AS (
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS open_day,
+           COALESCE(CAST(max(l.l_shipdate) AS DATE),
+                    CAST(o.o_orderdate AS DATE)) AS close_day
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+    SELECT open_day AS d, 1 AS delta, 1 AS opened, 0 AS closed FROM closes
+    UNION ALL
+    SELECT close_day + INTERVAL 1 DAY, -1, 0, 1 FROM closes
+),
+daily AS (
+    SELECT CAST(d AS DATE) AS d,
+           SUM(delta) AS net,
+           SUM(opened) AS n_opened,
+           SUM(closed) AS n_closed
+    FROM deltas GROUP BY 1
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(n_opened AS BIGINT) AS n_opened,
+       CAST(n_closed AS BIGINT) AS n_closed,
+       CAST(SUM(net) OVER (
+           ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS backlog
+FROM daily
+"""
+
+
+@query("open_orders_backlog", oracle=_BACKLOG_ORACLE)
+def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day via the sweep-line idiom: every
+    order contributes +1 on its open day and −1 the day after it
+    closes (last lineitem shipdate; lineitem-less orders close same-
+    day), the deltas collapse to a daily net, and a running sum turns
+    nets into the standing backlog — "how many intervals cover day d"
+    computed WITHOUT expanding each order into its covered days (the
+    expansion form is |orders|·avg_duration rows; the sweep-line is
+    2·|orders|).
+
+    Scale shape: one orderkey shuffle computes close days (map-side-
+    combined max over the co-partitioned join); the delta union is
+    map-side; the daily net collapses to the #days frame, and the
+    running sum windows over that tiny frame (coarse-time
+    offset-merge carry for planet-span calendars, as elsewhere).
+    All counters integer-exact.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    closes = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.coalesce(
+                F.to_date(F.max("l_shipdate")), F.to_date("o_orderdate")
+            ).alias("close_day")
+        )
+        .select(
+            F.to_date("o_orderdate").alias("open_day"),
+            "close_day",
+        )
+    )
+    deltas = closes.select(
+        F.col("open_day").alias("d"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionAll(
+        closes.select(
+            F.date_add("close_day", 1).alias("d"),
+            F.lit(-1).alias("delta"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    daily = deltas.groupBy("d").agg(
+        F.sum("delta").alias("net"),
+        F.sum("opened").alias("n_opened"),
+        F.sum("closed").alias("n_closed"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("n_opened").cast("bigint").alias("n_opened"),
+        F.col("n_closed").cast("bigint").alias("n_closed"),
+        F.sum("net").over(w).cast("bigint").alias("backlog"),
+    )
