@@ -196,6 +196,7 @@ _EVIDENCE_PRIORITY = [
     "ab_test_proportions",
     "label_centroid_separation",
     "open_orders_backlog",
+    "dedup_containment_pairs",
 ]
 
 

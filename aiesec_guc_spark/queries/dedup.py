@@ -1094,3 +1094,83 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment — quote/subset detection: |A∩B|/|A| catches a
+# small doc embedded in a big one where Jaccard stays low.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_MIN = 0.5
+
+
+def _containment_oracle() -> str:
+    base = _minhash_oracle()
+    head, _tail = base.rsplit("SELECT c.doc_a,", 1)
+    return f"""{head}SELECT c.doc_a, c.doc_b,
+       sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(COALESCE(i.icnt, 0) AS DOUBLE) / sa.sz AS contain_a_in_b,
+       CAST(COALESCE(i.icnt, 0) AS DOUBLE) / sb.sz AS contain_b_in_a
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE COALESCE(i.icnt, 0) * 2 >= LEAST(sa.sz, sb.sz)
+"""
+
+
+@query("dedup_containment_pairs", oracle=_containment_oracle())
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over the LSH candidate pairs:
+    |A∩B|/|A| and |A∩B|/|B| — the quote/subset detector that catches
+    a short document embedded verbatim in a long one, where symmetric
+    Jaccard (intersection over UNION) stays below every dedup
+    threshold.  Pairs surface when the intersection covers at least
+    half of the SMALLER side (integer-exact predicate 2·icnt ≥
+    min(sz), so no float threshold decides membership); the two
+    containment ratios are single divisions from exact counts.
+
+    Scale shape: identical to the MinHash family — banded candidates,
+    verification cost scales with candidate count.  (LSH recall
+    caveat, documented: minhash bands are tuned for JACCARD
+    similarity, so extreme size-ratio containments can be missed at
+    candidate generation; the dedicated fix is min-wise hashing on
+    the smaller side's shingles only — same band-join shape.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
+    ).select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    cand = materialize(
+        lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
+    )
+    shd = materialize(
+        shingle_rows(docs, "doc_id", "text").distinct()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    xa = shd.select(F.col("doc_id").alias("doc_a"), "shingle")
+    xb = shd.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(xa, on="doc_a")
+        .join(xb, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        cand.join(inter, on=["doc_a", "doc_b"], how="left")
+        .withColumn("icnt", F.coalesce(F.col("icnt"), F.lit(0)))
+        .join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .filter(F.lit(2) * F.col("icnt") >= F.least("sz_a", "sz_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            (F.col("icnt").cast("double") / F.col("sz_a")).alias("contain_a_in_b"),
+            (F.col("icnt").cast("double") / F.col("sz_b")).alias("contain_b_in_a"),
+        )
+    )
