@@ -197,6 +197,8 @@ _EVIDENCE_PRIORITY = [
     "label_centroid_separation",
     "open_orders_backlog",
     "dedup_containment_pairs",
+    "dedup_source_attribution",
+    "repurchase_interval_median",
 ]
 
 

@@ -1174,3 +1174,59 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("icnt").cast("double") / F.col("sz_b")).alias("contain_b_in_a"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication attribution — which ingest sources pay for
+# the dedup pass.
+# ---------------------------------------------------------------------------
+
+_SOURCE_DUP_ORACLE = """
+WITH fp AS (
+    SELECT source, doc_id, md5(lower(trim(text))) AS f
+    FROM documents
+),
+flagged AS (
+    SELECT source,
+           CASE WHEN row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+                THEN 0 ELSE 1 END AS is_dup
+    FROM fp
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(is_dup) * 10000 // count(*) AS DOUBLE) / 100 AS dup_pct
+FROM flagged
+GROUP BY source
+"""
+
+
+@query("dedup_source_attribution", oracle=_SOURCE_DUP_ORACLE)
+def dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources ship duplicates: per ingest source, the count
+    and share of docs that are exact-dup NON-canonicals (fingerprint
+    seen on a lower doc_id anywhere in the corpus) — the attribution
+    a crawl operator uses to throttle or deprioritize feeds.  Note
+    the dup is charged to the source of the LATER doc, cross-source
+    dups included (that's the operational question: who re-sends
+    content the corpus already has).
+
+    Scale shape: one fingerprint-keyed shuffle ranks duplicates (the
+    exact-dedup shuffle, reused for attribution); the per-source
+    roll-up is a tiny map-side-combined aggregate.  Percentage is
+    basis-point integer truncation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("source", "doc_id", fingerprint_md5("text").alias("f"))
+    w = Window.partitionBy("f").orderBy("doc_id")
+    flagged = fp.select(
+        "source",
+        F.when(F.row_number().over(w) == 1, 0).otherwise(1).alias("is_dup"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_exact_dups"),
+        (
+            F.expr("sum(is_dup) * 10000 div count(1)").cast("double") / 100
+        ).alias("dup_pct"),
+    )

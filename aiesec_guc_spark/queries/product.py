@@ -1049,3 +1049,84 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.max("n") + 1).cast("double") / F.max("n")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repurchase cadence — exact median days between consecutive
+# purchases, per-user lag + global rank-pair composition.
+# ---------------------------------------------------------------------------
+
+_REPURCHASE_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_ts
+    FROM events WHERE event_type = 'purchase'
+),
+gaps AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+    FROM p WHERE prev_ts IS NOT NULL
+),
+ranked AS (
+    SELECT gap_us,
+           row_number() OVER (ORDER BY gap_us, user_id, event_id) AS rk,
+           count(*) OVER () AS n
+    FROM gaps
+)
+SELECT max(n) AS n_gaps,
+       CAST(SUM(CASE WHEN rk IN ((n + 1) // 2, (n + 2) // 2)
+                     THEN gap_us END) AS DOUBLE)
+         / count(CASE WHEN rk IN ((n + 1) // 2, (n + 2) // 2)
+                      THEN 1 END) AS median_gap_us,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM ranked
+"""
+
+
+@query("repurchase_interval_median", oracle=_REPURCHASE_ORACLE)
+def repurchase_interval_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase cadence: the exact median (rank-pair), min, and max
+    of the gap between a user's consecutive purchases — the
+    replenishment-cycle number a retention model calibrates against.
+
+    Composition: per-user lag (ONE user-keyed sort shared with the
+    session family's windows) → integer-µs gaps → global rank-pair
+    median over the #gaps frame (tie-pinned by user_id, event_id;
+    offset-merge machinery named for frames that stay huge).  All
+    extremes integer-exact; the median's single division is the only
+    double.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    ).filter(F.col("prev_us").isNotNull())
+    gaps = p.select(
+        "user_id", "event_id", (F.col("us") - F.col("prev_us")).alias("gap_us")
+    )
+    wr = Window.orderBy("gap_us", "user_id", "event_id")
+    ranked = gaps.select(
+        "gap_us",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    mid = (F.col("rk") == F.expr("(n + 1) div 2")) | (
+        F.col("rk") == F.expr("(n + 2) div 2")
+    )
+    return ranked.agg(
+        F.max("n").alias("n_gaps"),
+        (
+            F.sum(F.when(mid, F.col("gap_us"))).cast("double")
+            / F.count(F.when(mid, F.lit(1)))
+        ).alias("median_gap_us"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
