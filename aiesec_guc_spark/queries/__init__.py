@@ -199,6 +199,7 @@ _EVIDENCE_PRIORITY = [
     "dedup_containment_pairs",
     "dedup_source_attribution",
     "repurchase_interval_median",
+    "customers_bought_all_brands",
 ]
 
 

@@ -593,3 +593,73 @@ def null_semantics_pins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_allnull_group"),
     )
     return aggs.join(first_nn, on="prio").join(nullsafe, on="prio")
+
+
+# ---------------------------------------------------------------------------
+# Relational division — customers whose purchases cover ALL brands in
+# a target set (the FOR-ALL quantifier).
+# ---------------------------------------------------------------------------
+
+_DIVISION_BRANDS = ("Brand#1", "Brand#2", "Brand#3")
+
+_DIVISION_ORACLE = f"""
+WITH wanted(b) AS (
+    SELECT unnest(['{_DIVISION_BRANDS[0]}', '{_DIVISION_BRANDS[1]}', '{_DIVISION_BRANDS[2]}'])
+),
+cov AS (
+    SELECT o.o_custkey AS custkey, p.p_brand AS b
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN (SELECT b FROM wanted)
+    GROUP BY 1, 2
+)
+SELECT c.custkey, cu.c_mktsegment AS segment
+FROM (
+    SELECT custkey FROM cov
+    GROUP BY custkey
+    HAVING count(*) = (SELECT count(*) FROM wanted)
+) c
+JOIN customer cu ON cu.c_custkey = c.custkey
+"""
+
+
+@query("customers_bought_all_brands", oracle=_DIVISION_ORACLE)
+def customers_bought_all_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the FOR-ALL quantifier): customers whose
+    purchase history covers EVERY brand in a target set — the classic
+    "suppliers who supply all parts" shape, absent from both the
+    reference and the TPC-H suite.
+
+    The scalable encoding is coverage-counting, not nested NOT
+    EXISTS: filter the fact to the wanted set (broadcast IN-list
+    prunes at the scan), reduce to DISTINCT (customer, brand) — the
+    only fact-sized shuffle, map-side combined — and keep customers
+    whose distinct coverage equals |set|.  The double-NOT-EXISTS
+    form Catalyst would otherwise nest becomes two correlated anti
+    joins over the fact; the counting form touches it once.  The
+    customer dim joins only the qualifying keys (AQE broadcasts).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(*_DIVISION_BRANDS))
+        .select("p_partkey", "p_brand")
+    )
+    cov = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    qualifying = (
+        cov.groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == len(_DIVISION_BRANDS))
+        .select("custkey")
+    )
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return qualifying.join(cu, qualifying.custkey == cu.c_custkey).select(
+        "custkey", F.col("c_mktsegment").alias("segment")
+    )

@@ -332,7 +332,7 @@ SELECT p.p_brand, p.p_type, p.p_size,
        count(DISTINCT l.l_suppkey) AS supplier_cnt
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
-WHERE p.p_brand <> 'BRAND_0'
+WHERE p.p_brand <> 'Brand#1'
   AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
   AND l.l_suppkey NOT IN (
       SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
@@ -361,7 +361,7 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         load_table(spark, sf_dir, "part")
         .filter(
-            (F.col("p_brand") != "BRAND_0")
+            (F.col("p_brand") != "Brand#1")
             & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
