@@ -200,6 +200,7 @@ _EVIDENCE_PRIORITY = [
     "dedup_source_attribution",
     "repurchase_interval_median",
     "customers_bought_all_brands",
+    "conversion_latency_cdf",
 ]
 
 

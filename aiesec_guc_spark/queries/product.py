@@ -1130,3 +1130,94 @@ def repurchase_interval_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").cast("bigint").alias("min_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency CDF — share converting within fixed thresholds.
+# ---------------------------------------------------------------------------
+
+_CDF_THRESHOLDS_US = (
+    60 * 1_000_000,          # 1 minute
+    300 * 1_000_000,         # 5 minutes
+    3_600 * 1_000_000,       # 1 hour
+    86_400 * 1_000_000,      # 1 day
+)
+
+_CDF_ORACLE = f"""
+WITH first_click AS (
+    SELECT user_id, min(ts) AS c_ts
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+    SELECT f.user_id,
+           epoch_us(min(e.ts)) - epoch_us(f.c_ts) AS latency_us
+    FROM first_click f
+    JOIN events e
+      ON e.user_id = f.user_id
+     AND e.event_type = 'purchase'
+     AND e.ts >= f.c_ts
+    GROUP BY f.user_id, f.c_ts
+)
+SELECT CAST(t AS BIGINT) AS threshold_us,
+       count(*) AS n_converted,
+       CAST(SUM(CASE WHEN latency_us <= t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_within,
+       CAST(SUM(CASE WHEN latency_us <= t THEN 1 ELSE 0 END) * 10000
+            // count(*) AS DOUBLE) / 100 AS pct_within
+FROM conv
+CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in _CDF_THRESHOLDS_US)}]) AS t)
+GROUP BY t
+"""
+
+
+@query("conversion_latency_cdf", oracle=_CDF_ORACLE)
+def conversion_latency_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cumulative view beside funnel_conversion_latency's
+    median/p90: what share of conversions complete within 1 min /
+    5 min / 1 h / 1 d of the first click — the SLA-style thresholds a
+    dashboard alert keys on.  Same per-user conditional-min frames;
+    the 4-row threshold spine broadcasts and each threshold's count
+    is a conditional sum over ONE pass of the tiny #converted frame;
+    shares are basis-point integer truncation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(first_click, on="user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id", "c_ts")
+        .agg(
+            (
+                F.unix_micros(F.min("ts"))
+                - F.unix_micros(F.col("c_ts").cast("timestamp"))
+            ).alias("latency_us")
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in _CDF_THRESHOLDS_US])
+        ).alias("t")
+    )
+    return (
+        conv.crossJoin(F.broadcast(spine))
+        .groupBy(F.col("t").alias("threshold_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.sum(F.when(F.col("latency_us") <= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within"),
+            (
+                F.expr(
+                    "sum(CASE WHEN latency_us <= t THEN 1 ELSE 0 END)"
+                    " * 10000 div count(1)"
+                ).cast("double")
+                / 100
+            ).alias("pct_within"),
+        )
+    )
