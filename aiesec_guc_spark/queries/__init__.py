@@ -201,6 +201,8 @@ _EVIDENCE_PRIORITY = [
     "repurchase_interval_median",
     "customers_bought_all_brands",
     "conversion_latency_cdf",
+    "trimmed_mean_value",
+    "nation_share_within_segment",
 ]
 
 

@@ -1221,3 +1221,77 @@ def conversion_latency_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_within"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean — robust location estimate with integer-exact trim
+# bounds (complements the median/MAD family).
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT = 5
+
+_TRIMMED_ORACLE = f"""
+WITH ranked AS (
+    SELECT event_type,
+           CAST(value AS DECIMAL(18,2)) AS v,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+           ) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type,
+       max(n) AS n_rows,
+       CAST(n * {_TRIM_PCT} // 100 AS BIGINT) AS n_trimmed_each_side,
+       CAST(SUM(CASE WHEN rk > n * {_TRIM_PCT} // 100
+                      AND rk <= n - n * {_TRIM_PCT} // 100
+                     THEN v END) AS DOUBLE)
+         / SUM(CASE WHEN rk > n * {_TRIM_PCT} // 100
+                     AND rk <= n - n * {_TRIM_PCT} // 100
+                    THEN 1 ELSE 0 END) AS trimmed_mean
+FROM ranked
+GROUP BY event_type, n * {_TRIM_PCT} // 100
+"""
+
+
+@query("trimmed_mean_value", oracle=_TRIMMED_ORACLE)
+def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of event value per type: drop the lowest and
+    highest floor(5%·n) ranked rows, exact-decimal-sum ÷ count the
+    middle — the robust location estimate between the raw mean
+    (outlier-hostage) and the median (throws information away), with
+    INTEGER trim bounds (n·5//100) so both engines trim identical
+    rows; rank ties pin on event_id.
+
+    Scale: one rank window per type over the fact (few-huge-group
+    caveat as elsewhere — offset-merge ranks for planet-scale types);
+    the trimmed aggregation is conditional sums on the same pass, and
+    the single division is the only double.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo = F.expr(f"n * {_TRIM_PCT} div 100")
+    keep = (F.col("rk") > lo) & (F.col("rk") <= F.col("n") - lo)
+    return (
+        ranked.groupBy("event_type", lo.alias("n_trimmed_each_side"))
+        .agg(
+            F.max("n").alias("n_rows"),
+            (
+                F.sum(F.when(keep, F.col("v"))).cast("double")
+                / F.sum(F.when(keep, 1).otherwise(0))
+            ).alias("trimmed_mean"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            F.col("n_trimmed_each_side").cast("bigint").alias("n_trimmed_each_side"),
+            "trimmed_mean",
+        )
+    )

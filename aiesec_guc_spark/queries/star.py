@@ -1108,3 +1108,67 @@ def discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("corr_discount_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent — each nation's share WITHIN its market segment
+# (the BI drill-down ratio over an already-aggregated frame).
+# ---------------------------------------------------------------------------
+
+_SHARE_WITHIN_ORACLE = """
+WITH seg_nation AS (
+    SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+           SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS rev
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+)
+SELECT segment, nation,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(CAST(rev * 1000000 AS BIGINT)
+            // CAST(SUM(rev) OVER (PARTITION BY segment) AS BIGINT)
+            AS DOUBLE) / 10000 AS pct_of_segment
+FROM seg_nation
+"""
+
+
+@query("nation_share_within_segment", oracle=_SHARE_WITHIN_ORACLE)
+def nation_share_within_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent: each nation's revenue share WITHIN its
+    market segment — the drill-down ratio every BI tool computes when
+    you expand a rollup level.  The share is integer arithmetic over
+    EXACT decimal revenues (rev·10⁶ // segment total, both floored to
+    BIGINT cents-scale first) so the boundary is engine-identical —
+    a double ratio of two float sums would not be.
+
+    Scale: ONE custkey fact shuffle builds the (segment, nation)
+    frame (nation/customer dims broadcast); the percent-of-parent
+    window partitions that tiny aggregated frame by segment — the
+    window never sees raw orders.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seg_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("segment")
+    return seg_nation.select(
+        "segment",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.expr("CAST(rev * 1000000 AS BIGINT) div CAST(sum(rev) OVER (PARTITION BY segment) AS BIGINT)")
+            .cast("double")
+            / 10000
+        ).alias("pct_of_segment"),
+    )
