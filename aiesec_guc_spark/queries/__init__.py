@@ -203,6 +203,7 @@ _EVIDENCE_PRIORITY = [
     "conversion_latency_cdf",
     "trimmed_mean_value",
     "nation_share_within_segment",
+    "value_dispersion_by_type",
 ]
 
 

@@ -753,3 +753,59 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dispersion from exact sufficient statistics — variance / CV per
+# event type without the built-in stddev's accumulation-order drift.
+# ---------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH s AS (
+    SELECT event_type,
+           count(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+           SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               AS s2
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(s1 AS DOUBLE) / n AS mean_value,
+       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n
+           AS var_pop,
+       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n)
+         / (CAST(s1 AS DOUBLE) / n) AS cv
+FROM s
+"""
+
+
+@query("value_dispersion_by_type", oracle=_DISPERSION_ORACLE)
+def value_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance and coefficient of variation per event
+    type from EXACT sufficient statistics (n, Σv, Σv² as decimals —
+    the same mergeable-moments form as the Pearson query), with the
+    closed-form final arithmetic in deterministic double ops —
+    the built-in stddev's float accumulation is order-dependent and
+    would never hash-match cross-engine.  The sufficient statistics
+    are also the INCREMENTAL form: per-partition moments merge by
+    addition, so a daily rollup maintains variance without rescans.
+
+    Scale: one map-side-combined aggregate, key space = #types.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var = (s2d - s1d * s1d / F.col("n")) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        (s1d / F.col("n")).alias("mean_value"),
+        var.alias("var_pop"),
+        (F.sqrt(var) / (s1d / F.col("n"))).alias("cv"),
+    )
