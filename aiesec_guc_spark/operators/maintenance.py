@@ -26,6 +26,14 @@ Design:
   dir is abandoned, never the live one).  On HDFS/local the renames
   are atomic metadata ops; on S3-like stores swap via a metastore /
   table-format pointer instead (documented, not emulated here).
+- Swap siblings are HIDDEN (dot-prefixed basenames).  This matters
+  when the compacted path is itself a partition directory inside a
+  larger table (e.g. ``base/run_date=X``): Spark's data-source file
+  listing skips paths whose basename starts with ``.`` or ``_``, so
+  a concurrent reader of the PARENT table never sees the in-flight
+  temp or the abandoned old copy as a bogus extra partition — the
+  swap stays invisible to ``base`` readers, not just to readers of
+  the compacted path itself.
 """
 
 from __future__ import annotations
@@ -37,9 +45,24 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.formats import FORMATS, _check_fmt
+from pyspark.sql import types as T
+
+from ..sources.formats import _check_fmt, read_table, write_table
 
 _DATA_EXTS = {".parquet", ".orc", ".json", ".csv"}
+
+#: Formats whose files carry their own schema — safe to compact
+#: without a caller-supplied one.
+_SELF_DESCRIBING = ("parquet", "orc")
+
+
+def swap_sibling(path: str, tag: str) -> str:
+    """A HIDDEN sibling path for the temp/old halves of a two-rename
+    swap: ``parent/.name__<tag>_<hex>``.  The dot prefix keeps Spark's
+    file listing from ever surfacing it — essential when ``path`` is a
+    partition directory whose parent table has concurrent readers."""
+    parent, name = os.path.split(path.rstrip("/"))
+    return os.path.join(parent, f".{name}__{tag}_{uuid.uuid4().hex[:8]}")
 
 
 def file_stats(path: str) -> dict:
@@ -74,6 +97,7 @@ def compact_table(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
+    schema: T.StructType | None = None,
 ) -> dict:
     """Rewrite the table at ``path`` into ~``target_bytes`` files.
 
@@ -82,17 +106,32 @@ def compact_table(
     temp sibling → two-rename swap; see the module docstring for why
     each choice.  No-op (returns with after == before) when the table
     already has <= n_target files.
+
+    CSV/JSON tables are NOT self-describing: a bare ``spark.read.csv``
+    would ingest the header row as data and rewrite an all-string,
+    header-less table.  Those formats therefore REQUIRE ``schema`` and
+    round-trip through :func:`read_table` / :func:`write_table` (header
+    + the shared timestamp pattern), so compaction is byte-faithful.
     """
     _check_fmt(fmt)
+    if fmt not in _SELF_DESCRIBING and schema is None:
+        raise ValueError(
+            f"compacting {fmt!r} requires an explicit schema: the format is "
+            "not self-describing, and re-inferring would corrupt the table "
+            "(header rows as data, widened types, lost timestamps)"
+        )
     before = file_stats(path)
     n_target = plan_target_files(before["total_bytes"], target_bytes)
     if before["n_files"] <= n_target:
         return {"before": before, "after": before, "n_target": n_target}
 
-    df: DataFrame = getattr(spark.read, fmt)(path)
-    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    getattr(df.repartition(n_target).write.mode("overwrite"), fmt)(tmp)
+    if fmt in _SELF_DESCRIBING and schema is None:
+        df: DataFrame = getattr(spark.read, fmt)(path)
+    else:
+        df = read_table(spark, path, schema, fmt)
+    tmp = swap_sibling(path, "compact")
+    old = swap_sibling(path, "old")
+    write_table(df.repartition(n_target), tmp, fmt)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -117,10 +156,15 @@ def vacuum_siblings(path: str, dry_run: bool = False) -> list[str]:
     Returns the removed (or, with ``dry_run``, matched) paths.
     """
     parent, name = os.path.split(path.rstrip("/"))
+    # both the current hidden form (.name__tag_) and the legacy
+    # visible form (name__tag_) from older runs
+    prefixes = [
+        f"{dot}{name}{m}" for dot in ("", ".") for m in _SWAP_MARKERS
+    ]
     victims = [
         os.path.join(parent, f)
         for f in os.listdir(parent or ".")
-        if any(f.startswith(f"{name}{m}") for m in _SWAP_MARKERS)
+        if any(f.startswith(p) for p in prefixes)
     ]
     if not dry_run:
         for v in victims:

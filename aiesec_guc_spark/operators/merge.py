@@ -5,11 +5,17 @@ environments that run on bare parquet directories.
 Semantics: key-matched rows are REPLACED by the newest version
 (update), unmatched update rows are INSERTED, unmatched target rows
 are retained — i.e. classic upsert.  "Newest" is decided by
-``order_col`` descending with the key as the final tie-break, the
-same deterministic argmax contract as the CDC compaction query
+``order_col`` descending, then source (update beats target on equal
+``order_col`` — the at-least-once redelivery case), then a
+deterministic ``xxhash64`` over every non-key column so even two
+DISTINCT rows sharing a (key, order_col) inside one updates batch
+pick the same winner on every run / retry / speculative re-execution.
+Same argmax contract as the CDC compaction query
 (latest_event_per_user) and the streaming merge sink
 (run_streaming_upsert_latest, streaming/incremental.py) — this is
-their batch twin.
+their batch twin.  (Well-behaved producers emit at most one version
+per (key, order_col) per batch; the hash tie-break makes the
+degenerate case deterministic rather than meaningful.)
 
 Scale shape: ONE shuffle on the merge keys over target ∪ updates
 (row_number + keep rank 1); at real table sizes you partition the
@@ -24,11 +30,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from .maintenance import swap_sibling
 
 
 def merge_upsert(
@@ -64,8 +71,11 @@ def merge_upsert(
         n_before = 0
         unioned = updates.withColumn("_src", F.lit(1))
 
+    value_cols = [c for c in unioned.columns if c not in (*keys, "_src")]
     w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), F.col("_src").desc()
+        F.col(order_col).desc(),
+        F.col("_src").desc(),
+        F.xxhash64(*[F.col(c) for c in value_cols]).desc(),
     )
     merged = (
         unioned.withColumn("_rn", F.row_number().over(w))
@@ -82,8 +92,8 @@ def merge_upsert(
             "n_after": spark.read.parquet(target_path).count(),
         }
 
-    tmp = f"{target_path.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
-    old = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    tmp = swap_sibling(target_path, "merge")
+    old = swap_sibling(target_path, "old")
     merged.write.mode("overwrite").parquet(tmp)
     os.rename(target_path, old)
     os.rename(tmp, target_path)

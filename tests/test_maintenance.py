@@ -98,3 +98,67 @@ def test_vacuum_removes_only_orphan_siblings(spark, sf_dir, tmp_path):
     assert left == ["tbl", "tbl_backup"]
     # table untouched
     assert spark.read.parquet(path).count() > 0
+
+
+def test_partition_dir_compaction_invisible_to_parent_readers(
+    spark, sf_dir, tmp_path
+):
+    """Compacting base/run_date=X must never surface a bogus sibling
+    partition to readers of base: swap temps are dot-prefixed, which
+    Spark's file listing skips (ADVICE r6 #1)."""
+    base = str(tmp_path / "base")
+    df = load_table(spark, sf_dir, "nation")
+    for d in ("2024-01-01", "2024-01-02"):
+        df.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(base, f"run_date={d}")
+        )
+    part = os.path.join(base, "run_date=2024-01-02")
+    expected = spark.read.parquet(base).count()
+
+    out = compact_table(spark, part, target_bytes=1 << 30)
+    assert out["after"]["n_files"] == 1
+    # parent table: same rows, and run_date still has exactly 2 values
+    back = spark.read.parquet(base)
+    assert back.count() == expected
+    assert back.select("run_date").distinct().count() == 2
+    # any sibling the swap could have left behind is hidden (dot-prefixed)
+    for f in os.listdir(base):
+        assert f.startswith("run_date=") or f.startswith((".", "_")), f
+
+    # simulate a crash mid-swap: the orphan temp is invisible to Spark…
+    from aiesec_guc_spark.operators.maintenance import (
+        swap_sibling,
+        vacuum_siblings,
+    )
+
+    orphan = swap_sibling(part, "compact")
+    df.limit(5).write.parquet(orphan)
+    assert spark.read.parquet(base).count() == expected  # reader unaffected
+    # …and vacuum cleans it up
+    removed = vacuum_siblings(part)
+    assert orphan in removed
+    assert not os.path.exists(orphan)
+
+
+def test_compact_csv_requires_and_respects_schema(spark, sf_dir, tmp_path):
+    """CSV compaction must not re-ingest the header row as data or
+    widen types (ADVICE r6 #2): schema is required and the roundtrip
+    goes through read_table/write_table."""
+    import pytest as _pytest
+
+    from aiesec_guc_spark.sources.formats import read_table, write_table
+
+    path = str(tmp_path / "csvtbl")
+    df = load_table(spark, sf_dir, "nation")
+    write_table(df.repartition(8), path, "csv")
+
+    with _pytest.raises(ValueError, match="requires an explicit schema"):
+        compact_table(spark, path, target_bytes=1 << 30, fmt="csv")
+
+    out = compact_table(
+        spark, path, target_bytes=1 << 30, fmt="csv", schema=df.schema
+    )
+    assert out["after"]["n_files"] < out["before"]["n_files"]
+    back = read_table(spark, path, df.schema, "csv")
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
