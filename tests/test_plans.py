@@ -446,3 +446,29 @@ def test_q6_date_range_reaches_lineitem_scan(spark, sf_dir):
     plan = formatted_plan(df)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("l_shipdate" in l and "GreaterThanOrEqual" in l for l in pushed), pushed
+
+
+def test_ngram_prefix_variant_matches_blocked_and_joins_prefixes_only(
+    spark, sf_dir
+):
+    """The PPJoin prefix-filtered n-gram Jaccard (the 100 TB shape for
+    Zipfian grams) must (a) produce the EXACT pair set of the blocked
+    variant — prefix filtering is lossless — and (b) actually restrict
+    the candidate join to per-doc prefixes: the plan must carry the
+    rk <= sz - ceil(t*sz) + 1 filter on both join inputs, and never a
+    cartesian pairing."""
+    qs = spark_queries()
+    blocked = qs["dedup_ngram_jaccard"](spark, sf_dir)
+    prefixed = qs["dedup_ngram_jaccard_prefix"](spark, sf_dir)
+
+    key = lambda r: (r["lang"], r["source"], r["doc_a"], r["doc_b"])
+    got = {key(r): r["jaccard"] for r in prefixed.collect()}
+    want = {key(r): r["jaccard"] for r in blocked.collect()}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+
+    plan = formatted_plan(prefixed)
+    assert "CartesianProduct" not in plan
+    # the prefix filter reaches the physical plan (both candidate sides)
+    assert plan.count("CEIL") >= 2
