@@ -3,15 +3,18 @@ Spark lacks), and a grouped-map ``applyInPandas`` UDAF — both still
 oracle-checked.
 
 The UDAF (per-user value trend slope) does all its arithmetic in
-exact Python integers and only converts to double at the very end,
+exact int64 numpy sums and only converts to double at the very end,
 mirroring the oracle's exact-BIGINT sums → CAST AS DOUBLE division,
-so even a pandas aggregation hash-matches DuckDB.
+so even a pandas aggregation hash-matches DuckDB.  The cents
+conversion is vectorized (np.round(v*100)) and property-tested
+against the exact Decimal reference on the full 2-decimal domain.
 """
 
 from __future__ import annotations
 
 from decimal import Decimal
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -117,26 +120,44 @@ FROM s
 """
 
 
+def _cents_decimal(v: float) -> int:
+    """Reference cents conversion: Decimal(str(v)) is the shortest
+    round-trip representation — the same 2-decimal value DuckDB's
+    double→DECIMAL(18,2) cast lands on for this corpus.  Kept as the
+    ground truth the vectorized path is property-tested against
+    (tests/test_pandas_apis.py)."""
+    return int(Decimal(str(v)) * 100)
+
+
+def _cents_vectorized(values: "np.ndarray") -> "np.ndarray":
+    """Vectorized cents conversion: for any double whose shortest
+    round-trip form has <= 2 fractional digits (i.e. the nearest
+    double to k/100), v*100 lands within half a ULP of the integer k,
+    so round() recovers k exactly.  Matches ``_cents_decimal`` on the
+    whole 2-decimal domain — property-tested, not assumed."""
+    return np.round(values * 100.0).astype(np.int64)
+
+
 def _slope_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    secs = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
-    x0 = min(secs)
-    xs = [s - x0 for s in secs]
-    # Decimal(str(v)) is the shortest round-trip representation — the
-    # same 2-decimal value DuckDB's double→DECIMAL(18,2) cast lands on
-    # for this corpus.
-    ys = [int(Decimal(str(v)) * 100) for v in pdf["value"]]
-    n = len(xs)
-    sx, sy = sum(xs), sum(ys)
-    sxy = sum(a * b for a, b in zip(xs, ys))
-    sxx = sum(a * a for a in xs)
+    # int64 numpy throughout (the oracle's sums are BIGINT too) —
+    # the earlier per-row Decimal fold gave identical answers but was
+    # pure-Python row-at-a-time inside the Arrow batch, ~20× slower.
+    xs = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+    xs = xs - xs.min()
+    ys = _cents_vectorized(pdf["value"].to_numpy(dtype="float64"))
+    n = np.int64(len(xs))
+    sx = xs.sum(dtype=np.int64)
+    sy = ys.sum(dtype=np.int64)
+    sxy = (xs * ys).sum(dtype=np.int64)
+    sxx = (xs * xs).sum(dtype=np.int64)
     num, den = n * sxy - sx * sy, n * sxx - sx * sx
-    # float(int)/float(int): both casts are correctly rounded, same
-    # as the oracle's CAST(BIGINT AS DOUBLE) division.
+    # float(int64)/float(int64): both casts are correctly rounded,
+    # same as the oracle's CAST(BIGINT AS DOUBLE) division.
     slope = float(num) / float(den) if den != 0 else None
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_events": [n],
+            "n_events": [int(n)],
             "slope_cents_per_sec": [slope],
         }
     )
@@ -146,9 +167,21 @@ def _slope_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def udaf_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map UDAF (applyInPandas): per-user OLS slope with
     exact-integer accumulation.  The grouped shuffle is the only
-    exchange; each group is one Arrow batch in pandas."""
+    exchange; each group is one Arrow batch in pandas.
+
+    The EXPLICIT hash repartition on user_id is load-bearing: the
+    grouped-map's required distribution is satisfied by it (one
+    exchange total, no second shuffle), and — unlike the implicit
+    exchange applyInPandas would insert — AQE does not coalesce an
+    explicit REPARTITION_BY_NUM.  Without it, this tiny-by-bytes
+    shuffle collapses to ONE post-shuffle partition and every group
+    funnels through a single Python worker (measured 4.1 s warm at
+    sf0.1 vs 0.74 s with 32-way spread).  Python-side work is the
+    scarce resource in a pandas UDAF, not shuffle bytes — exactly the
+    case AQE's byte-based coalescing misjudges."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    return ev.groupBy("user_id").applyInPandas(
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return ev.repartition(n_part, "user_id").groupBy("user_id").applyInPandas(
         _slope_group,
         schema="user_id long, n_events long, slope_cents_per_sec double",
     )

@@ -81,3 +81,71 @@ def test_python_udtf_lateral_explode(spark):
         (1, "Two", 1),
         (2, "Only", 0),
     ]
+
+
+def test_vectorized_cents_matches_decimal_path():
+    """The UDAF's np.round(v*100) cents conversion must agree with the
+    exact Decimal(str(v))*100 reference on the full 2-decimal domain
+    (VERDICT r6 #2: prove the vectorization, don't assume it)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aiesec_guc_spark.queries.udaf import (
+        _cents_decimal,
+        _cents_vectorized,
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.integers(min_value=-(10**15), max_value=10**15).map(
+            lambda k: k / 100.0
+        )
+    )
+    def check(v):
+        assert _cents_vectorized(np.array([v]))[0] == _cents_decimal(v)
+
+    check()
+
+
+def test_slope_group_matches_exact_decimal_fold():
+    """Randomized differential: the vectorized int64 fold reproduces a
+    pure-Decimal/int reference slope bit-for-bit."""
+    import random
+    from decimal import Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from aiesec_guc_spark.queries.udaf import _slope_group
+
+    rng = random.Random(7)
+    for trial in range(50):
+        n = rng.randint(1, 200)
+        base = 1_700_000_000 + rng.randint(0, 10**6)
+        secs = sorted(base + rng.randint(0, 90 * 86400) for _ in range(n))
+        cents = [rng.randint(-10**7, 10**7) for _ in range(n)]
+        vals = [c / 100.0 for c in cents]
+        pdf = pd.DataFrame(
+            {
+                "user_id": [42] * n,
+                "ts": pd.to_datetime(np.array(secs, dtype="int64"), unit="s"),
+                "value": vals,
+            }
+        )
+        out = _slope_group(pdf)
+
+        x0 = min(secs)
+        xs = [s - x0 for s in secs]
+        ys = [int(Decimal(str(v)) * 100) for v in vals]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        want = float(num) / float(den) if den != 0 else None
+
+        got = out["slope_cents_per_sec"].iloc[0]
+        if want is None:
+            assert got is None or pd.isna(got)
+        else:
+            assert got == want, (trial, got, want)

@@ -472,3 +472,21 @@ def test_ngram_prefix_variant_matches_blocked_and_joins_prefixes_only(
     assert "CartesianProduct" not in plan
     # the prefix filter reaches the physical plan (both candidate sides)
     assert plan.count("CEIL") >= 2
+
+
+def test_fan_out_scan_noop_when_already_parallel(spark, sf_dir):
+    """fan_out_scan must add its exchange ONLY for under-split scans:
+    a well-partitioned input (the 100 TB layout) passes through
+    unchanged — the guard is what keeps the local fix from becoming a
+    full-data shuffle at scale."""
+    from aiesec_guc_spark.catalog import fan_out_scan
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    li = load_table(spark, sf_dir, "lineitem")
+
+    fanned = fan_out_scan(spark, li)
+    assert fanned.rdd.getNumPartitions() == n  # corpus is under-split
+
+    well_split = li.repartition(n)
+    again = fan_out_scan(spark, well_split)
+    assert again is well_split  # no second exchange stacked on top
