@@ -65,6 +65,18 @@ FIXTURE_CARDS: list[tuple[int, str]] = [
         2,
         '<a href="/about-us"><h3>About AIESEC</h3><span>nowhere</span></a>',
     ),
+    # nested child markup inside h3 / span / org — bs4 get_text
+    # collects text across descendants, stripping each text node and
+    # joining with '' (aiesec.py:91-92, 102-103): "Senior <b>Intern"
+    # → "SeniorIntern", "Oslo,\n  <i>Norway</i>" → "Oslo,Norway".
+    (
+        3,
+        '<a href="/opportunity/global-talent/1000006">'
+        "<h3>Senior <b>Intern</b></h3>"
+        "<span>Oslo,\n  <i>Norway</i></span><span><b>12</b> Months</span>"
+        '<div class="org"><em>Nested</em> Org</div>'
+        '<div class="meta">4 applicants</div></a>',
+    ),
 ]
 
 # Golden snapshot pair (FIXTURES.md §A1): relative to yesterday, today

@@ -14,7 +14,19 @@ def _rows(spark):
 
 def test_non_opportunity_anchor_filtered(spark):
     rows = _rows(spark)
-    assert len(rows) == 5  # the /about-us anchor is gone
+    assert len(rows) == 6  # the /about-us anchor is gone
+
+
+def test_nested_markup_collected_like_get_text(spark):
+    """bs4 get_text(strip=True) strips each text node and joins with
+    '' — nested <b>/<i>/<em> children must contribute their text, and
+    whitespace adjacent to a child tag disappears (aiesec.py:91-92)."""
+    r = _rows(spark)["1000006"]
+    assert r["title"] == "SeniorIntern"
+    assert r["country"] == "Oslo,Norway"
+    assert r["duration"] == "12Months"
+    assert r["organization"] == "NestedOrg"
+    assert r["applicants"] == "4 applicants"
 
 
 def test_full_card(spark):

@@ -26,8 +26,8 @@ def test_pipeline_first_and_second_run(spark, tmp_path):
 
     # First run: no prior partition, every scraped card is new.
     s1 = run_pipeline(spark, data_dir, out_dir, "2026-08-12", send=sent.append)
-    assert s1["rows_scraped"] == 5
-    assert s1["delta_rows"] == 5
+    assert s1["rows_scraped"] == 6
+    assert s1["delta_rows"] == 6
     assert s1["notified"] and len(sent) == 1
     assert os.path.exists(s1["report_path"])
     # Both per-run artifacts exist: the delta report (New.xlsx) AND
