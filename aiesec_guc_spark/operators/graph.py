@@ -161,3 +161,65 @@ def connected_components_star(
         F.col("id"), F.col("id").alias("cluster_id")
     )
     return labels.union(self_labeled)
+
+
+def triangle_counts_degree_oriented(
+    edges: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Per-node triangle counts via DEGREE orientation — the
+    distributed triangle recipe whose wedge fan-out is bounded by
+    O(sqrt(m)) per node even on skewed (power-law) graphs.
+
+    Input: one row per UNDIRECTED edge, ``src < dst``, no duplicates.
+    Output: (node, n_triangles) for every node on >= 1 triangle.
+
+    Each undirected edge is oriented from the endpoint with the
+    smaller (degree, node) pair to the larger — a total order, so the
+    orientation is acyclic.  Every triangle then has exactly one
+    "pivot" node with two out-edges (its minimum under the order), so
+    joining the pivot's out-edge pairs (wedges) against the oriented
+    edge set counts each triangle exactly once.  A hub of degree d in
+    a naive ordered-by-id orientation can fan out O(d^2) wedges; under
+    degree orientation a node's OUT-degree is at most O(sqrt(m))
+    (classic arboricity bound), which is what makes the wedge join
+    survive power-law graphs at 100 TB.
+
+    Shapes: degree = one grouped count over the symmetrized edges;
+    orientation = a join of edges to the broadcast-or-shuffled degree
+    frame; wedges = one self-join on the pivot; closure = one
+    equi-join on the (lo, hi) canonical edge key.  No cross products.
+    """
+    a, b = F.col(src), F.col(dst)
+    sym = edges.select(a.alias("node"), b.alias("peer")).unionAll(
+        edges.select(b.alias("node"), a.alias("peer"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    with_deg = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    # orient low (deg, id) -> high (deg, id); struct comparison gives
+    # the lexicographic total order directly
+    u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+    w1 = oriented.select(F.col("src").alias("pivot"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src").alias("pivot"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    # closing edge in canonical (lo, hi) form — x < y already holds
+    canon = edges.select(a.alias("x"), b.alias("y"))
+    tris = wedges.join(canon, on=["x", "y"])
+
+    pernode = (
+        tris.select(F.col("pivot").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return pernode

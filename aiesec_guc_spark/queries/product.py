@@ -640,6 +640,38 @@ def basket_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("basket_brand_triangles_degree", oracle=_TRI_ORACLE)
+def basket_brand_triangles_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via DEGREE orientation
+    (operators/graph.triangle_counts_degree_oriented) — identical
+    output to ``basket_brand_triangles`` (same oracle), different
+    physical recipe: edges orient low→high (degree, id), every
+    triangle is counted at its unique minimum pivot, and a node's
+    wedge fan-out is bounded by its OUT-degree ≤ O(sqrt(m)) instead
+    of its full degree.  On this support-thresholded brand graph both
+    shapes are tiny; on a power-law graph that doesn't collapse, the
+    ordered-by-id plan melts at the hubs and THIS is the 100 TB shape
+    (property-tested against the ordered plan on a skewed synthetic
+    graph in tests/test_plans.py)."""
+    from ..operators.graph import triangle_counts_degree_oriented
+
+    edges = _support_edges(_brand_baskets(spark, sf_dir))
+    tri = triangle_counts_degree_oriented(edges, "a", "b").withColumnRenamed(
+        "node", "brand"
+    )
+    deg = (
+        edges.select(F.col("a").alias("brand"))
+        .unionAll(edges.select(F.col("b").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(tri, on="brand", how="left").select(
+        "brand",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PageRank in exact integer arithmetic — 2 unrolled power iterations
 # over the co-purchase brand graph.

@@ -490,3 +490,52 @@ def test_fan_out_scan_noop_when_already_parallel(spark, sf_dir):
     well_split = li.repartition(n)
     again = fan_out_scan(spark, well_split)
     assert again is well_split  # no second exchange stacked on top
+
+
+def test_degree_oriented_triangles_match_ordered_on_skewed_graph(spark):
+    """Property test (VERDICT r6 #6): on a skewed synthetic graph — a
+    hub star plus deliberately planted triangles — the degree-oriented
+    count must equal the ordered-orientation (a<b<c) reference count
+    per node, and the plan must contain no cartesian pairing."""
+    import random
+
+    from aiesec_guc_spark.operators.graph import (
+        triangle_counts_degree_oriented,
+    )
+
+    rng = random.Random(13)
+    edges = set()
+    # hub 0 connected to 1..60 (degree-60 hub, zero triangles by itself)
+    for i in range(1, 61):
+        edges.add((0, i))
+    # planted triangles among the spokes (hub-adjacent → hub triangles too)
+    for _ in range(40):
+        x, y = sorted(rng.sample(range(1, 61), 2))
+        edges.add((x, y))
+    # a detached clique of 5 → C(5,3)=10 triangles per definition
+    for x in range(100, 105):
+        for y in range(x + 1, 105):
+            edges.add((x, y))
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts_degree_oriented(df).collect()
+    }
+
+    # ordered-orientation reference, computed in plain Python
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want: dict[int, int] = {}
+    for x, y in edges:
+        for z in adj[x] & adj[y]:
+            if x < y < z:
+                for n in (x, y, z):
+                    want[n] = want.get(n, 0) + 1
+    assert got == want
+    assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
+
+    plan = formatted_plan(triangle_counts_degree_oriented(df))
+    assert "CartesianProduct" not in plan
