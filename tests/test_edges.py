@@ -19,10 +19,10 @@ def test_listing_scrape_datasource(spark):
     assert register_listing_source(spark), "Python DataSource API missing"
     df = spark.read.format("listing_scrape").load()
     rows = df.collect()
-    assert len(rows) == 6
+    assert len(rows) == 7
     assert df.columns == ["page_id", "html"]
     # partitioned per page
-    assert {r["page_id"] for r in rows} == {1, 2}
+    assert {r["page_id"] for r in rows} == {1, 2, 3}
 
 
 def test_scrape_to_delta_pipeline(spark):
@@ -36,7 +36,7 @@ def test_scrape_to_delta_pipeline(spark):
     today = extract_cards(cards)
     _, yesterday = snapshot_pair(spark)
     delta = snapshot_delta(today, yesterday, keys=["opportunity_id"])
-    assert delta.count() == 5  # fixture IDs don't collide with the pair
+    assert delta.count() == 6  # fixture IDs don't collide with the pair
 
 
 def test_decode_stub_raises_without_fake():
