@@ -454,8 +454,13 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(rk_w))
         .join(sizes, on="doc_id")
     )
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    # The prefix frame feeds BOTH candidate-join sides; materialized so
+    # the freq join + ranking window run once, not twice (measured
+    # 12.2 s → 7.0 s warm at sf0.1).
+    prefix = materialize(
+        ranked.filter(
+            F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        ).select("lang", "source", "doc_id", "sz", "gram")
     )
     pa = prefix.select(
         "lang", "source", F.col("doc_id").alias("doc_a"),

@@ -471,8 +471,10 @@ def test_ngram_prefix_variant_matches_blocked_and_joins_prefixes_only(
 
     plan = formatted_plan(prefixed)
     assert "CartesianProduct" not in plan
-    # the prefix filter reaches the physical plan (both candidate sides)
-    assert plan.count("CEIL") >= 2
+    # the candidate join reads the MATERIALIZED gram/prefix frames
+    # (localCheckpoint scans), not recomputed subtrees: the prefix
+    # filter ran once, upstream of this plan
+    assert plan.count("Scan ExistingRDD") >= 2
 
 
 def test_fan_out_scan_noop_when_already_parallel(spark, sf_dir):
