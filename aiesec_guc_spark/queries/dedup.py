@@ -161,6 +161,98 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_jaccard_pairs(spark, sf_dir)
 
 
+def _minhash_estimate_oracle() -> str:
+    k = MINHASH_BANDS * MINHASH_ROWS
+    match_expr = " + ".join(
+        f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END"
+        for j in range(k)
+    )
+    return f"""
+WITH base AS ({_minhash_oracle()}),
+docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= {SHINGLE_WORDS}
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - {SHINGLE_WORDS - 1}),
+                               i -> {" || ' ' || ".join(f"toks[i+{j}]" for j in range(SHINGLE_WORDS))})) AS shingle
+  FROM docs
+),
+h AS (SELECT doc_id, shingle, {_H32.format(x='shingle')} AS h32 FROM sh),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(({a} * h32 + {b}) % {MINHASH_PRIME}) AS sig_{j}" for j, (a, b) in enumerate(minhash_coeffs()))}
+  FROM h GROUP BY doc_id
+)
+SELECT b.doc_a, b.doc_b,
+       CAST(({match_expr}) AS BIGINT) AS match_cnt,
+       CAST(({match_expr}) AS DOUBLE) / {k} AS est_jaccard,
+       b.jaccard AS jaccard,
+       abs(CAST(({match_expr}) AS DOUBLE) / {k} - b.jaccard) AS abs_err
+FROM base b
+JOIN sig sa ON sa.doc_id = b.doc_a
+JOIN sig sb ON sb.doc_id = b.doc_b
+"""
+
+
+@query("dedup_minhash_estimate_error", oracle=_minhash_estimate_oracle())
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess — the MinHash twin of
+    ``similarity_ann_recall``: for every LSH candidate pair, the
+    signature-estimated Jaccard (matching components / k) next to the
+    EXACT shingle-set Jaccard, with the absolute estimation error.
+    This is the harness that tells you whether k=8 components and a
+    4×2 banding are enough for YOUR corpus before you commit a 100 TB
+    dedup run to them — the answer is a measured error distribution,
+    not a Chernoff bound on a whiteboard.
+
+    Shapes: signatures come from the shared pipeline (one grouped min
+    per doc — shuffle rows = #docs); the estimate join touches only
+    candidate pairs against the doc-keyed signature frame; the exact
+    side is the candidate-bound ``jaccard_verify``.  All derived
+    doubles are exact-integer ratios, so the result hash-matches the
+    DuckDB twin bit-for-bit.
+    """
+    k = MINHASH_BANDS * MINHASH_ROWS
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
+    ).select("doc_id", "text")
+    # signatures feed band keys AND both estimate-join sides
+    sigs = materialize(minhash_signatures(docs, "doc_id", "text"))
+    pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
+    exact = jaccard_verify(pairs, shingle_rows(docs, "doc_id", "text"), "doc_id")
+
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{j}").alias(f"a_{j}") for j in range(k)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{j}").alias(f"b_{j}") for j in range(k)],
+    )
+    match_cnt = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(k)
+    )
+    est = F.col("match_cnt").cast("double") / F.lit(k)
+    return (
+        exact.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn("match_cnt", match_cnt.cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "match_cnt",
+            est.alias("est_jaccard"),
+            "jaccard",
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: verified LSH pairs → connected components →
 # one canonical doc per dup group (the step that actually *removes*
