@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out_scan, load_table
 from . import query
 
 # ---------------------------------------------------------------------------
@@ -264,7 +264,10 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics.  Min/max surface as strings (decimal-pinned for the
     double column) so one schema carries every type.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # fan_out_scan: the corpus's single-row-group layout serializes the
+    # Expand + partial-agg behind a ~2-task scan (measured 2.3 s vs
+    # 0.9 s warm at sf0.1); no-op on a properly split 100 TB table.
+    o = fan_out_scan(spark, load_table(spark, sf_dir, "orders"))
     aggs = []
     for c in _PROFILE_COLS:
         mn, mx = F.min(c), F.max(c)
