@@ -447,3 +447,67 @@ def run_streaming_wau_approx(
             <= F.col("wau_exact") * 0.05
         ).alias("within_tol"),
     )
+
+
+def run_streaming_scd2(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    src: DataFrame | None = None,
+) -> DataFrame:
+    """foreachBatch SCD2 maintenance: each micro-batch of status
+    observations versions a parquet dimension table via
+    ``operators.scd.scd2_apply`` — the streaming twin of the
+    incremental type-2 MERGE, composing the engine's own pieces the
+    way ``run_streaming_upsert_latest`` does for type-1.
+
+    Exactly-once at the table level via the standard foreachBatch
+    transactional-sink pattern: every applied epoch drops a marker
+    under the hidden SIBLING ``.{name}__epochs/`` (outside the table
+    directory, which the swap renames away each apply; dot-prefixed,
+    so Spark listings of the parent never see it), and a replayed
+    epoch (post-crash redelivery is at-least-once) is skipped instead
+    of re-applied.  Without the marker a replay would not corrupt
+    history either — ``scd2_apply`` fail-stops on observations
+    at-or-before the open version — but skip-on-marker lets recovery
+    PROCEED past the replayed batch.
+
+    Batch prep pre-reduces to one observation per (user, instant)
+    (max event_type — deterministic) to satisfy scd2_apply's
+    unique-(key, ts) precondition.
+    """
+    import os
+
+    from ..operators.scd import scd2_apply
+
+    if src is None:
+        src = _events_stream(spark, sf_dir)
+    parent, name = os.path.split(target_path.rstrip("/"))
+    marker_dir = os.path.join(parent, f".{name}__epochs")
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(epoch_id))
+        if os.path.exists(marker):
+            return
+        changes = (
+            batch_df.select(
+                "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+            )
+            .groupBy("user_id", "ts_us")
+            .agg(F.max("event_type").alias("status"))
+        )
+        if changes.isEmpty():
+            return
+        scd2_apply(spark, target_path, changes, "user_id", ["status"], "ts_us")
+        os.makedirs(marker_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            src.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(target_path)

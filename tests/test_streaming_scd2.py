@@ -1,0 +1,77 @@
+"""Streaming SCD2 maintenance (run_streaming_scd2): multi-batch
+versioning must equal the one-shot batch apply, and replayed epochs
+must be skipped via the marker protocol, not re-applied."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from aiesec_guc_spark.operators.scd import scd2_apply
+from aiesec_guc_spark.streaming.incremental import run_streaming_scd2
+
+
+def _write(spark, path: str, rows) -> None:
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _scd_rows(spark, path):
+    return sorted(
+        (r["user_id"], r["status"], r["valid_from"], r["valid_to"])
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_streaming_scd2_matches_oneshot_and_skips_replay(spark, tmp_path):
+    src_dir = str(tmp_path / "obs")
+    t0 = dt.datetime(2026, 2, 1, 9, 0, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    b1 = [(1, at(0), "click"), (2, at(1), "view")]
+    b2 = [(1, at(10), "purchase"), (2, at(11), "view"), (3, at(12), "click")]
+    _write(spark, src_dir, b1)
+    time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    _write(spark, src_dir, b2)
+
+    def stream():
+        return (
+            spark.readStream.schema("user_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+    target = str(tmp_path / "dim")
+    out = run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream())
+
+    # reference: one-shot batch apply over the union
+    ref_target = str(tmp_path / "dim_ref")
+    all_changes = spark.createDataFrame(
+        b1 + b2, "user_id long, ts timestamp, event_type string"
+    ).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").alias("status"),
+    )
+    scd2_apply(spark, ref_target, all_changes, "user_id", ["status"], "ts_us")
+    assert _scd_rows(spark, target) == _scd_rows(spark, ref_target)
+    # user 2's repeated "view" must not have versioned
+    assert (
+        out.filter((F.col("user_id") == 2)).count() == 1
+    )
+
+    # markers live in the hidden sibling and there are two epochs
+    marker_dir = str(tmp_path / ".dim__epochs")
+    assert sorted(os.listdir(marker_dir)) == ["0", "1"]
+
+    # replay: a FRESH checkpoint re-delivers epochs 0 and 1; the
+    # marker protocol must skip them (re-applying would fail-stop on
+    # the closed-history precondition) and leave the table unchanged
+    before = _scd_rows(spark, target)
+    run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream())
+    assert _scd_rows(spark, target) == before
