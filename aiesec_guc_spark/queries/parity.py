@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out_scan, load_table
 from . import query
 
 # ---------------------------------------------------------------------------
@@ -140,7 +140,7 @@ def json_scalar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side/codegen — the typed analogue of regexp-parsing the
     reference's applicant strings, SURVEY.md M2).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out_scan(spark, load_table(spark, sf_dir, "events"))
     return ev.filter(F.col("props").isNotNull()).select(
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),

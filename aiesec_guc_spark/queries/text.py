@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out_scan, load_table
 from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -129,7 +129,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The corpus is a synthetic shared-vocabulary word salad, so the
     prediction is mostly 'en'/'und' regardless of the label — the
     operator shape is what's exercised.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(spark, load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
 
 
