@@ -666,6 +666,162 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iterative BPE merge learning — the actual training loop, 3 unrolled
+# rounds: count adjacent pairs over the word-frequency table, take the
+# argmax, APPLY the merge greedily-left to every word, recount.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+#: Token separator inside the fold's string accumulator.  RS (0x1e)
+#: cannot appear in [a-z]+ tokens, so token boundaries are unambiguous.
+_BPE_SEP = "\x1e"
+
+
+def _bpe_learn_oracle() -> str:
+    def apply_merge(frame: str, m: str) -> str:
+        # greedy-left merge of pair (a, b): fold tokens into a
+        # sep-joined string; the winning pair GLUES (no separator),
+        # everything else appends with the separator; split at the end
+        return f"""
+  SELECT term, wf,
+         string_split(list_reduce(toks, (acc, x) ->
+           CASE WHEN acc = {m}.a AND x = {m}.b THEN acc || x
+                WHEN ends_with(acc, chr(30) || {m}.a) AND x = {m}.b
+                  THEN acc || x
+                ELSE acc || chr(30) || x END), chr(30)) AS toks
+  FROM {frame}, {m}
+"""
+
+    def pairs(frame: str) -> str:
+        return f"""
+  SELECT toks[i] AS a, toks[i+1] AS b, CAST(SUM(wf) AS BIGINT) AS n
+  FROM {frame}, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2
+"""
+
+    parts = [
+        """
+WITH toks0 AS (
+  SELECT term, count(*) AS wf FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+  ) WHERE len(term) >= 2 GROUP BY term
+),
+chars AS (
+  SELECT term, wf,
+         list_transform(generate_series(1, len(term)), i -> substr(term, i, 1)) AS toks
+  FROM toks0
+)"""
+    ]
+    frame = "chars"
+    selects = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f", p{r} AS ({pairs(frame)})")
+        parts.append(
+            f", m{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        parts.append(f", r{r} AS ({apply_merge(frame, f'm{r}')})")
+        selects.append(
+            f"SELECT {r} AS round, a AS pair_a, b AS pair_b, a || b AS merged, n FROM m{r}"
+        )
+        frame = f"r{r}"
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("bpe_learn_merges", oracle=_bpe_learn_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, the REAL loop (_BPE_ROUNDS = 3 rounds):
+    each round counts adjacent token pairs corpus-weighted, picks the
+    argmax (count desc, pair asc — deterministic), and applies the
+    merge to every word before recounting — ``bpe_first_merge_pairs``
+    is this query's round 1.
+
+    The merge application is a greedy-left fold encoded IDENTICALLY in
+    both engines: tokens fold into a RS-separated string accumulator
+    (Spark ``F.aggregate`` ≡ DuckDB ``list_reduce``); the winning pair
+    glues onto the accumulator without a separator, everything else
+    appends with one; splitting on RS recovers the token array.  The
+    string encoding is what makes greedy consumption ("aaa" + (a,a) →
+    [aa, a], never [a, aa]) bit-identical across engines.
+
+    Scale shape: all rounds run over the WORD-FREQUENCY table (one
+    corpus scan, map-side-combined count — the same compression real
+    BPE trainers use), so each round is |vocab| fold work + one
+    two-phase pair count; the argmax row broadcasts into the next
+    round's fold.  Rounds chain lineage; a long training run would
+    localCheckpoint per round exactly like connected components.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term")
+    ).filter(F.length("term") >= 2)
+    words = toks.groupBy("term").agg(F.count(F.lit(1)).alias("wf"))
+    # char split via between-chars positions: not-at-start AND
+    # followed by a char — a bare (?!^) also matches at END and
+    # leaves a trailing "" token (Java split keeps trailing empties
+    # at limit -1)
+    cur = words.select(
+        "term", "wf", F.split(F.col("term"), "(?!^)(?=.)").alias("toks")
+    )
+
+    sep = F.lit(_BPE_SEP)
+
+    def apply_merge(frame: DataFrame) -> DataFrame:
+        a, b = F.col("_ma"), F.col("_mb")
+        folded = F.aggregate(
+            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            F.element_at(F.col("toks"), 1),
+            lambda acc, x: F.when(
+                ((acc == a) | acc.endswith(F.concat(sep, a))) & (x == b),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, sep, x)),
+        )
+        return frame.select("term", "wf", F.split(folded, _BPE_SEP).alias("toks"))
+
+    out_rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            cur.filter(F.size("toks") >= 2)
+            .select(
+                "wf",
+                F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+                F.col("toks"),
+            )
+            .select(
+                F.element_at("toks", F.col("i")).alias("a"),
+                F.element_at("toks", F.col("i") + 1).alias("b"),
+                "wf",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("wf").cast("bigint").alias("n"))
+        )
+        merge = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+        out_rows.append(
+            merge.select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.concat("a", "b").alias("merged"),
+                "n",
+            )
+        )
+        cur = apply_merge(
+            cur.crossJoin(
+                F.broadcast(
+                    merge.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+                )
+            )
+        )
+    out = out_rows[0]
+    for frame in out_rows[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Out-of-vocabulary fraction — the coverage signal for tokenizer /
 # vocab sizing decisions.
 # ---------------------------------------------------------------------------
