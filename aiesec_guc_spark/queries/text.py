@@ -821,6 +821,118 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _bpe_apply_oracle() -> str:
+    # reuse the learn oracle's CTE chain verbatim up to r3, then count
+    # post-merge tokens per TERM and roll up per document
+    learn = _bpe_learn_oracle()
+    ctes = learn.split("\nSELECT 1 AS round")[0]
+    return f"""{ctes},
+term_tok AS (
+  SELECT term, len(toks) AS n_tok FROM r{_BPE_ROUNDS}
+),
+doc_terms AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(SUM(COALESCE(t.n_tok, length(d.term))) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(d.term)) AS BIGINT) AS n_chars,
+       CAST(SUM(length(d.term)) AS DOUBLE)
+         / SUM(COALESCE(t.n_tok, length(d.term))) AS chars_per_token
+FROM doc_terms d
+LEFT JOIN term_tok t ON t.term = d.term
+GROUP BY d.doc_id
+"""
+
+
+@query("bpe_apply_tokenize", oracle=_bpe_apply_oracle())
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of tokenizer training: run the 3 merges
+    ``bpe_learn_merges`` induces over every vocabulary word, then roll
+    the post-merge token counts up per document — n_terms,
+    n_bpe_tokens, n_chars, and chars-per-token (the compression ratio
+    a tokenizer buys you, measured on the corpus that trained it).
+
+    Scale shape: merges apply once per VOCABULARY word, not per token
+    occurrence (the same |vocab| fold as learning); per-doc rollup is
+    a (term → n_tok) broadcast-or-shuffle join on the exploded term
+    stream + one grouped sum.  Words the trainer never saw (here:
+    single-letter terms, excluded by the length-≥2 rule) fall back to
+    their character count — exactly what a char-fallback tokenizer
+    does with OOV input.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    doc_terms = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    # relearn the merges (same pipeline as bpe_learn_merges), tracking
+    # only what apply needs: the final token arrays per word
+    words = (
+        doc_terms.filter(F.length("term") >= 2)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    cur = words.select(
+        "term", "wf", F.split(F.col("term"), "(?!^)(?=.)").alias("toks")
+    )
+    sep = F.lit(_BPE_SEP)
+
+    def apply_merge(frame: DataFrame) -> DataFrame:
+        a, b = F.col("_ma"), F.col("_mb")
+        folded = F.aggregate(
+            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            F.element_at(F.col("toks"), 1),
+            lambda acc, x: F.when(
+                ((acc == a) | acc.endswith(F.concat(sep, a))) & (x == b),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, sep, x)),
+        )
+        return frame.select("term", "wf", F.split(folded, _BPE_SEP).alias("toks"))
+
+    for _ in range(_BPE_ROUNDS):
+        pairs = (
+            cur.filter(F.size("toks") >= 2)
+            .select(
+                "wf",
+                F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+                F.col("toks"),
+            )
+            .select(
+                F.element_at("toks", F.col("i")).alias("a"),
+                F.element_at("toks", F.col("i") + 1).alias("b"),
+                "wf",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("wf").cast("bigint").alias("n"))
+        )
+        merge = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+        cur = apply_merge(
+            cur.crossJoin(
+                F.broadcast(
+                    merge.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+                )
+            )
+        )
+
+    term_tok = cur.select("term", F.size("toks").alias("n_tok"))
+    joined = doc_terms.join(term_tok, on="term", how="left")
+    n_tok_eff = F.coalesce(F.col("n_tok"), F.length("term"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(n_tok_eff).cast("bigint").alias("n_bpe_tokens"),
+        F.sum(F.length("term")).cast("bigint").alias("n_chars"),
+        (
+            F.sum(F.length("term")).cast("double")
+            / F.sum(n_tok_eff)
+        ).alias("chars_per_token"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Out-of-vocabulary fraction — the coverage signal for tokenizer /
 # vocab sizing decisions.
