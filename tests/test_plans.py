@@ -577,3 +577,20 @@ def test_exact_ntile_skewed_input_no_single_partition_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bpe_learn_merges_broadcasts_argmax_no_cartesian(spark, sf_dir):
+    """Each BPE round's argmax row must reach the next round's fold as
+    a broadcast (1-row side), and the plan may contain no cartesian
+    product — the crossJoin is the deliberate broadcast-scalar fold."""
+    df = spark_queries()["bpe_learn_merges"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    # semantics spot-check: rounds are 1..3, merged = pair_a || pair_b
+    rows = {r["round"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    for r in rows.values():
+        assert r["merged"] == r["pair_a"] + r["pair_b"]
+        assert r["n"] > 0
