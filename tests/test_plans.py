@@ -594,3 +594,22 @@ def test_bpe_learn_merges_broadcasts_argmax_no_cartesian(spark, sf_dir):
     for r in rows.values():
         assert r["merged"] == r["pair_a"] + r["pair_b"]
         assert r["n"] > 0
+
+
+def test_fan_out_sites_keep_column_pruning(spark, sf_dir):
+    """The fan-out round-robin exchange must not defeat column
+    pruning: Catalyst pushes the project below Repartition, so the
+    scan reads only the needed columns, not the whole table — at
+    100 TB an unpruned exchange would ship every column of the fact."""
+    qs = spark_queries()
+    expectations = {
+        "text_lang_id": {"doc_id", "text", "lang"},
+        "json_scalar_extract": {"event_id", "props"},
+        "star_revenue_by_nation": {
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        },
+    }
+    for name, want in expectations.items():
+        df = qs[name](spark, sf_dir)
+        got = set(read_schema_columns(df))
+        assert got == want, (name, got)
