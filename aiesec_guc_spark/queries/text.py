@@ -292,6 +292,113 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation: per-source caps and target-mixture rebalancing —
+# the two knobs every pre-training data recipe turns (don't let one
+# crawl dominate; hit a prescribed language mixture).
+# ---------------------------------------------------------------------------
+
+CAP_PER_SOURCE = 15
+
+_CAP_ORACLE = f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(text), 1, 8))::BIGINT, doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {CAP_PER_SOURCE}
+"""
+
+
+@query("cap_docs_per_source", oracle=_CAP_ORACLE)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most CAP_PER_SOURCE (=15) docs
+    per source, chosen by deterministic content-hash rank (hash asc,
+    doc_id tie-break) — a uniform random-looking sample that is
+    identical across runs, retries, and engines; no rand() anywhere.
+
+    This is the "no single crawl dominates" rule of corpus recipes.
+    One shuffle on source + a per-source rank window; a pathologically
+    hot source at 100 TB gets a hash-threshold PRE-filter (keep only
+    hashes below ~cap/|source| quantile) before the exact rank, so the
+    window never sees the full hot partition — same two-stage guard as
+    the quantile operators.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(hash32(F.col("text")), F.col("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= CAP_PER_SOURCE)
+        .select("doc_id", "source", "rk")
+    )
+
+
+_MIX_ORACLE = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_before FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_before) // count(*) AS BIGINT) AS n_target FROM counts),
+ranked AS (
+  SELECT lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(text), 1, 8))::BIGINT, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT c.lang, c.n_before, t.n_target,
+       CAST(count(*) FILTER (WHERE r.rk <= t.n_target) AS BIGINT) AS n_kept
+FROM counts c
+CROSS JOIN tot t
+JOIN ranked r ON r.lang = c.lang
+GROUP BY c.lang, c.n_before, t.n_target
+"""
+
+
+@query("corpus_mixture_rebalance", oracle=_MIX_ORACLE)
+def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing toward a uniform target: each
+    language keeps at most ``total // n_langs`` docs (exact-integer
+    target — no float shares), selected by the same deterministic
+    content-hash rank as ``cap_docs_per_source``.  Output is the
+    per-language audit row (n_before, n_target, n_kept) a curation
+    pipeline logs: over-represented languages downsample exactly to
+    target, under-represented ones keep everything (upsampling is a
+    repeat-factor decision made elsewhere).
+
+    Shapes: one grouped count (broadcast back as a 1-row total), one
+    per-lang rank window over the doc stream, one grouped conditional
+    count.  The EXACT-k rank (not a fraction threshold) is what makes
+    the kept count deterministic — a p-threshold sample's size
+    fluctuates; a rank cut's doesn't.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    tot = counts.agg(
+        (F.sum("n_before") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_target")
+    )
+    w = Window.partitionBy("lang").orderBy(hash32(F.col("text")), F.col("doc_id"))
+    ranked = d.select("lang", F.row_number().over(w).alias("rk"))
+    kept = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("lang", "n_target")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("n_target"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept")
+        )
+    )
+    return counts.join(kept, on="lang").select(
+        "lang", "n_before", "n_target", "n_kept"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting (md5 canonical form + portable 32-bit hash).
 # ---------------------------------------------------------------------------
 
