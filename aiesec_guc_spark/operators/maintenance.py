@@ -170,3 +170,58 @@ def vacuum_siblings(path: str, dry_run: bool = False) -> list[str]:
         for v in victims:
             shutil.rmtree(v)
     return sorted(victims)
+
+
+def list_partitions(path: str, column: str) -> list[str]:
+    """Values of a single-level hive partition layout
+    (``<path>/<column>=<value>``), sorted ascending; hidden/system
+    entries skipped."""
+    prefix = f"{column}="
+    return sorted(
+        d[len(prefix):]
+        for d in os.listdir(path)
+        if d.startswith(prefix) and not d.startswith((".", "_"))
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    schema: "T.StructType | None" = None,
+) -> dict:
+    """Compact every partition directory of a hive-layout table, one
+    swap per partition — the production form of compact_table: a 100 TB
+    table is never rewritten in one job; each partition compacts (and
+    can fail/retry) independently, and concurrent readers of the
+    parent never see swap temps (hidden siblings).  Returns per-value
+    results keyed by partition value."""
+    results: dict[str, dict] = {}
+    for value in list_partitions(path, column):
+        part = os.path.join(path, f"{column}={value}")
+        results[value] = compact_table(
+            spark, part, target_bytes=target_bytes, fmt=fmt, schema=schema
+        )
+    return results
+
+
+def expire_partitions(
+    path: str, column: str, keep_last: int, dry_run: bool = False
+) -> list[str]:
+    """Retention sweep: drop all but the newest ``keep_last``
+    partitions of a hive-layout table (values ordered lexically — use
+    ISO dates or zero-padded ids as partition values so lexical ==
+    chronological).  The lake chore behind every "keep 90 days"
+    policy; deletion is per-partition directory, so a reader of a
+    RETAINED partition is never disturbed.  Returns the removed (or,
+    with dry_run, matched) partition values."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    values = list_partitions(path, column)
+    victims = values[:-keep_last] if len(values) > keep_last else []
+    if not dry_run:
+        for v in victims:
+            shutil.rmtree(os.path.join(path, f"{column}={v}"))
+    return victims

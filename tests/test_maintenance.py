@@ -162,3 +162,48 @@ def test_compact_csv_requires_and_respects_schema(spark, sf_dir, tmp_path):
     back = read_table(spark, path, df.schema, "csv")
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compact_partitions_per_partition_swap(spark, sf_dir, tmp_path):
+    from aiesec_guc_spark.operators.maintenance import compact_partitions
+
+    base = str(tmp_path / "tbl")
+    df = load_table(spark, sf_dir, "nation")
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        df.repartition(6).write.mode("overwrite").parquet(
+            os.path.join(base, f"run_date={d}")
+        )
+    before = spark.read.parquet(base).count()
+    out = compact_partitions(spark, base, "run_date", target_bytes=1 << 30)
+    assert sorted(out) == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert all(r["after"]["n_files"] == 1 for r in out.values())
+    back = spark.read.parquet(base)
+    assert back.count() == before
+    assert back.select("run_date").distinct().count() == 3
+
+
+def test_expire_partitions_keeps_newest(spark, sf_dir, tmp_path):
+    from aiesec_guc_spark.operators.maintenance import expire_partitions
+
+    base = str(tmp_path / "tbl")
+    df = load_table(spark, sf_dir, "nation")
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    for d in days:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"run_date={d}")
+        )
+    matched = expire_partitions(base, "run_date", keep_last=2, dry_run=True)
+    assert matched == ["2024-01-01", "2024-01-02"]
+    assert spark.read.parquet(base).select("run_date").distinct().count() == 4
+
+    removed = expire_partitions(base, "run_date", keep_last=2)
+    assert removed == ["2024-01-01", "2024-01-02"]
+    left = spark.read.parquet(base)
+    assert sorted(
+        str(r["run_date"]) for r in left.select("run_date").distinct().collect()
+    ) == ["2024-01-03", "2024-01-04"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        expire_partitions(base, "run_date", keep_last=0)
