@@ -764,6 +764,130 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantized codes hash-pinned and the reconstruction error bounded.
 # ---------------------------------------------------------------------------
 
+_SQ_CODES_CTES = f"""
+flat AS (
+    SELECT vec_id, u.d AS dim, CAST(u.v AS DOUBLE) AS val
+    FROM embeddings,
+         LATERAL (
+            SELECT unnest(generate_series(1, {EMBEDDING_DIM})) AS d,
+                   unnest(embedding) AS v
+         ) u
+),
+stats AS (
+    SELECT dim, min(val) AS mn, max(val) AS mx FROM flat GROUP BY dim
+),
+codes AS (
+    SELECT f.vec_id, f.dim,
+           CASE WHEN s.mx = s.mn THEN 0
+                ELSE GREATEST(0, LEAST(255,
+                     CAST(floor((f.val - s.mn) / (s.mx - s.mn) * 255) AS INT)))
+           END AS q
+    FROM flat f JOIN stats s ON s.dim = f.dim
+)"""
+
+_SQ_RECALL_ORACLE = f"""
+WITH exact AS (
+  SELECT vec_id FROM ({_COSINE_TOPK_ORACLE})
+),
+{_SQ_CODES_CTES},
+pid AS (SELECT min(vec_id) AS pid FROM embeddings),
+pcodes AS (SELECT c.dim, c.q FROM codes c, pid WHERE c.vec_id = pid.pid),
+dots AS (
+  SELECT c.vec_id,
+         CAST(SUM((2 * c.q - 255) * (2 * p.q - 255)) AS BIGINT) AS dot
+  FROM codes c JOIN pcodes p USING (dim), pid
+  WHERE c.vec_id <> pid.pid
+  GROUP BY c.vec_id
+),
+approx AS (SELECT vec_id FROM dots ORDER BY dot DESC, vec_id LIMIT {TOPK})
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+       CAST((SELECT count(*) FROM exact JOIN approx USING (vec_id)) AS BIGINT)
+         AS n_hit,
+       CAST((SELECT count(*) FROM exact JOIN approx USING (vec_id)) AS DOUBLE)
+         / {TOPK} AS recall
+"""
+
+
+@query("similarity_int8_topk_recall", oracle=_SQ_RECALL_ORACLE)
+def similarity_int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does 4× compression cost retrieval?  Top-k by the
+    ALL-INTEGER centered-code dot (Σ (2q_p−255)(2q_v−255) — centering
+    removes the per-dim affine offset that otherwise swamps the dot
+    with each vector's coordinate-sum bias; measured here: the RAW
+    code dot scores recall@10 = 0.0, the centered form 0.7 — the
+    SIMD-friendly scorer a quantized index actually runs) against the
+    exact-cosine top-k, reported as measured recall@k — the
+    quantization twin of ``similarity_ann_recall`` and
+    ``dedup_minhash_estimate_error``: compression decisions made on a
+    measured number, not a datasheet claim.
+
+    Every ranking quantity is an integer (code products summed as
+    BIGINT — no float accumulation order anywhere), so the harness
+    itself hash-matches the oracle; ties break on vec_id.  Scale
+    shape: the trainer is the same broadcast per-dim min/max as
+    ``embedding_int8_quantize``; the probe's 64 codes broadcast into
+    one skinny join + grouped integer sum; both top-k's are
+    per-partition heaps.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "v")
+    ).select(
+        "vec_id", (F.col("d0") + 1).alias("dim"), F.col("v").cast("double").alias("val")
+    )
+    stats = flat.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    codes = flat.join(F.broadcast(stats), on="dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (F.col("val") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * 255
+                    ).cast("int"),
+                ),
+            )
+        )
+        .alias("q"),
+    )
+    pid = e.agg(F.min("vec_id").alias("pid"))
+    pcodes = codes.join(F.broadcast(pid), codes.vec_id == F.col("pid")).select(
+        "dim", F.col("q").alias("pq"), "pid"
+    )
+    dots = (
+        codes.join(F.broadcast(pcodes), on="dim")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum((2 * F.col("q") - 255) * (2 * F.col("pq") - 255))
+            .cast("bigint")
+            .alias("dot")
+        )
+    )
+    approx = dots.orderBy(F.desc("dot"), F.asc("vec_id")).limit(TOPK).select("vec_id")
+    exact = similarity_cosine_topk(spark, sf_dir).select("vec_id")
+    n_hit = approx.join(exact, on="vec_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_approx = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        n_exact.crossJoin(n_approx)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_exact").cast("bigint"),
+            F.col("n_approx").cast("bigint"),
+            F.col("n_hit").cast("bigint"),
+            (F.col("n_hit").cast("double") / F.lit(TOPK)).alias("recall"),
+        )
+    )
+
 _SQ_ORACLE = f"""
 WITH flat AS (
     SELECT vec_id, label, u.d AS dim, CAST(u.v AS DOUBLE) AS val
