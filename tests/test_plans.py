@@ -613,3 +613,33 @@ def test_fan_out_sites_keep_column_pruning(spark, sf_dir):
         df = qs[name](spark, sf_dir)
         got = set(read_schema_columns(df))
         assert got == want, (name, got)
+
+
+def test_int8_recall_broadcasts_probe_codes(spark, sf_dir):
+    """The 64-row probe-code side and the per-dim stats must broadcast
+    into the skinny code joins; no cartesian pairing beyond the
+    deliberate 1-row count folds."""
+    df = spark_queries()["similarity_int8_topk_recall"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    row = df.collect()[0]
+    assert row["n_exact"] == row["n_approx"] == 10
+    assert 0.0 <= row["recall"] <= 1.0
+
+
+def test_curation_queries_shapes(spark, sf_dir):
+    """cap_docs_per_source: per-source window, never a global sort;
+    corpus_mixture_rebalance: the 1-row target broadcasts and the kept
+    counts are exact (sum over langs == min(n_before, target) sums)."""
+    qs = spark_queries()
+    cap = qs["cap_docs_per_source"](spark, sf_dir)
+    plan = formatted_plan(cap)
+    assert "SinglePartition" not in plan
+
+    mix = qs["corpus_mixture_rebalance"](spark, sf_dir)
+    rows = mix.collect()
+    for r in rows:
+        assert r["n_kept"] == min(r["n_before"], r["n_target"])
