@@ -44,7 +44,6 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-
 from pyspark.sql import types as T
 
 from ..sources.formats import _check_fmt, read_table, write_table
