@@ -66,6 +66,46 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACT_BEST_ORACLE = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint, lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY md5(lower(trim(text)))
+  ORDER BY n_chars DESC, doc_id
+) = 1
+"""
+
+
+@query("dedup_exact_keep_best", oracle=_EXACT_BEST_ORACLE)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the BEST copy per fingerprint, not the
+    first: rank within the dup group by a quality signal (here
+    n_chars desc — near-identical canonical forms differ in retained
+    whitespace/markup, and the longest copy preserves the most
+    content), doc_id as the deterministic tie-break.  Real curation
+    pipelines dedup this way — "first seen" quietly biases the kept
+    corpus toward whichever crawl ran earliest, while a quality rank
+    keeps the copy you actually want to train on.
+
+    Same scale shape as ``dedup_exact_docs``: ONE hash shuffle on the
+    fingerprint; only the in-group ORDER BY differs, which costs
+    nothing extra (the window sort runs over each dup group, which is
+    tiny by definition).
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "fingerprint", fingerprint_md5("text")
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "fingerprint", "lang", F.col("n_chars").cast("bigint"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup candidates with exact-Jaccard verification.
 # ---------------------------------------------------------------------------
