@@ -1327,3 +1327,97 @@ def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency / frequency / monetary quintiles per
+# purchasing user, the classic CRM partitioning of a customer base.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         max(epoch_us(ts)) AS last_us,
+         count(*) AS n_purchases,
+         SUM(CAST(value AS DECIMAL(18,2))) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, last_us, n_purchases, monetary,
+         ntile(5) OVER (ORDER BY last_us DESC, user_id)    AS r_score,
+         ntile(5) OVER (ORDER BY n_purchases DESC, user_id) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, user_id)    AS m_score
+  FROM p
+)
+SELECT user_id,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment,
+       CAST(n_purchases AS BIGINT) AS n_purchases,
+       CAST(monetary AS DOUBLE) AS monetary
+FROM scored
+"""
+
+
+@query("user_rfm_segments", oracle=_RFM_ORACLE)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each purchasing user scored 1-5 on Recency
+    (1 = most recent), Frequency, and Monetary (exact-decimal spend),
+    concatenated into the classic 125-cell segment code.
+
+    Scale shape: ONE pass over the fact reduces to a per-user triple
+    (max ts / count / decimal sum — map-side combined); the three
+    quintile assignments run on the REDUCED frame through the
+    offset-merge exact_ntile (range repartition + local rank + offset
+    broadcast — never a single-partition window; the oracle's bare
+    ``ntile OVER (ORDER BY ...)`` is the semantics being matched, not
+    the plan).  Descending metrics enter as negated sort keys, which
+    is what keeps exact_ntile's strict-ascending contract while
+    matching the oracle's DESC ordering exactly.
+    """
+    from ..operators.quantiles import exact_ntile
+
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    from ..operators.dedup import materialize
+
+    p = materialize(p)  # feeds three ntile passes + the final join
+
+    def quintile(metric_neg, name):
+        t = p.select(
+            "user_id", metric_neg.alias("_neg")
+        )
+        return (
+            exact_ntile(t, ["_neg", "user_id"], 5)
+            .select("user_id", F.col("bucket").cast("int").alias(name))
+        )
+
+    r = quintile(-F.col("last_us"), "r_score")
+    f = quintile(-F.col("n_purchases"), "f_score")
+    m = quintile(-F.col("monetary"), "m_score")
+    return (
+        p.join(r, "user_id").join(f, "user_id").join(m, "user_id")
+        .select(
+            "user_id",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+            F.col("n_purchases").cast("bigint"),
+            F.col("monetary").cast("double"),
+        )
+    )

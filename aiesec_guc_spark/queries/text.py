@@ -1328,3 +1328,48 @@ def corpus_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack(4, {stack_args}) AS (stage_idx, stage, n_in, n_dropped, n_out)"
     )
+
+
+_REPEAT_ORACLE = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_before FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_before) // count(*) AS BIGINT) AS n_target FROM counts)
+SELECT c.lang, c.n_before, t.n_target,
+       CAST(CASE WHEN c.n_before >= t.n_target THEN 1
+                 ELSE (t.n_target + c.n_before - 1) // c.n_before END AS BIGINT)
+         AS repeat_factor,
+       CAST(c.n_before * (CASE WHEN c.n_before >= t.n_target THEN 1
+                 ELSE (t.n_target + c.n_before - 1) // c.n_before END) AS BIGINT)
+         AS n_effective
+FROM counts c CROSS JOIN tot t
+"""
+
+
+@query("corpus_repeat_factors", oracle=_REPEAT_ORACLE)
+def corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPSAMPLING half of mixture planning (complement of
+    ``corpus_mixture_rebalance``): under-represented languages get an
+    integer epoch repeat factor ``ceil(target / n)`` — the
+    "see this slice k times per epoch" knob training recipes use —
+    while languages at/over target stay at 1 (downsampling is the
+    rebalance query's job).  All integer arithmetic (ceil as
+    ``(a+b-1) // b``), so the plan is engine-exact; one grouped count
+    + a broadcast 1-row target."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    tot = counts.agg(
+        (F.sum("n_before") / F.count(F.lit(1))).cast("bigint").alias("n_target")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    # integer ceil as (a + b - 1) div b — never a floored double ratio
+    factor = F.when(F.col("n_before") >= F.col("n_target"), F.lit(1)).otherwise(
+        F.expr("(n_target + n_before - 1) div n_before")
+    ).cast("bigint")
+    return j.select(
+        "lang",
+        "n_before",
+        "n_target",
+        factor.alias("repeat_factor"),
+        (F.col("n_before") * factor).cast("bigint").alias("n_effective"),
+    )
