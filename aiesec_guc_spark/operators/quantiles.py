@@ -1,4 +1,4 @@
-"""Exact equal-frequency bucketing (ntile) WITHOUT a global
+"""Exact global ranks / equal-frequency buckets WITHOUT a global
 single-task sort — the offset-merge global rank.
 
 The naive ``Window.orderBy`` with no partitionBy ships every row
@@ -12,17 +12,95 @@ This operator instead:
 3. Per-partition counts are collected — O(#partitions) rows on the
    driver, scale-free — prefix-summed into offsets, and broadcast
    back; offset + local rank IS the exact global rank.
-4. The standard ntile formula (first ``N mod k`` buckets get one
-   extra row) maps rank → bucket, matching native ``ntile(k)``
-   bit-for-bit.
+4. (``exact_ntile``) the standard ntile formula (first ``N mod k``
+   buckets get one extra row) maps rank → bucket, matching native
+   ``ntile(k)`` bit-for-bit.
+
+``exact_global_rank`` is the general form: exact ``row_number`` and
+(optionally) an exact inclusive running sum over any strict total
+order, plus the scale-free global count/sum as Python scalars so
+callers never need a ``Window.partitionBy()`` (single-partition)
+count-over-all-rows either.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import materialize
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_exprs: list[str | Column],
+    sum_col: str | None = None,
+) -> tuple[DataFrame, int, object]:
+    """Append an exact global ``_grank`` (= ``row_number`` over
+    ``order_exprs``) — and, when ``sum_col`` is given, an exact
+    inclusive running sum ``_gcumsum`` — with NO single-partition
+    window.  Returns ``(ranked_df, total_count, total_sum)`` where the
+    totals are driver-side scalars (``total_sum`` is ``None`` without
+    ``sum_col``; exact ``Decimal`` for decimal columns), so callers
+    can embed them as literals instead of a global count window.
+
+    ``order_exprs`` must be a STRICT total order (include a unique
+    tie-break key) — equal keys across a partition boundary would
+    otherwise make the range partitioning's split nondeterministic.
+    Descending orders are fine (pass ``F.desc("c")``).
+
+    The returned frame is materialized (lineage-truncated), so
+    self-joins on it compute the ranking once.
+    """
+    spark = df.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    exprs = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
+    ranged = materialize(
+        df.repartitionByRange(nparts, *exprs).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("_pn")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("_ps"))
+    per = ranged.groupBy("_pid").agg(*aggs)
+    sum_type = dict(per.dtypes).get("_ps")
+    rows = sorted(per.collect(), key=lambda r: r["_pid"])
+
+    offsets: list[tuple] = []
+    racc = 0
+    sacc = (Decimal(0) if (sum_type or "").startswith("decimal") else 0) if sum_col else None
+    for r in rows:
+        offsets.append((r["_pid"], racc, sacc) if sum_col else (r["_pid"], racc))
+        racc += r["_pn"]
+        if sum_col is not None and r["_ps"] is not None:
+            sacc += r["_ps"]
+    schema = "_pid int, _roff long" + (f", _soff {sum_type}" if sum_col else "")
+    off = F.broadcast(spark.createDataFrame(offsets, schema))
+
+    wloc = Window.partitionBy("_pid").orderBy(*exprs)
+    out = ranged.withColumn("_lrank", F.row_number().over(wloc))
+    drop = ["_pid", "_roff", "_lrank"]
+    if sum_col is not None:
+        out = out.withColumn(
+            "_lcum",
+            F.sum(sum_col).over(
+                wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        drop += ["_soff", "_lcum"]
+    out = out.join(off, "_pid").withColumn(
+        "_grank", F.col("_roff") + F.col("_lrank")
+    )
+    if sum_col is not None:
+        # keep the exact sum dtype of the per-partition running sum so
+        # downstream decimal comparisons stay exact (never double)
+        out = out.withColumn(
+            "_gcumsum", (F.col("_soff") + F.col("_lcum")).cast(sum_type)
+        )
+    return out.drop(*drop), racc, sacc
 
 
 def exact_ntile(df: DataFrame, order_cols: list[str], n_buckets: int) -> DataFrame:
@@ -33,39 +111,17 @@ def exact_ntile(df: DataFrame, order_cols: list[str], n_buckets: int) -> DataFra
     tie-break key) — equal keys across a partition boundary would
     otherwise make the range partitioning's split nondeterministic.
     """
-    spark = df.sparkSession
-    nparts = max(spark.sparkContext.defaultParallelism, 2)
-    ranged = materialize(
-        df.repartitionByRange(nparts, *[F.col(c) for c in order_cols]).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-    )
-    sizes = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    total = sum(sizes.values())
-    offsets, acc = [], 0
-    for pid in sorted(sizes):
-        offsets.append((pid, acc))
-        acc += sizes[pid]
-    off = F.broadcast(spark.createDataFrame(offsets, "_pid int, _offset long"))
-
-    local_rank = F.row_number().over(
-        Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    )
-    ranked = ranged.withColumn("_lrank", local_rank).join(off, "_pid")
-    grank = F.col("_offset") + F.col("_lrank")
-
+    ranked, total, _ = exact_global_rank(df, list(order_cols))
     q, rem = divmod(total, n_buckets)
     cut = rem * (q + 1)
+    grank = F.col("_grank")
     bucket = F.when(
         grank <= F.lit(cut),
-        F.expr(f"CAST((_offset + _lrank + {q}) DIV {q + 1} AS INT)"),
+        F.expr(f"CAST((_grank + {q}) DIV {q + 1} AS INT)"),
     ).otherwise(
         F.expr(
-            f"CAST({rem} + (_offset + _lrank - {cut} + {max(q, 1) - 1})"
+            f"CAST({rem} + (_grank - {cut} + {max(q, 1) - 1})"
             f" DIV {max(q, 1)} AS INT)"
         )
     )
-    return ranked.withColumn("bucket", bucket).drop("_pid", "_lrank", "_offset")
+    return ranked.withColumn("bucket", bucket).drop("_grank")

@@ -56,6 +56,33 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     return plan.count("HashAggregate") >= 2 or "partial" in plan
 
 
+def global_window_count(df: DataFrame) -> int:
+    """Number of physical Window nodes with an EMPTY partition spec —
+    each one funnels its entire input through a single task (Exchange
+    SinglePartition), the scale-killer the offset-merge rank
+    (operators/quantiles.py) exists to avoid.  Walks the pre-AQE
+    physical plan via py4j and inspects ``WindowExec.partitionSpec``
+    directly, so plans that legitimately contain other SinglePartition
+    exchanges (e.g. a scale-free final 1-row aggregate) don't
+    false-positive a string match."""
+    n = 0
+
+    def walk(node) -> None:
+        nonlocal n
+        if node.nodeName() in ("Window", "WindowGroupLimit"):
+            try:
+                if node.partitionSpec().isEmpty():
+                    n += 1
+            except Exception:
+                n += 1  # can't prove it's partitioned — count it
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return n
+
+
 def pushed_filters(df: DataFrame) -> str:
     """The PushedFilters section of the scan node ('' when absent)."""
     plan = formatted_plan(df)

@@ -1180,28 +1180,31 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint inequality.  Each unordered pair emits once
     (rk ≤ n/2).
 
-    Scale caveat (deliberate, documented like E14): the global
-    row_number here is a single-partition window at the corpus scale
-    of this table; at 100 TB the rank comes from the offset-merge
-    machinery (customer_acctbal_deciles) or a precomputed shard+rank
-    (shard_corpus_for_training) — the pairing arithmetic is unchanged.
+    Scale shape: the corpus-wide rank comes from the offset-merge
+    exact rank (operators/quantiles.py — range-repartition on the
+    hash order, per-range local row_number, O(#partitions) offset
+    merge), so NO single task ever sorts the corpus (plan-asserted:
+    global_window_count == 0); the corpus size n lands as a literal
+    and the ranked frame is materialized once, so the rk ↔ rk+n/2
+    pairing is a plain equi-join between two reads of the SAME
+    checkpointed frame.
     """
+    from ..operators.quantiles import exact_global_rank
+
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("fp", "doc_id")
-    ranked = (
-        d.select("doc_id", "lang", F.md5("text").alias("fp"))
-        .withColumn("rk", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    ranked, n, _ = exact_global_rank(
+        d.select("doc_id", "lang", F.md5("text").alias("fp")), ["fp", "doc_id"]
     )
+    ranked = ranked.withColumnRenamed("_grank", "rk")
     a = ranked.alias("a")
     b = ranked.alias("b")
+    half = F.lit(n // 2)
     return (
         a.join(
             b,
-            F.col("b.rk")
-            == ((F.col("a.rk") - 1 + F.expr("a.n div 2")) % F.col("a.n")) + 1,
+            F.col("b.rk") == ((F.col("a.rk") - 1 + half) % F.lit(max(n, 1))) + 1,
         )
-        .filter((F.col("a.fp") != F.col("b.fp")) & (F.col("a.rk") <= F.expr("a.n div 2")))
+        .filter((F.col("a.fp") != F.col("b.fp")) & (F.col("a.rk") <= half))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

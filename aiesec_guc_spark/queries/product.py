@@ -828,12 +828,14 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact collapses to the per-user first-click frame
     (conditional min, map-side combined, one shuffle), purchases
     join it user-keyed with the >= residual inside the probe, and a
-    second grouped min lands the per-user latency — everything after
-    runs on the #converted-users frame.  The global rank window over
-    that tiny frame is deliberate; for frames that stay huge, the
-    offset-merge rank machinery (operators/quantiles.py) computes the
-    same ranks without a single-partition window.  Latencies are
-    exact integer microseconds.
+    second grouped min lands the per-user latency.  The global rank
+    over the #converted-users frame comes from the offset-merge
+    exact rank (operators/quantiles.py) — range-repartition + local
+    row_number + O(#partitions) offset merge — so NO window task ever
+    sees the whole frame (plan-asserted: global_window_count == 0),
+    and the frame's total count lands as a literal instead of a
+    count-over-all-rows window.  Latencies are exact integer
+    microseconds.
     """
     e = load_table(spark, sf_dir, "events")
     first_click = (
@@ -850,23 +852,21 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.min("ts")) - F.unix_micros(F.col("c_ts").cast("timestamp"))).alias("latency_us")
         )
     )
-    w = Window.orderBy("latency_us", "user_id")
-    ranked = conv.select(
-        "latency_us",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    from ..operators.quantiles import exact_global_rank
+
+    ranked, n, _ = exact_global_rank(
+        conv.select("latency_us", "user_id"), ["latency_us", "user_id"]
     )
-    mid = (F.col("rk") == F.expr("(n + 1) div 2")) | (
-        F.col("rk") == F.expr("(n + 2) div 2")
-    )
+    rk = F.col("_grank")
+    mid = (rk == F.lit((n + 1) // 2)) | (rk == F.lit((n + 2) // 2))
     return ranked.agg(
-        F.max("n").alias("n_converted"),
+        F.max(F.lit(n)).cast("long").alias("n_converted"),
         (
             F.sum(F.when(mid, F.col("latency_us"))).cast("double")
             / F.count(F.when(mid, F.lit(1)))
         ).alias("median_latency_us"),
         F.max(
-            F.when(F.col("rk") == F.expr("(9 * n + 9) div 10"), F.col("latency_us"))
+            F.when(rk == F.lit((9 * n + 9) // 10), F.col("latency_us"))
         ).alias("p90_latency_us"),
     )
 
@@ -916,36 +916,37 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer; the reported customer-percentage does its one division
     after integer basis-point truncation.  Scale shape: the fact
     collapses to per-customer exact-decimal revenue first; the global
-    running-sum window orders the #customers frame (tiny here —
-    offset-merge rank machinery named for frames that stay huge);
-    the four thresholds fan out from ONE ranked frame via a literal
-    spine, grouped min per threshold.
+    rank AND exact running sum over the #customers frame come from
+    the offset-merge rank (operators/quantiles.py — range partitions,
+    local rank + local running sum, decimal offsets merged at
+    O(#partitions)), so no window task sees the whole frame and the
+    grand totals land as literals; the four thresholds fan out from
+    ONE ranked frame via a literal spine, grouped min per threshold.
     """
+    from ..operators.quantiles import exact_global_rank
+
     o = load_table(spark, sf_dir, "orders")
     percust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    ranked = percust.select(
-        "o_custkey",
-        "rev",
-        F.row_number().over(w).alias("rk"),
-        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum_rev"),
-        F.sum("rev").over(Window.partitionBy()).alias("total_rev"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+    ranked, n_cust, total_rev = exact_global_rank(
+        percust, [F.desc("rev"), F.asc("o_custkey")], sum_col="rev"
     )
     spine = spark.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in (50, 80, 90, 99)])).alias("p")
     )
     return (
         ranked.crossJoin(F.broadcast(spine))
-        .filter(F.lit(100) * F.col("cum_rev") >= F.col("p") * F.col("total_rev"))
+        .filter(
+            F.lit(100) * F.col("_gcumsum")
+            >= F.col("p") * F.lit(total_rev).cast("decimal(34,2)")
+        )
         .groupBy("p")
         .agg(
-            F.min("rk").alias("n_customers"),
-            F.max("n_cust").alias("n_customers_total"),
+            F.min("_grank").alias("n_customers"),
+            F.max(F.lit(n_cust)).cast("long").alias("n_customers_total"),
             (
-                F.expr("min(rk) * 10000 div max(n_cust)").cast("double") / 100
+                F.expr(f"min(_grank) * 10000 div {n_cust}").cast("double") / 100
             ).alias("pct_customers"),
         )
         .select(
@@ -1057,28 +1058,27 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-engine; rank ties pin on custkey.
 
     Scale shape: per-customer exact revenue first (one fact shuffle);
-    the global rank window orders the #customers frame (offset-merge
-    rank machinery named for frames that stay huge); ONE final 1-row
-    fold.
+    the global rank comes from the offset-merge exact rank
+    (operators/quantiles.py) — no single-partition window anywhere
+    (plan-asserted), and n / Σx land as driver literals from the
+    O(#partitions) offset merge; ONE final 1-row fold computes the
+    exact rank-sum.
     """
+    from ..operators.quantiles import exact_global_rank
+
     o = load_table(spark, sf_dir, "orders")
     percust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
     )
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = percust.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("rev").over(Window.partitionBy()).alias("s"),
-    )
+    ranked, n, s = exact_global_rank(percust, ["rev", "o_custkey"])
+    total = F.sum("rev")
     return ranked.agg(
-        F.max("n").alias("n_customers"),
-        F.max("s").cast("double").alias("total_revenue"),
+        F.max(F.lit(n)).cast("long").alias("n_customers"),
+        total.cast("double").alias("total_revenue"),
         (
-            (F.lit(2) * F.sum(F.col("i") * F.col("rev"))).cast("double")
-            / (F.max("n") * F.max("s").cast("double"))
-            - (F.max("n") + 1).cast("double") / F.max("n")
+            (F.lit(2) * F.sum(F.col("_grank") * F.col("rev"))).cast("double")
+            / (F.lit(n) * total.cast("double"))
+            - F.lit(n + 1).cast("double") / F.lit(n)
         ).alias("gini"),
     )
 
@@ -1126,11 +1126,14 @@ def repurchase_interval_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition: per-user lag (ONE user-keyed sort shared with the
     session family's windows) → integer-µs gaps → global rank-pair
-    median over the #gaps frame (tie-pinned by user_id, event_id;
-    offset-merge machinery named for frames that stay huge).  All
-    extremes integer-exact; the median's single division is the only
-    double.
+    median over the #gaps frame (tie-pinned by user_id, event_id) via
+    the offset-merge exact rank (operators/quantiles.py) — no
+    single-partition window (plan-asserted), #gaps embedded as a
+    literal from the offset merge.  All extremes integer-exact; the
+    median's single division is the only double.
     """
+    from ..operators.quantiles import exact_global_rank
+
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -1144,17 +1147,11 @@ def repurchase_interval_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = p.select(
         "user_id", "event_id", (F.col("us") - F.col("prev_us")).alias("gap_us")
     )
-    wr = Window.orderBy("gap_us", "user_id", "event_id")
-    ranked = gaps.select(
-        "gap_us",
-        F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    mid = (F.col("rk") == F.expr("(n + 1) div 2")) | (
-        F.col("rk") == F.expr("(n + 2) div 2")
-    )
+    ranked, n, _ = exact_global_rank(gaps, ["gap_us", "user_id", "event_id"])
+    rk = F.col("_grank")
+    mid = (rk == F.lit((n + 1) // 2)) | (rk == F.lit((n + 2) // 2))
     return ranked.agg(
-        F.max("n").alias("n_gaps"),
+        F.max(F.lit(n)).cast("long").alias("n_gaps"),
         (
             F.sum(F.when(mid, F.col("gap_us"))).cast("double")
             / F.count(F.when(mid, F.lit(1)))

@@ -106,6 +106,26 @@ def test_deciles_has_no_single_partition_window(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_offset_merge_rank_queries_have_no_global_window(spark, sf_dir):
+    # The five global-rank queries route through the offset-merge
+    # exact rank (operators/quantiles.py): physical Window nodes must
+    # ALL be partitioned — a partition-less Window would funnel the
+    # whole ranked frame through one task at 100 TB.  (String-matching
+    # "SinglePartition" would false-positive on the legitimate final
+    # 1-row aggregates, so this inspects WindowExec.partitionSpec.)
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    for name in (
+        "funnel_conversion_latency",
+        "pareto_revenue_concentration",
+        "revenue_gini",
+        "repurchase_interval_median",
+        "sample_negative_pairs",
+    ):
+        df = spark_queries()[name](spark, sf_dir)
+        assert global_window_count(df) == 0, name
+
+
 def test_connected_components_converges_on_chain(spark):
     # A 6-node chain (worst diameter for its size) collapses to one
     # component labelled by its minimum node.
