@@ -21,6 +21,23 @@ pinned to the reference's behavior:
 
 Regexes use no engine-specific syntax so the DuckDB oracle (RE2) and
 Spark (java.util.regex) agree.
+
+Known extraction limits (pinned in tests/test_html_cards.py):
+
+- **No nested same-type tags inside a captured block.**  The lazy
+  inner captures ([\\s\\S]*?) stop at the FIRST closing tag of the
+  same type, so an org ``<div>`` containing an inner ``<div>``
+  truncates at the inner ``</div>`` where bs4's ``get_text`` would
+  collect the whole subtree.  The reference markup (aiesec.py card
+  structure and all fixtures) never nests a same-type element inside
+  h3/span/org blocks; balance-aware extraction would need a real
+  parser, which the JVM-regex design deliberately avoids.  DIFFERENT
+  child tags (``<b>``, ``<em>``, spans inside h3, …) are fine — the
+  lazy capture spans them and _strip_tags reduces them bs4-style.
+- **\\x0B (vertical tab) strip divergence.**  Java ``\\s`` includes
+  \\x0B; RE2's does not — a text node edged by a vertical tab strips
+  differently across engines.  No real-world card markup contains
+  \\x0B; the fixtures pin only \\t/\\n/\\r/space whitespace.
 """
 
 from __future__ import annotations

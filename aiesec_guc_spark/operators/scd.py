@@ -153,8 +153,14 @@ def scd2_apply(
     result = segments if closed is None else closed.select(*out_cols).unionByName(segments)
 
     if not exists:
+        # same write-then-rename as the merge path: a concurrent
+        # reader must never observe a half-written initial table
         os.makedirs(os.path.dirname(target_path.rstrip("/")) or ".", exist_ok=True)
-        result.write.mode("overwrite").parquet(target_path)
+        tmp = swap_sibling(target_path, "merge")
+        result.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_path):
+            shutil.rmtree(target_path)  # empty dir probed above
+        os.rename(tmp, target_path)
     else:
         tmp = swap_sibling(target_path, "merge")
         old = swap_sibling(target_path, "old")

@@ -377,10 +377,10 @@ def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    # integer floor division (DIV), matching the oracle's `//` exactly
+    # — a double division + truncation can diverge past 2^53
     tot = counts.agg(
-        (F.sum("n_before") / F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("n_target")
+        F.expr("sum(n_before) div count(1)").cast("bigint").alias("n_target")
     )
     w = Window.partitionBy("lang").orderBy(hash32(F.col("text")), F.col("doc_id"))
     ranked = d.select("lang", F.row_number().over(w).alias("rk"))
@@ -815,20 +815,26 @@ WITH toks0 AS (
     FROM documents
   ) WHERE len(term) >= 2 GROUP BY term
 ),
-chars AS (
+chars AS MATERIALIZED (
   SELECT term, wf,
          list_transform(generate_series(1, len(term)), i -> substr(term, i, 1)) AS toks
   FROM toks0
 )"""
     ]
+    # chars / m{r} / r{r} are each referenced twice (pair count + next
+    # round's fold).  Force MATERIALIZED so a CTE-inlining planner
+    # never re-evaluates the fold chain once per consumer — plain
+    # inlining doubles the |vocab| fold work every round (2^rounds
+    # blowup; observed 35.9 s vs sub-second at sf0.01).
     frame = "chars"
     selects = []
     for r in range(1, _BPE_ROUNDS + 1):
         parts.append(f", p{r} AS ({pairs(frame)})")
         parts.append(
-            f", m{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
+            f", m{r} AS MATERIALIZED"
+            f" (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
         )
-        parts.append(f", r{r} AS ({apply_merge(frame, f'm{r}')})")
+        parts.append(f", r{r} AS MATERIALIZED ({apply_merge(frame, f'm{r}')})")
         selects.append(
             f"SELECT {r} AS round, a AS pair_a, b AS pair_b, a || b AS merged, n FROM m{r}"
         )
@@ -1358,8 +1364,9 @@ def corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + a broadcast 1-row target."""
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    # integer floor division (DIV), matching the oracle's `//` exactly
     tot = counts.agg(
-        (F.sum("n_before") / F.count(F.lit(1))).cast("bigint").alias("n_target")
+        F.expr("sum(n_before) div count(1)").cast("bigint").alias("n_target")
     )
     j = counts.crossJoin(F.broadcast(tot))
     # integer ceil as (a + b - 1) div b — never a floored double ratio

@@ -461,6 +461,7 @@ def run_streaming_scd2(
     sf_dir: str,
     target_path: str,
     src: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """foreachBatch SCD2 maintenance: each micro-batch of status
     observations versions a parquet dimension table via
@@ -469,15 +470,27 @@ def run_streaming_scd2(
     way ``run_streaming_upsert_latest`` does for type-1.
 
     Exactly-once at the table level via the standard foreachBatch
-    transactional-sink pattern: every applied epoch drops a marker
-    under the hidden SIBLING ``.{name}__epochs/`` (outside the table
-    directory, which the swap renames away each apply; dot-prefixed,
-    so Spark listings of the parent never see it), and a replayed
-    epoch (post-crash redelivery is at-least-once) is skipped instead
-    of re-applied.  Without the marker a replay would not corrupt
-    history either — ``scd2_apply`` fail-stops on observations
-    at-or-before the open version — but skip-on-marker lets recovery
-    PROCEED past the replayed batch.
+    transactional-sink pattern, with TWO durability rules:
+
+    - The stream checkpoint lives in the stable hidden sibling
+      ``.{name}__ckpt/`` (NOT a temp dir), so a later invocation
+      against the same target resumes source progress — epoch ids
+      never restart at 0 and already-read files are never re-formed
+      into batches that a marker check could wrongly drop.
+    - Applied-batch markers under the hidden sibling
+      ``.{name}__epochs/`` are keyed by batch CONTENT (row count +
+      order-insensitive md5 row-hash sum), not by bare epoch id: a
+      post-crash redelivery (at-least-once) of the same observations
+      matches its marker and is skipped, while NEW data that happens
+      to land as the same epoch id (e.g. after an operator rebuilt
+      the checkpoint) can never silently match.  Both siblings are
+      dot-prefixed, outside the table directory (which the swap
+      renames away each apply), so Spark listings never see them.
+
+    Without a marker a replay would not corrupt history either —
+    ``scd2_apply`` fail-stops on observations at-or-before the open
+    version — but skip-on-marker lets recovery PROCEED past the
+    replayed batch.
 
     Batch prep pre-reduces to one observation per (user, instant)
     (max event_type — deterministic) to satisfy scd2_apply's
@@ -491,11 +504,9 @@ def run_streaming_scd2(
         src = _events_stream(spark, sf_dir)
     parent, name = os.path.split(target_path.rstrip("/"))
     marker_dir = os.path.join(parent, f".{name}__epochs")
+    ckpt = checkpoint_dir or os.path.join(parent, f".{name}__ckpt")
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(marker_dir, str(epoch_id))
-        if os.path.exists(marker):
-            return
         changes = (
             batch_df.select(
                 "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
@@ -503,18 +514,34 @@ def run_streaming_scd2(
             .groupBy("user_id", "ts_us")
             .agg(F.max("event_type").alias("status"))
         )
-        if changes.isEmpty():
+        fp = changes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("\x1f", "user_id", "ts_us", "status")),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("decimal(20,0)")
+            ).alias("h"),
+        ).collect()[0]
+        if fp["n"] == 0:
+            return
+        marker = os.path.join(marker_dir, f"{fp['n']}_{fp['h']}")
+        if os.path.exists(marker):
             return
         scd2_apply(spark, target_path, changes, "user_id", ["status"], "ts_us")
         os.makedirs(marker_dir, exist_ok=True)
         open(marker, "w").close()
 
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            src.writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.parquet(target_path)

@@ -58,3 +58,24 @@ def test_missing_org_and_applicants_are_na(spark):
     r = _rows(spark)["1000005"]
     assert r["organization"] == "N/A"
     assert r["applicants"] == "N/A"
+
+
+def test_same_type_nesting_truncates_at_first_close_documented_limit(spark):
+    """DOCUMENTED LIMIT (html_cards.py module docstring): a same-type
+    element nested inside a captured block stops the lazy capture at
+    the FIRST closing tag — bs4 would collect the whole subtree.  The
+    reference's card markup never nests same-type tags, so this pins
+    the assumption loudly: if real markup ever nests divs, this test
+    is the tripwire saying balance-aware extraction is now needed.
+    Both engines (Spark regex here, DuckDB RE2 in the oracle) share
+    the truncation, so cross-engine parity is unaffected."""
+    html = (
+        '<div class="card"><a href="/opportunity/gx/42">x</a>'
+        "<h3>T</h3><span>C</span><span>1 Month</span>"
+        '<div class="org">Outer <div>Inner</div> Tail</div></div>'
+    )
+    df = spark.createDataFrame([(1, html)], "page_id int, html string")
+    r = extract_cards(df).collect()[0]
+    # capture stops at the inner </div>: "Outer <div>Inner" -> strip
+    # -> "OuterInner"; the " Tail" bs4 would add is NOT collected
+    assert r["organization"] == "OuterInner"

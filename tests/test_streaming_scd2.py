@@ -1,6 +1,9 @@
 """Streaming SCD2 maintenance (run_streaming_scd2): multi-batch
-versioning must equal the one-shot batch apply, and replayed epochs
-must be skipped via the marker protocol, not re-applied."""
+versioning must equal the one-shot batch apply, replayed batches must
+be skipped via the content-keyed marker protocol (not re-applied), and
+— the regression this file pins — NEW data arriving after a completed
+run must be APPLIED, never dropped because its epoch id collides with
+an already-applied batch's id."""
 
 from __future__ import annotations
 
@@ -65,13 +68,35 @@ def test_streaming_scd2_matches_oneshot_and_skips_replay(spark, tmp_path):
         out.filter((F.col("user_id") == 2)).count() == 1
     )
 
-    # markers live in the hidden sibling and there are two epochs
+    # one content-keyed marker per applied batch in the hidden sibling
     marker_dir = str(tmp_path / ".dim__epochs")
-    assert sorted(os.listdir(marker_dir)) == ["0", "1"]
+    assert len(os.listdir(marker_dir)) == 2
 
-    # replay: a FRESH checkpoint re-delivers epochs 0 and 1; the
-    # marker protocol must skip them (re-applying would fail-stop on
-    # the closed-history precondition) and leave the table unchanged
+    # replay: a FRESH checkpoint re-delivers both batches (at-least-
+    # once); the content-keyed markers must skip them (re-applying
+    # would fail-stop on the closed-history precondition) and leave
+    # the table unchanged
     before = _scd_rows(spark, target)
-    run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream())
+    run_streaming_scd2(
+        spark, sf_dir="", target_path=target, src=stream(),
+        checkpoint_dir=str(tmp_path / "ckpt_replay"),
+    )
     assert _scd_rows(spark, target) == before
+
+    # NEW data after a completed run, default (stable sibling)
+    # checkpoint: source progress resumes, so only the new file forms
+    # a batch and it MUST be applied — under the old tempdir-per-call
+    # checkpoint it re-formed as epoch 0 and the bare-epoch marker
+    # check silently dropped it.
+    time.sleep(1.1)
+    b3 = [(3, at(20), "purchase")]
+    _write(spark, src_dir, b3)
+    run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream())
+    u3 = sorted(
+        (r["status"], r["valid_to"] is None)
+        for r in spark.read.parquet(target)
+        .filter(F.col("user_id") == 3)
+        .collect()
+    )
+    assert u3 == [("click", False), ("purchase", True)]
+    assert len(os.listdir(marker_dir)) == 3

@@ -27,11 +27,15 @@ def main() -> int:
     while i < len(argv):
         a = argv[i]
         if a.startswith("--threshold"):
-            if "=" in a:
-                threshold = float(a.split("=", 1)[1])
-            else:
-                i += 1
-                threshold = float(argv[i])
+            try:
+                if "=" in a:
+                    threshold = float(a.split("=", 1)[1])
+                else:
+                    i += 1
+                    threshold = float(argv[i])
+            except (IndexError, ValueError):
+                print(__doc__)
+                return 2
         else:
             args.append(a)
         i += 1
