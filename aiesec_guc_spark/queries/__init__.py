@@ -71,71 +71,26 @@ _QUERY_MODULES = [
 # Module order alone can no longer pin every evidence-starved query
 # within the checked window (a new query appended to a late module
 # lands past it), so the registry is additionally reordered by this
-# explicit priority list.  Rotation policy (round 6): queries with the
-# STALEST driver evidence lead — the 16 with no driver row since r02
-# (round 5 proved unwatched queries can silently rot), then the
-# streaming trio fixed this round, then queries new/changed this
-# round, then everything else in module order.  Typos fail loudly in
-# registry().
+# explicit priority list.  Rotation policy (round 8, per VERDICT r7
+# item 1): queries CHANGED this round lead (their driver rows must
+# re-verify the new code), then the 60 queries with ZERO driver-or-
+# judge evidence across r1-r7 — the driver checks the first ~50, so
+# r08 covers the changed set + 41 of these, and r09's rotation takes
+# the remainder plus the judge-verified tier.  Typos fail loudly in
+# registry().  tools/gen_coverage.py renders COVERAGE.md (query →
+# last driver round) from CORRECTNESS_r*.json so the gap is auditable.
 _EVIDENCE_PRIORITY = [
-    # driver-stale since r02: parity family …
-    "projection_cast",
-    "filter_contains_flags",
-    "string_extract_roundtrip",
-    "json_scalar_extract",
-    "html_card_render",
-    "count_guard",
-    "html_extract_cards",
-    "opportunity_snapshot_delta",
-    # … events family …
-    "events_hourly_tumbling",
-    "events_sessionize",
-    "events_sliding_windows",
-    "events_click_purchase_window",
-    "events_funnel",
-    "events_rolling_hour",
-    # … and the streaming trio (fixed this round for pyspark 4.1.2;
-    # dedup_exact was the red r5 row).
-    "streaming_sessionize_stateful",
-    "streaming_hourly_tumbling",
-    "streaming_dedup_exact",
-    # new/changed this round
-    "similarity_ann_recall",
-    "similarity_ivf_flat",
-    "text_repetition_signals",
-    "text_chunk_windows",
-    "pack_sequences_by_lang",
-    "streaming_click_purchase_join",
-    "asof_click_error_forward",
-    "asof_click_error_nearest",
-    "order_priority_semi",
-    "small_qty_order_revenue",
-    "salted_revenue_by_nation",
-    "events_gapfill_hourly",
-    "streaming_static_enrich",
-    "customer_balance_analytics",
-    "shard_corpus_for_training",
-    "dedup_segments_exact",
-    "streaming_session_window",
-    "streaming_upsert_latest",
-    "orders_unpivot_metrics",
-    "dq_constraint_checks",
-    "hll_mergeable_distinct",
-    "layout_zorder_stats",
-    "streaming_dedup_within_watermark",
-    "sql_frontdoor_revenue",
-    "snapshot_full_compare",
-    "large_volume_orders",
-    "wealthy_inactive_customers",
-    # round-6 second batch (analytics.py) — first driver evidence
-    # wanted; anything past the ~50-row window is still covered by
-    # the local sf0.001 sweep in tests/test_oracle_parity.py.
-    "scd2_user_status_history",
-    "decayed_user_engagement",
-    "text_discriminative_terms",
-    "events_wow_change",
-    "nation_trade_volume",
-    "regional_market_share",
+    # --- changed in round 8 (code or oracle) — driver re-verification wanted first ---
+    "sample_negative_pairs",
+    "funnel_conversion_latency",
+    "pareto_revenue_concentration",
+    "revenue_gini",
+    "repurchase_interval_median",
+    "corpus_mixture_rebalance",
+    "corpus_repeat_factors",
+    "bpe_apply_tokenize",
+    "bpe_learn_merges",
+    # --- zero-evidence: never driver-sampled in r1-r7 AND not judge-run in r7 ---
     "cheapest_offer_per_part",
     "latest_event_per_user",
     "cohort_retention",
@@ -146,7 +101,6 @@ _EVIDENCE_PRIORITY = [
     "user_event_type_profile",
     "part_name_fuzzy_pairs",
     "sql_frontdoor_lateral_topn",
-    "sql_frontdoor_recursive_spine",
     "dau_mau_stickiness",
     "bpe_first_merge_pairs",
     "text_oov_fraction",
@@ -154,7 +108,6 @@ _EVIDENCE_PRIORITY = [
     "nation_segment_matrix",
     "entity_resolution_parts",
     "events_transition_matrix",
-    "streaming_wau_approx",
     "forecast_revenue_change",
     "returned_item_customers",
     "disjunctive_brand_revenue",
@@ -163,23 +116,16 @@ _EVIDENCE_PRIORITY = [
     "sample_weighted_docs",
     "session_path_mining",
     "events_multigrain_rollup",
-    "sample_negative_pairs",
     "user_ltv_deciles",
     "purchase_click_attribution",
     "pit_purchase_status",
     "basket_pair_lift",
     "basket_brand_triangles",
     "dedup_incremental_index",
-    "brand_pagerank",
     "join_size_estimate",
-    "table_profile_orders",
-    "funnel_conversion_latency",
-    "pareto_revenue_concentration",
     "inverted_index_postings",
-    "null_semantics_pins",
     "embedding_int8_quantize",
     "session_bounce_rate",
-    "purchase_multitouch_attribution",
     "customer_order_distribution",
     "shipping_lateness_priority",
     "top_supplier_revenue",
@@ -192,18 +138,129 @@ _EVIDENCE_PRIORITY = [
     "events_seasonality_heatmap",
     "value_percentile_bands",
     "revenue_max_drawdown",
-    "revenue_gini",
     "ab_test_proportions",
     "label_centroid_separation",
     "open_orders_backlog",
     "dedup_containment_pairs",
     "dedup_source_attribution",
-    "repurchase_interval_median",
     "customers_bought_all_brands",
     "conversion_latency_cdf",
     "trimmed_mean_value",
     "nation_share_within_segment",
     "value_dispersion_by_type",
+    "cap_docs_per_source",
+    "basket_brand_triangles_degree",
+    "dedup_minhash_estimate_error",
+    # --- never driver-sampled but judge-run green in r7 ---
+    "sql_frontdoor_recursive_spine",
+    "streaming_wau_approx",
+    "brand_pagerank",
+    "table_profile_orders",
+    "null_semantics_pins",
+    "purchase_multitouch_attribution",
+    "user_rfm_segments",
+    "similarity_int8_topk_recall",
+    "dedup_exact_keep_best",
+    "dedup_ngram_jaccard_prefix",
+    # --- driver evidence exists — stalest first ---
+    "approx_distinct_customers",
+    "approx_quantile_orders",
+    "asof_click_error",
+    "cube_orders",
+    "curate_training_corpus",
+    "customer_acctbal_deciles",
+    "decontaminate_ngram_overlap",
+    "dedup_cc_star",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "distinct_customers_by_priority",
+    "embedding_norms",
+    "local_supplier_volume",
+    "multimodal_chunks",
+    "multimodal_features",
+    "multimodal_frame_offsets",
+    "multimodal_resize_stub",
+    "nation_set_ops",
+    "orders_grouping_sets",
+    "orders_status_pivot",
+    "pricing_summary",
+    "promo_revenue_share",
+    "rollup_acctbal",
+    "running_revenue_per_customer",
+    "sample_stratified_docs",
+    "shipping_priority",
+    "similarity_ann_lsh",
+    "similarity_ann_multiprobe",
+    "similarity_cosine_topk",
+    "similarity_knn_join",
+    "snapshot_changed_users",
+    "snapshot_delta_events",
+    "snapshot_delta_users",
+    "star_revenue_by_nation",
+    "text_clean_redact",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_stats_by_lang",
+    "text_token_counts",
+    "text_topk_terms_per_lang",
+    "topk_customers_per_nation",
+    "udaf_user_trend_slope",
+    "asof_click_error_forward",
+    "asof_click_error_nearest",
+    "count_guard",
+    "customer_balance_analytics",
+    "decayed_user_engagement",
+    "dedup_segments_exact",
+    "dq_constraint_checks",
+    "events_click_purchase_window",
+    "events_funnel",
+    "events_gapfill_hourly",
+    "events_hourly_tumbling",
+    "events_rolling_hour",
+    "events_sessionize",
+    "events_sliding_windows",
+    "events_wow_change",
+    "filter_contains_flags",
+    "hll_mergeable_distinct",
+    "html_card_render",
+    "html_extract_cards",
+    "json_scalar_extract",
+    "large_volume_orders",
+    "layout_zorder_stats",
+    "nation_trade_volume",
+    "opportunity_snapshot_delta",
+    "order_priority_semi",
+    "orders_unpivot_metrics",
+    "pack_sequences_by_lang",
+    "projection_cast",
+    "regional_market_share",
+    "salted_revenue_by_nation",
+    "scd2_user_status_history",
+    "shard_corpus_for_training",
+    "similarity_ann_recall",
+    "similarity_ivf_flat",
+    "small_qty_order_revenue",
+    "snapshot_full_compare",
+    "sql_frontdoor_revenue",
+    "streaming_click_purchase_join",
+    "streaming_dedup_exact",
+    "streaming_dedup_within_watermark",
+    "streaming_hourly_tumbling",
+    "streaming_session_window",
+    "streaming_sessionize_stateful",
+    "streaming_static_enrich",
+    "streaming_upsert_latest",
+    "string_extract_roundtrip",
+    "text_chunk_windows",
+    "text_discriminative_terms",
+    "text_repetition_signals",
+    "wealthy_inactive_customers",
 ]
 
 
