@@ -495,7 +495,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and a candidate re-verification join.  On a Zipfian
     real-world corpus — where a handful of stop-grams cause an f²
     blowup the prefix provably skips — the prefix variant is the
-    100 TB shape; switch when gram frequencies are skewed.
+    100 TB shape; switch when gram frequencies are skewed.  The
+    crossover is MEASURED in-suite (tests/test_skew_crossover.py):
+    on a manufactured Zipfian corpus (17 stop-grams × 1600 docs) this
+    blocked form runs ~3× slower than the prefix variant with
+    identical output.
     """
     # fan_out_scan: the single-row-group documents scan serializes the
     # gram explode+distinct (measured in-suite: 5.5 s → 3.3 s warm at
@@ -569,6 +573,11 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the variant measures ~3× slower than the blocked form — the
     crossover is gram-frequency skew, not data volume (see
     ``dedup_ngram_jaccard``'s docstring for the measured numbers).
+    The skewed side of the crossover is measured in-suite:
+    tests/test_skew_crossover.py manufactures a Zipfian gram
+    distribution on which THIS variant wins ~3× (stop-grams carry
+    >99% of the blocked candidate volume and fall outside every
+    prefix).
     """
     t = 0.2
     # fan_out_scan: the single-row-group documents scan serializes the

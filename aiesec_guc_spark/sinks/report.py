@@ -66,14 +66,21 @@ def render_email_html(delta: DataFrame, title: str = "New Opportunities") -> str
 
 
 def write_styled_report(delta: DataFrame, path: str) -> str:
-    """Small-result edge sink: styled xlsx when openpyxl exists,
-    plain CSV otherwise.  Returns the path written."""
+    """Small-result edge sink: styled xlsx via openpyxl when
+    installed, otherwise via the vendored stdlib writer
+    (``sinks/xlsxlite.py``) — REAL xlsx bytes either way, with the
+    same header fill / premium highlight / autofit (aiesec.py:148-183).
+    An explicit ``.csv`` path still writes CSV.  Returns the path
+    written."""
     pdf = delta.toPandas()
+    if path.endswith(".csv"):
+        pdf.to_csv(path, index=False)
+        return path
+    xlsx = path if path.endswith(".xlsx") else path + ".xlsx"
     try:
         import openpyxl  # noqa: F401
         from openpyxl.styles import Font, PatternFill
 
-        xlsx = path if path.endswith(".xlsx") else path + ".xlsx"
         pdf.to_excel(xlsx, index=False)
         wb = openpyxl.load_workbook(xlsx)
         ws = wb.active
@@ -102,9 +109,16 @@ def write_styled_report(delta: DataFrame, path: str) -> str:
         wb.save(xlsx)
         return xlsx
     except ImportError:
-        csv = path if path.endswith(".csv") else path + ".csv"
-        pdf.to_csv(csv, index=False)
-        return csv
+        from . import xlsxlite
+
+        columns = list(pdf.columns)
+        rows = pdf.values.tolist()
+        highlight = (
+            {i for i, v in enumerate(pdf["premium"]) if v == "Yes"}
+            if "premium" in pdf.columns
+            else set()
+        )
+        return xlsxlite.write_xlsx(xlsx, columns, rows, highlight_rows=highlight)
 
 
 def read_snapshot_xlsx(spark, path: str, sheet_name: str = "Sheet1") -> DataFrame:
@@ -128,7 +142,15 @@ def read_snapshot_xlsx(spark, path: str, sheet_name: str = "Sheet1") -> DataFram
     if path.endswith(".csv"):
         pdf = pd.read_csv(path, dtype=str, keep_default_na=False)
     else:
-        pdf = pd.read_excel(path, sheet_name=sheet_name, keep_default_na=False)
+        try:
+            pdf = pd.read_excel(
+                path, sheet_name=sheet_name, keep_default_na=False
+            )
+        except ImportError:  # pandas needs openpyxl for xlsx
+            from . import xlsxlite
+
+            cols, rows = xlsxlite.read_xlsx(path)
+            pdf = pd.DataFrame(rows, columns=cols)
     pdf = pdf.astype(str)
     return spark.createDataFrame(pdf)
 
@@ -148,13 +170,13 @@ def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:
     sheet cap and openpyxl memory tracks sheet size, so ~100k rows per
     partition is the practical ceiling.
 
-    Mirrors ``write_styled_report``'s format contract: xlsx with
-    styled headers when openpyxl is importable in the WORKER (the
-    format probe runs per-task, since workers may have different
-    environments than the driver), CSV part files otherwise.  The
-    per-row premium highlight is skipped on purpose — it is an
-    O(cells) driver-format concern for small reports, not a bulk
-    snapshot feature.
+    Mirrors ``write_styled_report``'s format contract: styled-header
+    xlsx via openpyxl when importable in the WORKER (the format probe
+    runs per-task, since workers may have different environments than
+    the driver), via the vendored stdlib writer (``xlsxlite``)
+    otherwise — real xlsx part files either way.  The per-row premium
+    highlight is skipped on purpose — it is an O(cells) driver-format
+    concern for small reports, not a bulk snapshot feature.
     """
     import pandas as pd
 
@@ -171,11 +193,11 @@ def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:
         pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
+        path = os.path.join(out_dir, f"part-{pid:05d}.xlsx")
         try:
             import openpyxl
             from openpyxl.styles import Font, PatternFill
 
-            path = os.path.join(out_dir, f"part-{pid:05d}.xlsx")
             pdf.to_excel(path, index=False)
             wb = openpyxl.load_workbook(path)
             ws = wb.active
@@ -185,8 +207,9 @@ def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:
                 cell.fill = header_fill
             wb.save(path)
         except ImportError:
-            path = os.path.join(out_dir, f"part-{pid:05d}.csv")
-            pdf.to_csv(path, index=False)
+            from . import xlsxlite
+
+            xlsxlite.write_xlsx(path, list(pdf.columns), pdf.values.tolist())
         yield pd.DataFrame({"file": [path], "n_rows": [len(pdf)]})
 
     return df.mapInPandas(_write, schema=schema)
@@ -205,7 +228,13 @@ def read_snapshot_dir(spark, path: str) -> DataFrame:
     def _read_one(f: str) -> "pd.DataFrame":
         if f.endswith(".csv"):
             return pd.read_csv(f, dtype=str, keep_default_na=False)
-        return pd.read_excel(f, keep_default_na=False).astype(str)
+        try:
+            return pd.read_excel(f, keep_default_na=False).astype(str)
+        except ImportError:  # pandas needs openpyxl for xlsx
+            from . import xlsxlite
+
+            cols, rows = xlsxlite.read_xlsx(f)
+            return pd.DataFrame(rows, columns=cols).astype(str)
 
     files = sorted(
         os.path.join(path, f)
@@ -219,7 +248,12 @@ def read_snapshot_dir(spark, path: str) -> DataFrame:
     if files[0].endswith(".csv"):
         cols = list(pd.read_csv(files[0], dtype=str, nrows=0).columns)
     else:
-        cols = list(pd.read_excel(files[0], nrows=0).columns)
+        try:
+            cols = list(pd.read_excel(files[0], nrows=0).columns)
+        except ImportError:
+            from . import xlsxlite
+
+            cols, _ = xlsxlite.read_xlsx(files[0])
     schema = ", ".join(f"`{c}` string" for c in cols)
 
     def _read(batches):

@@ -354,12 +354,17 @@ def run_streaming_interval_join(
     batch inequality join — the oracle is the same SQL.
 
     A LEFT OUTER variant was built and removed: under pyspark 4.1.2
-    the null-row emission for an unmatched click is withheld when the
-    same user has a purchase near stream end (observed at sf0.001:
-    one click, well inside every watermark bound, never emitted its
-    outer row while sf0.01 matched exactly) — the eviction predicate
-    is data-dependent in a way no portable oracle can model, so the
-    INNER form is the gate-checked surface.
+    the null-row emission for an unmatched click is withheld whenever
+    the FINAL watermark never passes that click's eviction bound
+    (c_ts + range + delay) — availableNow consumes all data but does
+    not flush terminal join state, so whether a given unmatched row
+    emits depends on where stream-end lands relative to its bound.
+    No portable batch oracle can model that, so the INNER form is the
+    gate-checked surface.  The behavior is pinned as a deterministic
+    bounded repro in tests/test_streaming_late_data.py::
+    test_stream_stream_outer_join_withholds_terminal_unmatched_row —
+    a Spark upgrade that starts flushing terminal state flips it
+    loudly, signalling the outer variant can be promoted.
     """
     src = _events_stream(spark, sf_dir)
     clicks = (

