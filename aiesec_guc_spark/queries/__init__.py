@@ -162,6 +162,12 @@ _EVIDENCE_PRIORITY = [
     "similarity_int8_topk_recall",
     "dedup_exact_keep_best",
     "dedup_ngram_jaccard_prefix",
+    # --- new in round 8 (E140-E143) — r09 rotation picks these up
+    #     with the rest of the zero-evidence tier ---
+    "events_heavy_hitters_cms",
+    "table_drift_tvd",
+    "embedding_norm_outliers",
+    "similarity_maxsim",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

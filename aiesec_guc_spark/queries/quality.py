@@ -290,3 +290,240 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, ndv, min_val, max_val)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters — the OTHER mergeable sketch beside
+# HLL: fixed-size frequency counters whose per-partition partials
+# merge by plain addition, with the one-sided (never-under) error
+# bound checked against exact counts.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOPK = 10
+
+_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def _cms_oracle() -> str:
+    key = "CAST(user_id AS VARCHAR)"
+    rows = ", ".join(str(r) for r in range(CMS_DEPTH))
+    bucket = _H32.format(x=f"'cms' || CAST(r AS VARCHAR) || ':' || {key}")
+    return f"""
+WITH hashed AS (
+  SELECT user_id, r, ({bucket}) % {CMS_WIDTH} AS bucket
+  FROM events CROSS JOIN (SELECT unnest([{rows}]) AS r)
+),
+counters AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY 1
+  ORDER BY exact_n DESC, user_id LIMIT {CMS_TOPK}
+),
+est AS (
+  SELECT e.user_id, e.exact_n, min(c.cnt) AS cms_n
+  FROM exact e
+  CROSS JOIN (SELECT unnest([{rows}]) AS rr)
+  JOIN counters c
+    ON c.r = rr
+   AND c.bucket = ({_H32.format(x=f"'cms' || CAST(rr AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}) % {CMS_WIDTH}
+  GROUP BY 1, 2
+)
+SELECT user_id, exact_n, cms_n, cms_n - exact_n AS overestimate,
+       cms_n >= exact_n AS bound_holds
+FROM est
+"""
+
+
+@query("events_heavy_hitters_cms", oracle=_cms_oracle())
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) heavy-hitter
+    check: a depth-4 × width-64 counter grid over the event stream
+    (buckets from the portable md5 hash, so the oracle rebuilds the
+    identical sketch), queried for the exact top-10 users — estimate =
+    min over the 4 rows, reported beside the exact count with the CMS
+    guarantee (never underestimates) surfaced as a checked column.
+
+    Scale shape: the sketch build is ONE map-side-combined aggregate
+    into 256 counters regardless of input size — the fixed-size
+    mergeable state that lets 1000 executors each fold their partition
+    and combine by addition (the same persist-and-merge pattern as
+    hll_mergeable_distinct, for frequencies instead of cardinality).
+    The exact top-k (for the bound check) is a per-key count +
+    TakeOrdered; estimation joins the 10-row top-k against the 256-row
+    counter grid — both broadcast-trivial.
+    """
+    from ..functions.text import hash32
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("user_id").cast("string").alias("key")
+    )
+    spine = F.explode(
+        F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    ).alias("r")
+    hashed = e.select(
+        "user_id",
+        "key",
+        spine,
+    ).select(
+        "user_id",
+        F.col("r"),
+        (
+            hash32(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("key")))
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    counters = hashed.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
+    ).select(
+        "user_id",
+        "exact_n",
+        "r",
+        (
+            hash32(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    est = (
+        F.broadcast(probes)
+        .join(counters, on=["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+        (F.col("cms_n") >= F.col("exact_n")).alias("bound_holds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (total variation distance) — the train/serve
+# drift gate an ML pipeline runs between two populations, in exact
+# integer arithmetic (TVD is linear in bucket counts, so the whole
+# statistic folds exactly; PSI/chi-square need per-bucket logs or
+# divisions that no cross-engine hash survives).
+# ---------------------------------------------------------------------------
+
+DRIFT_BAND_US = 86_400_000_000  # one epoch day in microseconds
+DRIFT_VALUE_BAND = 50.0
+
+_DRIFT_ORACLE = f"""
+WITH bucketed AS (
+  SELECT (epoch_us(ts) // {DRIFT_BAND_US}) % 2 AS parity,
+         event_type,
+         LEAST(CAST(floor(value / {DRIFT_VALUE_BAND}) AS INT), 9) AS band
+  FROM events
+),
+cells AS (
+  SELECT event_type, band,
+         CAST(SUM(CASE WHEN parity = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_even,
+         CAST(SUM(CASE WHEN parity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_odd
+  FROM bucketed GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(o_even) AS BIGINT) AS n_even,
+         CAST(SUM(o_odd) AS BIGINT) AS n_odd,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM cells
+)
+SELECT t.n_even, t.n_odd, t.n_buckets,
+       CAST(SUM(abs(c.o_even * t.n_odd - c.o_odd * t.n_even)) AS BIGINT)
+         AS sum_absdiff_scaled,
+       CAST(SUM(abs(c.o_even * t.n_odd - c.o_odd * t.n_even)) AS DOUBLE)
+         / (2.0 * t.n_even * t.n_odd) AS tvd
+FROM cells c CROSS JOIN tot t
+GROUP BY 1, 2, 3
+"""
+
+
+@query("table_drift_tvd", oracle=_DRIFT_ORACLE)
+def table_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population drift between the even- and odd-day halves of the
+    event stream, as exact total variation distance over
+    (event_type × value-band) buckets: TVD = ½·Σ|p_even − p_odd|.
+    The two populations stand in for any train-vs-serve or
+    week-over-week drift pair; the statistic decides whether a model's
+    input distribution moved.
+
+    Exactness: each bucket's |o_e·n_o − o_o·n_e| is an integer (the
+    common-denominator form of |p_e − p_o|), the Σ is an exact BIGINT
+    fold, and the ONLY double is the final division by 2·n_e·n_o —
+    bit-identical cross-engine where PSI's per-bucket ln() never is.
+    Scale shape: one map-side-combined count into ≤50 cells, then a
+    1-row fold — the fact is read once, nothing after scales with it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucketed = e.select(
+        (F.expr(f"unix_micros(ts) div {DRIFT_BAND_US}") % 2).alias("parity"),
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / DRIFT_VALUE_BAND).cast("int"), F.lit(9)
+        ).alias("band"),
+    )
+    from ..operators.dedup import materialize
+
+    # cells feeds both the 1-row totals and the per-cell diff
+    cells = materialize(
+        bucketed.groupBy("event_type", "band").agg(
+            F.sum(F.when(F.col("parity") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("o_even"),
+            F.sum(F.when(F.col("parity") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("o_odd"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("o_even").cast("bigint").alias("n_even"),
+        F.sum("o_odd").cast("bigint").alias("n_odd"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n_even", "n_odd", "n_buckets")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("o_even") * F.col("n_odd")
+                    - F.col("o_odd") * F.col("n_even")
+                )
+            )
+            .cast("bigint")
+            .alias("sum_absdiff_scaled")
+        )
+        .select(
+            "n_even",
+            "n_odd",
+            "n_buckets",
+            "sum_absdiff_scaled",
+            (
+                F.col("sum_absdiff_scaled").cast("double")
+                / (F.lit(2.0) * F.col("n_even") * F.col("n_odd"))
+            ).alias("tvd"),
+        )
+    )

@@ -1086,3 +1086,227 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA: L2-norm outliers by median/MAD — the sanity gate a
+# vector pipeline runs before indexing (zeroed, truncated, or
+# mis-scaled vectors show up as norm outliers long before they poison
+# recall).  Global ranks come from the offset-merge exact rank, so the
+# corpus-sized frame never funnels through one window task.
+# ---------------------------------------------------------------------------
+
+_NORM2_SQL = _DOT_SQL.format(a="embedding", b="embedding")
+
+_NORM_OUTLIER_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, {_NORM2_SQL} AS norm2 FROM embeddings
+),
+r1 AS (
+  SELECT vec_id, norm2,
+         row_number() OVER (ORDER BY norm2, vec_id) AS rk,
+         count(*) OVER () AS n
+  FROM norms
+),
+med AS (
+  SELECT (SUM(CASE WHEN rk = (n + 1) // 2 THEN norm2 END)
+        + SUM(CASE WHEN rk = (n + 2) // 2 THEN norm2 END)) / 2 AS med
+  FROM r1
+),
+devs AS (
+  SELECT vec_id, norm2, abs(norm2 - m.med) AS dev
+  FROM norms CROSS JOIN med m
+),
+r2 AS (
+  SELECT vec_id, norm2, dev,
+         row_number() OVER (ORDER BY dev, vec_id) AS rk,
+         count(*) OVER () AS n
+  FROM devs
+),
+mad AS (
+  SELECT (SUM(CASE WHEN rk = (n + 1) // 2 THEN dev END)
+        + SUM(CASE WHEN rk = (n + 2) // 2 THEN dev END)) / 2 AS mad
+  FROM r2
+)
+SELECT d.vec_id,
+       round(d.norm2, 9) AS norm2,
+       d.dev > 3 * m.mad AS is_outlier
+FROM devs d CROSS JOIN mad m
+"""
+
+
+@query("embedding_norm_outliers", oracle=_NORM_OUTLIER_ORACLE)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector squared-L2 norm with a robust (median/MAD) outlier
+    flag: |norm² − median| > 3·MAD.  Robust statistics on purpose —
+    the outliers being hunted would drag a mean/stddev fence toward
+    themselves.
+
+    Determinism: norm² is the index-ordered codegen dot (identical
+    fold order in DuckDB's list fold); the median/MAD are rank-PAIR
+    picks — selected values, never accumulated sums — so the only
+    arithmetic on doubles is (a+b)/2 and one subtraction per row.
+    Scale shape: BOTH global ranks (norms, deviations) run through
+    exact_global_rank (operators/quantiles.py) — range partitions +
+    local windows + O(#partitions) offset merge, no single-partition
+    window (the r7 verdict's fix pattern, applied here from birth);
+    the two 1-row med/MAD frames broadcast.
+    """
+    from ..operators.quantiles import exact_global_rank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("norm2")
+    )
+    r1, n, _ = exact_global_rank(norms, ["norm2", "vec_id"])
+    med = r1.agg(
+        (
+            (
+                F.sum(F.when(F.col("_grank") == (n + 1) // 2, F.col("norm2")))
+                + F.sum(F.when(F.col("_grank") == (n + 2) // 2, F.col("norm2")))
+            )
+            / 2
+        ).alias("med")
+    )
+    devs = r1.drop("_grank").crossJoin(F.broadcast(med)).select(
+        "vec_id", "norm2", F.abs(F.col("norm2") - F.col("med")).alias("dev")
+    )
+    r2, n2, _ = exact_global_rank(devs, ["dev", "vec_id"])
+    mad = r2.agg(
+        (
+            (
+                F.sum(F.when(F.col("_grank") == (n2 + 1) // 2, F.col("dev")))
+                + F.sum(F.when(F.col("_grank") == (n2 + 2) // 2, F.col("dev")))
+            )
+            / 2
+        ).alias("mad")
+    )
+    return (
+        r2.drop("_grank")
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "vec_id",
+            F.round("norm2", 9).alias("norm2"),
+            (F.col("dev") > F.lit(3) * F.col("mad")).alias("is_outlier"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector late interaction (ColBERT-style MaxSim) — each vector
+# is treated as 4 sub-vectors of 16 dims; a query scores a doc as the
+# SUM over its sub-vectors of the MAX dot against any doc sub-vector.
+# The retrieval pattern behind every late-interaction retriever,
+# re-expressed as codegen'd expressions over the existing embeddings.
+# ---------------------------------------------------------------------------
+
+MAXSIM_SUBVECS = 4
+MAXSIM_SUBDIM = 16  # EMBEDDING_DIM // MAXSIM_SUBVECS
+MAXSIM_QUERY_MOD = 97  # vec_id % 97 == 0 plays the query set
+MAXSIM_TOPK = 3
+
+_SUBDOT_SQL = (
+    "list_sum(list_transform(generate_series(1, {w}), "
+    "k -> CAST({a}[{oa} + k] AS DOUBLE) * CAST({b}[{ob} + k] AS DOUBLE)))"
+)
+
+
+def _maxsim_oracle() -> str:
+    maxes = []
+    for i in range(MAXSIM_SUBVECS):
+        dots = ", ".join(
+            _SUBDOT_SQL.format(
+                w=MAXSIM_SUBDIM,
+                a="q.embedding",
+                b="d.embedding",
+                oa=i * MAXSIM_SUBDIM,
+                ob=j * MAXSIM_SUBDIM,
+            )
+            for j in range(MAXSIM_SUBVECS)
+        )
+        maxes.append(f"greatest({dots})")
+    score = " + ".join(f"m{i}" for i in range(MAXSIM_SUBVECS))
+    m_cols = ", ".join(f"{m} AS m{i}" for i, m in enumerate(maxes))
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id, {m_cols}
+  FROM embeddings q
+  JOIN embeddings d
+    ON q.vec_id % {MAXSIM_QUERY_MOD} = 0
+   AND d.vec_id % {MAXSIM_QUERY_MOD} <> 0
+),
+summed AS (
+  SELECT query_id, vec_id, {score} AS maxsim FROM scored
+)
+SELECT query_id, vec_id, round(maxsim, 9) AS maxsim,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY maxsim DESC, vec_id
+       ) AS INT) AS rk
+FROM summed
+QUALIFY rk <= {MAXSIM_TOPK}
+"""
+
+
+@query("similarity_maxsim", oracle=_maxsim_oracle())
+def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late interaction: treating each 64-dim
+    embedding as 4×16-dim sub-vectors (a stand-in for per-token
+    vectors), score(q, d) = Σᵢ maxⱼ dot(qᵢ, dⱼ), top-3 docs per query
+    (queries = vec_id % 97 == 0).  The late-interaction shape is what
+    multi-vector retrievers run after ANN candidate generation; here
+    the full score matrix doubles as the exactness oracle.
+
+    Determinism: every sub-dot is index-ordered double accumulation
+    (16 codegen terms ≡ DuckDB list fold), maxⱼ is an exact pick, and
+    the 4-term Σᵢ is written in fixed sub-vector order — no
+    order-dependent aggregation anywhere.  Scale shape: the query side
+    broadcasts (a query set is always ≪ corpus); scoring is one
+    corpus scan with 16 fused sub-dots; per-query top-k is a
+    partitioned rank, and at real scale the corpus side would first be
+    pruned by any ANN family above (IVF/LSH) — this op verifies the
+    re-rank stage those pipelines feed.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % MAXSIM_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    d = e.filter(F.col("vec_id") % MAXSIM_QUERY_MOD != 0)
+
+    def subdot(a: Column, b: Column, oa: int, ob: int) -> Column:
+        from functools import reduce
+
+        terms = [
+            F.element_at(a, oa + k).cast("double")
+            * F.element_at(b, ob + k).cast("double")
+            for k in range(1, MAXSIM_SUBDIM + 1)
+        ]
+        return reduce(lambda acc, t: acc + t, terms)
+
+    maxes = [
+        F.greatest(
+            *[
+                subdot(
+                    F.col("qe"),
+                    F.col("embedding"),
+                    i * MAXSIM_SUBDIM,
+                    j * MAXSIM_SUBDIM,
+                )
+                for j in range(MAXSIM_SUBVECS)
+            ]
+        )
+        for i in range(MAXSIM_SUBVECS)
+    ]
+    score = maxes[0]
+    for m in maxes[1:]:
+        score = score + m
+    scored = d.join(F.broadcast(q)).select(
+        "query_id", "vec_id", score.alias("maxsim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= MAXSIM_TOPK)
+        .select("query_id", "vec_id", F.round("maxsim", 9).alias("maxsim"), "rk")
+    )

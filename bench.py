@@ -7,6 +7,18 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed end-to-end (plan + execute + a count-style fold)
 after a warm-up of the session JVM.
+
+Sharding (registry hygiene at 177+ queries — full-suite wall time
+grows linearly with registry size, so local iteration shouldn't pay
+for families it didn't touch):
+
+    python bench.py --family dedup,similarity   # name-prefix shard
+    python bench.py --queries q1,q2             # exact-name shard
+
+The driver's invocation (no args) is unchanged: full registry, full
+3-run protocol.  Sharded output carries a "shard" key so a partial
+JSON can never be mistaken for a full-suite baseline by
+tools/compare_bench.py.
 """
 
 from __future__ import annotations
@@ -32,16 +44,54 @@ HEADLINE = [
 ]
 
 
+def _parse_shard(argv: list[str]) -> tuple[list[str] | None, list[str] | None]:
+    """(--family prefixes, --queries names) — both None = full suite."""
+    fams: list[str] | None = None
+    only: list[str] | None = None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        for flag in ("--family", "--queries"):
+            if a.startswith(flag):
+                if "=" in a:
+                    val = a.split("=", 1)[1]
+                else:
+                    i += 1
+                    if i >= len(argv):
+                        print(__doc__)
+                        raise SystemExit(2)
+                    val = argv[i]
+                parsed = [v for v in val.split(",") if v]
+                if flag == "--family":
+                    fams = parsed
+                else:
+                    only = parsed
+        i += 1
+    return fams, only
+
+
 def main() -> None:
     from aiesec_guc_spark.queries import spark_queries
     from aiesec_guc_spark.session import get_spark
 
+    fams, only = _parse_shard(sys.argv[1:])
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
+    if only is not None:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            raise SystemExit(2)
+        names = [n for n in names if n in set(only)]
+    if fams is not None:
+        names = [n for n in names if any(n.startswith(f) for f in fams)]
+    if not names:
+        print("shard matched no queries", file=sys.stderr)
+        raise SystemExit(2)
 
     # JVM/codegen warm-up on the smallest sf so per-query timings
     # measure the engine, not session startup.
@@ -155,6 +205,13 @@ def main() -> None:
                     3,
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # present ONLY for sharded runs, so a partial JSON is
+                # never mistaken for a full-suite baseline
+                **(
+                    {"shard": {"family": fams, "queries": only}}
+                    if (fams is not None or only is not None)
+                    else {}
+                ),
             }
         )
     )

@@ -44,6 +44,13 @@ def main() -> int:
         return 2
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
+    for label, doc in (("OLD", old), ("NEW", new)):
+        if doc.get("shard"):
+            print(
+                f"{label} file is a sharded bench ({doc['shard']}) — "
+                "not comparable to a full-suite baseline"
+            )
+            return 2
     od = old.get("queries_detail", {})
     nd = new.get("queries_detail", {})
 
