@@ -663,3 +663,61 @@ def test_curation_queries_shapes(spark, sf_dir):
     rows = mix.collect()
     for r in rows:
         assert r["n_kept"] == min(r["n_before"], r["n_target"])
+
+
+def test_exact_global_rank_matches_naive_window(spark):
+    """exact_global_rank (the offset-merge primitive now under eight
+    registry queries) must reproduce the naive global row_number AND
+    inclusive running sum bit-for-bit on a skewed input — including a
+    descending order and decimal cumulative sums — while planning no
+    partition-less Window."""
+    from aiesec_guc_spark.operators.quantiles import exact_global_rank
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    n = 20_000
+    # 99% of rows share one hot key; unique id breaks ties
+    df = spark.range(n).select(
+        F.when(F.col("id") % 100 < 99, 7).otherwise(F.col("id") % 100).alias("v"),
+        F.col("id"),
+        (F.col("id") % 97).cast("decimal(14,2)").alias("amt"),
+    )
+
+    ranked, total, tot_sum = exact_global_rank(
+        df, [F.desc("v"), F.asc("id")], sum_col="amt"
+    )
+    assert total == n
+    got = {
+        r["id"]: (r["_grank"], r["_gcumsum"])
+        for r in ranked.collect()
+    }
+    assert global_window_count(ranked) == 0
+
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    naive = df.select(
+        "id",
+        F.row_number().over(w).alias("rk"),
+        F.sum("amt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    want = {r["id"]: (r["rk"], r["cum"]) for r in naive.collect()}
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+    # decimal cumulative sums compare exactly (offset merge is decimal
+    # arithmetic end to end)
+    assert {k: v[1] for k, v in got.items()} == {k: v[1] for k, v in want.items()}
+    assert tot_sum == sorted(want.values())[-1][1] or tot_sum == max(
+        v[1] for v in want.values()
+    )
+
+
+def test_exact_global_rank_empty_and_single_row(spark):
+    from aiesec_guc_spark.operators.quantiles import exact_global_rank
+
+    empty = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
+    ranked, total, _ = exact_global_rank(empty, ["v", "id"])
+    assert total == 0 and ranked.count() == 0
+
+    one = spark.range(1).select(F.col("id"), F.col("id").alias("v"))
+    ranked, total, _ = exact_global_rank(one, ["v", "id"])
+    assert total == 1
+    assert [r["_grank"] for r in ranked.collect()] == [1]
