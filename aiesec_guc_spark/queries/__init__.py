@@ -168,6 +168,7 @@ _EVIDENCE_PRIORITY = [
     "table_drift_tvd",
     "embedding_norm_outliers",
     "similarity_maxsim",
+    "streaming_heavy_hitters_cms",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -527,3 +527,15 @@ def table_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tvd"),
         )
     )
+
+
+@query("streaming_heavy_hitters_cms", oracle=_cms_oracle())
+def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_heavy_hitters_cms``: the counter
+    grid accumulates micro-batch by micro-batch (complete-mode grouped
+    count over the event stream) — the mergeable-sketch property under
+    live ingest — and the SAME oracle verifies the incrementally-built
+    grid produces bit-identical heavy-hitter estimates."""
+    from ..streaming.incremental import run_streaming_cms
+
+    return run_streaming_cms(spark, sf_dir)

@@ -550,3 +550,83 @@ def run_streaming_scd2(
     )
     q.awaitTermination()
     return spark.read.parquet(target_path)
+
+
+def run_streaming_cms(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_cms"
+) -> DataFrame:
+    """Streaming Count-Min sketch: the 4×64 counter grid of
+    ``events_heavy_hitters_cms`` built INCREMENTALLY over the event
+    stream — each micro-batch folds into the same 256 counters
+    (complete-mode grouped count), which is the whole point of the
+    sketch: per-batch partials merge by addition, so a live stream
+    maintains exact-sketch state in O(1) memory and any moment's
+    heavy-hitter estimates come from the current grid.
+
+    The drained grid is then queried exactly like the batch query
+    (exact top-10 users from the batch table, estimate = min over
+    rows), so the SAME oracle checks that the incrementally-built
+    sketch is bit-identical to the one-shot build.
+    """
+    from ..catalog import load_table
+    from ..functions.text import hash32
+    from ..queries.quality import CMS_DEPTH, CMS_TOPK, CMS_WIDTH
+
+    src = _events_stream(spark, sf_dir)
+    hashed = src.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
+    ).select(
+        "r",
+        (
+            hash32(
+                F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("key"))
+            )
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    grid = hashed.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    counters = _drain_to_memory(spark, grid, query_name, "complete")
+
+    e = load_table(spark, sf_dir, "events")
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
+    ).select(
+        "user_id",
+        "exact_n",
+        "r",
+        (
+            hash32(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(counters, on=["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+            (F.col("cms_n") >= F.col("exact_n")).alias("bound_holds"),
+        )
+    )
