@@ -721,3 +721,25 @@ def test_exact_global_rank_empty_and_single_row(spark):
     ranked, total, _ = exact_global_rank(one, ["v", "id"])
     assert total == 1
     assert [r["_grank"] for r in ranked.collect()] == [1]
+
+
+def test_round8_ops_plan_shapes(spark, sf_dir):
+    # E140/E142/E143 scale shapes: the CMS probe set and the MaxSim
+    # query set broadcast (never a fact-sized shuffle side); the
+    # embedding-QA ranks run through the offset merge (no
+    # partition-less Window); nothing plans a cartesian product.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    q = spark_queries()
+    cms = q["events_heavy_hitters_cms"](spark, sf_dir)
+    assert "BroadcastHashJoin" in formatted_plan(cms)
+    assert "CartesianProduct" not in formatted_plan(cms)
+
+    maxsim = q["similarity_maxsim"](spark, sf_dir)
+    plan = formatted_plan(maxsim)
+    # the broadcast query side joins with no equi-key (score-all shape)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert global_window_count(maxsim) == 0  # top-k window is per-query
+
+    norms = q["embedding_norm_outliers"](spark, sf_dir)
+    assert global_window_count(norms) == 0
