@@ -169,6 +169,8 @@ _EVIDENCE_PRIORITY = [
     "embedding_norm_outliers",
     "similarity_maxsim",
     "streaming_heavy_hitters_cms",
+    "incremental_agg_maintenance",
+    "weighted_median_price",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -663,3 +663,67 @@ def customers_bought_all_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qualifying.join(cu, qualifying.custkey == cu.c_custkey).select(
         "custkey", F.col("c_mktsegment").alias("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — the materialized-view update
+# pattern: merge(old partials, delta partials) MUST equal a full
+# recompute, which is exactly what the oracle checks.
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+         AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("incremental_agg_maintenance", oracle=_IVM_ORACLE)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly revenue
+    aggregate is built as merge(OLD partials, DELTA partials) — a
+    deterministic md5 split plays yesterday's materialization vs
+    today's ingest batch — and the oracle is the FULL recompute, so a
+    green row proves the additive merge is lossless.  This is the
+    pattern that turns a 100 TB nightly re-aggregation into a
+    delta-sized job: counts and decimal sums are self-mergeable
+    partials (avg/stddev would be maintained as (sum, count) /
+    (sum, sum², count) the same way).
+
+    Shapes: each side is a map-side-combined grouped agg over its
+    slice; the merge is a full outer join on the tiny month key with
+    coalesce(0) on both sides (a month can exist in only one side);
+    final revenue casts to double AFTER the exact decimal merge.
+    """
+    from ..functions.text import hash32
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("month"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+        (hash32(F.col("o_orderkey").cast("string")) % 10 == 0).alias("is_delta"),
+    )
+
+    def partials(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count(F.lit(1)).alias(n), F.sum("price").alias(s)
+        )
+
+    old = partials(o.filter(~F.col("is_delta")), "n_old", "s_old")
+    delta = partials(o.filter(F.col("is_delta")), "n_new", "s_new")
+    merged = old.join(delta, on="month", how="full_outer")
+    zero = F.lit(0).cast("decimal(24,2)")
+    return merged.select(
+        "month",
+        (F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (F.coalesce(F.col("s_old"), zero) + F.coalesce(F.col("s_new"), zero))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -1180,3 +1180,69 @@ def nation_share_within_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("pct_of_segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median — the quantity-weighted "typical sale price", via
+# the offset-merge exact rank's running sum (no single-task sort).
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(14,2)) AS price,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+ranked AS (
+  SELECT price, qty,
+         SUM(qty) OVER (
+             ORDER BY price, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cumw,
+         SUM(qty) OVER () AS totw,
+         count(*) OVER () AS n
+  FROM w
+)
+SELECT CAST(max(n) AS BIGINT) AS n_items,
+       CAST(max(totw) AS DOUBLE) AS total_weight,
+       CAST(min(CASE WHEN 2 * cumw >= totw THEN price END) AS DOUBLE)
+         AS weighted_median_price
+FROM ranked
+"""
+
+
+@query("weighted_median_price", oracle=_WMEDIAN_ORACLE)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median sale price: the smallest price whose
+    cumulative quantity reaches half the total — the "typical unit's
+    price" where the unweighted median over line items would
+    over-count small orders.
+
+    Scale shape: the rank AND the exact decimal running weight come
+    from exact_global_rank(sum_col=...) (operators/quantiles.py) —
+    range partitions, per-partition running sums, O(#partitions)
+    decimal offsets — so no window task ever sees the whole fact, and
+    the total weight lands as a driver literal.  The pick is a
+    filtered min (an exact selected value, cast to double only at the
+    output edge).
+    """
+    from ..operators.quantiles import exact_global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked, n, totw = exact_global_rank(
+        li, ["price", "l_orderkey", "l_linenumber"], sum_col="qty"
+    )
+    half = F.lit(totw)  # exact Decimal literal
+    return ranked.agg(
+        F.max(F.lit(n)).cast("bigint").alias("n_items"),
+        F.max(F.lit(totw)).cast("double").alias("total_weight"),
+        F.min(F.when(F.lit(2) * F.col("_gcumsum") >= half, F.col("price")))
+        .cast("double")
+        .alias("weighted_median_price"),
+    )
