@@ -171,6 +171,10 @@ _EVIDENCE_PRIORITY = [
     "streaming_heavy_hitters_cms",
     "incremental_agg_maintenance",
     "weighted_median_price",
+    "decontaminate_bloom",
+    "similarity_rrf_fusion",
+    "corpus_split_assign",
+    "boilerplate_bigram_df",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

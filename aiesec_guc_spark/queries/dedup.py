@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out_scan, load_table
-from ..functions.text import fingerprint_md5
+from ..functions.text import fingerprint_md5, hash32, hash32_hi
 from ..operators.dedup import (
     MINHASH_BANDS,
     MINHASH_PRIME,
@@ -719,6 +719,146 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count_distinct(F.col("shingle")).alias("overlap"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the constant-size form of the screen
+# above.  The exact variant broadcasts the benchmark GRAM SET, whose
+# size grows with the benchmark; the Bloom variant folds those grams
+# into a fixed 4096-bit filter (66 BIGINT words) that broadcasts in
+# one cache line per executor no matter how large the eval suite
+# gets, at the price of a quantified false-positive rate.  This is
+# the membership-screen shape used when the reference set itself is
+# large (e.g. screening against another whole corpus): the filter is
+# a mergeable aggregate (bit_or), so it builds map-side in one pass.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096  # m; packed 63 bits/word (66 words) — the sign bit is
+# never shifted into: DuckDB range-checks 1::BIGINT << 63, so words are 63
+# bits wide in BOTH engines and every shift stays in signed-BIGINT range
+BLOOM_K = 3  # hash count; positions via Kirsch-Mitzenmacher h1 + i*h2
+
+
+def _bloom_pos_sql(h1: str, h2: str) -> str:
+    """The 3 Kirsch-Mitzenmacher probe positions as a DuckDB list."""
+    return f"[{h1} % {BLOOM_BITS}, {h2} % {BLOOM_BITS}, ({h1} + 2 * {h2}) % {BLOOM_BITS}]"
+
+
+def _bloom_oracle() -> str:
+    n = SHINGLE_WORDS
+    shingle_expr = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    h1 = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+    h2 = "('0x' || substr(md5(shingle), 9, 8))::BIGINT"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= {n}
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - {n - 1}),
+                               i -> {shingle_expr})) AS shingle
+  FROM docs
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+bpos AS (
+  SELECT unnest({_bloom_pos_sql(h1, h2)}) AS pos
+  FROM (SELECT DISTINCT shingle FROM shd WHERE doc_id % {DECON_BENCH_MOD} = 0)
+),
+bloom AS (
+  SELECT pos // 63 AS word, bit_or(1::BIGINT << (pos % 63)) AS bits
+  FROM bpos GROUP BY 1
+),
+cpos AS (
+  SELECT doc_id, shingle, unnest({_bloom_pos_sql(h1, h2)}) AS pos
+  FROM shd WHERE doc_id % {DECON_BENCH_MOD} <> 0
+),
+probes AS (
+  SELECT c.doc_id, c.shingle,
+         CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (1::BIGINT << (c.pos % 63))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM cpos c LEFT JOIN bloom b ON c.pos // 63 = b.word
+),
+flagged AS (
+  SELECT doc_id, shingle, min(hit) AS all_hit FROM probes GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(all_hit) AS BIGINT) AS n_flagged
+FROM flagged
+GROUP BY 1
+HAVING SUM(all_hit) > 0
+"""
+
+
+@query("decontaminate_bloom", oracle=_bloom_oracle())
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_flagged): corpus docs whose word
+    {SHINGLE_WORDS}-grams probe positive against a {BLOOM_BITS}-bit
+    Bloom filter built from the benchmark grams — every position
+    derives from the portable md5 hash pair (functions/text.py
+    hash32/hash32_hi, Kirsch-Mitzenmacher ``h1 + i*h2``), so the
+    oracle rebuilds the filter bit-for-bit and the (deterministic)
+    false positives match exactly too.
+
+    Scale shape: the filter is ONE map-side-combined ``bit_or``
+    aggregate into ≤66 (word, bits) rows regardless of benchmark
+    size, then broadcasts; the corpus gram stream joins it map-side
+    (word equi-join against 66 rows) and only per-doc counts reach
+    the one real shuffle.  Compare ``decontaminate_ngram_overlap``,
+    which broadcasts the raw gram set — right when the benchmark is
+    small, replaced by this constant-footprint screen when it is not.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
+    )
+    grams = shingle_rows(d, "doc_id", "text").distinct()
+    h1 = hash32("shingle")
+    h2 = hash32_hi("shingle")
+    m = F.lit(BLOOM_BITS)
+    pos = F.explode(
+        F.array(h1 % m, h2 % m, (h1 + 2 * h2) % m)
+    ).alias("pos")
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bloom = (
+        grams.filter(is_bench)
+        .select("shingle")
+        .distinct()
+        .select(pos)
+        .groupBy(F.expr("pos div 63").alias("word"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")).alias("bits"))
+    )
+    probes = (
+        grams.filter(~is_bench)
+        .select("doc_id", "shingle", pos)
+        .join(F.broadcast(bloom), F.expr("pos div 63") == F.col("word"), "left")
+        .select(
+            "doc_id",
+            "shingle",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.expr("bits & shiftleft(1L, CAST(pos % 63 AS INT))")
+                    != 0
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+    )
+    flagged = probes.groupBy("doc_id", "shingle").agg(F.min("hit").alias("all_hit"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("all_hit").cast("bigint").alias("n_flagged"),
+        )
+        .filter(F.col("n_flagged") > 0)
     )
 
 

@@ -10,7 +10,7 @@ cosines are bit-identical and the oracle hash matches.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -830,6 +830,32 @@ def similarity_int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     one skinny join + grouped integer sum; both top-k's are
     per-partition heaps.
     """
+    dots = _int8_centered_dots(spark, sf_dir)
+    approx = dots.orderBy(F.desc("dot"), F.asc("vec_id")).limit(TOPK).select("vec_id")
+    exact = similarity_cosine_topk(spark, sf_dir).select("vec_id")
+    n_hit = approx.join(exact, on="vec_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_approx = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        n_exact.crossJoin(n_approx)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_exact").cast("bigint"),
+            F.col("n_approx").cast("bigint"),
+            F.col("n_hit").cast("bigint"),
+            (F.col("n_hit").cast("double") / F.lit(TOPK)).alias("recall"),
+        )
+    )
+
+
+def _int8_centered_dots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dot): the all-integer centered-code dot of every
+    non-probe vector against the min-vec_id probe — the shared scorer
+    under ``similarity_int8_topk_recall`` and
+    ``similarity_rrf_fusion`` (matches the oracles' codes / pcodes /
+    dots CTE chain exactly)."""
     e = load_table(spark, sf_dir, "embeddings")
     flat = e.select(
         "vec_id", F.posexplode("embedding").alias("d0", "v")
@@ -870,23 +896,101 @@ def similarity_int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dot")
         )
     )
-    approx = dots.orderBy(F.desc("dot"), F.asc("vec_id")).limit(TOPK).select("vec_id")
-    exact = similarity_cosine_topk(spark, sf_dir).select("vec_id")
-    n_hit = approx.join(exact, on="vec_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
+    return dots
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — combine two retrievers' top-k lists into
+# one ranking without comparable scores.  RRF's 1/(K + rank) terms
+# are scaled by W = lcm(K+1 .. K+TOPK) so every contribution is an
+# exact BIGINT — float-free fusion that hash-matches cross-engine.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+# lcm(61..70): W div (60 + r) is exact for every rank r in 1..TOPK.
+_RRF_W = 142813628717760
+
+_RRF_ORACLE = f"""
+WITH exact10 AS (
+  SELECT vec_id, cosine FROM ({_COSINE_TOPK_ORACLE})
+),
+ea AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS ra
+  FROM exact10
+),
+{_SQ_CODES_CTES},
+pid AS (SELECT min(vec_id) AS pid FROM embeddings),
+pcodes AS (SELECT c.dim, c.q FROM codes c, pid WHERE c.vec_id = pid.pid),
+dots AS (
+  SELECT c.vec_id,
+         CAST(SUM((2 * c.q - 255) * (2 * p.q - 255)) AS BIGINT) AS dot
+  FROM codes c JOIN pcodes p USING (dim), pid
+  WHERE c.vec_id <> pid.pid
+  GROUP BY c.vec_id
+),
+ib AS (
+  SELECT vec_id, row_number() OVER (ORDER BY dot DESC, vec_id) AS rb
+  FROM (SELECT vec_id, dot FROM dots ORDER BY dot DESC, vec_id LIMIT {TOPK})
+),
+fused AS (
+  SELECT COALESCE(ea.vec_id, ib.vec_id) AS vec_id,
+         COALESCE(ea.ra, 0) AS rank_exact,
+         COALESCE(ib.rb, 0) AS rank_int8,
+         COALESCE({_RRF_W} // ({_RRF_K} + ea.ra), 0)
+           + COALESCE({_RRF_W} // ({_RRF_K} + ib.rb), 0) AS rrf
+  FROM ea FULL OUTER JOIN ib ON ea.vec_id = ib.vec_id
+)
+SELECT vec_id, CAST(rank_exact AS INT) AS rank_exact,
+       CAST(rank_int8 AS INT) AS rank_int8,
+       CAST(rrf AS BIGINT) AS rrf_score
+FROM fused
+ORDER BY rrf DESC, vec_id
+LIMIT {TOPK}
+"""
+
+
+@query("similarity_rrf_fusion", oracle=_RRF_ORACLE)
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers over the same probe:
+    the exact-cosine top-{TOPK} and the int8 centered-code top-{TOPK}
+    (``_int8_centered_dots``), fused by Σ W/({_RRF_K}+rank) with
+    W = lcm(61..70) so every term is an exact integer — the list
+    merge a hybrid retrieval tier runs when scores from different
+    scorers aren't comparable (Cormack et al., SIGIR'09).
+
+    Scale shape: both inputs are top-k lists (per-partition heap +
+    driver merge — TakeOrderedAndProject), so the fusion itself runs
+    over ≤2·{TOPK} rows: the full-outer join and re-rank are
+    driver-trivial no matter the corpus size.  Ranks are assigned on
+    the ROUNDED cosine (the published column) so both engines rank
+    identical values; absent-list membership contributes 0.
+    """
+    exact10 = similarity_cosine_topk(spark, sf_dir)
+    wa = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ea = exact10.select("vec_id", "cosine").withColumn(
+        "ra", F.row_number().over(wa)
     )
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_approx = approx.agg(F.count(F.lit(1)).alias("n_approx"))
-    return (
-        n_exact.crossJoin(n_approx)
-        .crossJoin(n_hit)
+    dots = _int8_centered_dots(spark, sf_dir)
+    ib10 = dots.orderBy(F.desc("dot"), F.asc("vec_id")).limit(TOPK)
+    wb = Window.orderBy(F.desc("dot"), F.asc("vec_id"))
+    ib = ib10.withColumn("rb", F.row_number().over(wb))
+    fused = (
+        ea.select("vec_id", "ra")
+        .join(ib.select("vec_id", "rb"), on="vec_id", how="full_outer")
         .select(
-            F.col("n_exact").cast("bigint"),
-            F.col("n_approx").cast("bigint"),
-            F.col("n_hit").cast("bigint"),
-            (F.col("n_hit").cast("double") / F.lit(TOPK)).alias("recall"),
+            "vec_id",
+            F.coalesce(F.col("ra"), F.lit(0)).cast("int").alias("rank_exact"),
+            F.coalesce(F.col("rb"), F.lit(0)).cast("int").alias("rank_int8"),
+            (
+                F.coalesce(F.expr(f"{_RRF_W} div ({_RRF_K} + ra)"), F.lit(0))
+                + F.coalesce(F.expr(f"{_RRF_W} div ({_RRF_K} + rb)"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rrf_score"),
         )
     )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("vec_id")).limit(TOPK)
+
 
 _SQ_ORACLE = f"""
 WITH flat AS (

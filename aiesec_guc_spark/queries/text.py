@@ -1380,3 +1380,141 @@ def corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         factor.alias("repeat_factor"),
         (F.col("n_before") * factor).cast("bigint").alias("n_effective"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — hash-bucket assignment.  The
+# split every training pipeline needs must be (a) stable across
+# re-runs and cluster layouts, (b) shuffle-free to assign, and
+# (c) auditable.  md5(doc_id) % 100 gives all three: assignment is a
+# pure projection (no rand(), no global sort), and this query is the
+# audit — per (split, lang) volume so a skewed split is caught before
+# a single training token is written.
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+_SPLIT_ORACLE = f"""
+SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@query("corpus_split_assign", oracle=_SPLIT_ORACLE)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by portable hash bucket
+    (md5(doc_id) % 100 — functions/text.py hash32), reported as the
+    per-(split, lang) volume audit: doc, whitespace-token, and char
+    counts.
+
+    Scale shape: assignment is a PROJECTION — every executor computes
+    its rows' buckets independently with no shuffle, no rand() (which
+    breaks on retry/speculation), and no global sort; re-running on a
+    regrown corpus keeps every previously-assigned doc in its split
+    (hash of the id, not of position).  The audit itself is one
+    map-side-combined group-by over ≤ 3·|langs| cells."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", n_tokens("text").alias("nt"), "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection by document frequency — the C4-style screen
+# for template fragments (headers, footers, cookie banners) that
+# appear verbatim across many documents of a source.  A gram's DOC
+# frequency (not term frequency) is the boilerplate signal: content
+# grams concentrate in few docs, template grams blanket the source.
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 2  # gram width; 2 keeps the screen sensitive on short docs
+_BOILER_MIN_FRAC = 0.2  # flag grams present in >= 20% of a source's docs
+
+_BOILER_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id, {_TOKENS_SQL} AS t FROM documents
+  WHERE len({_TOKENS_SQL}) >= {_BOILER_N}
+),
+grams AS (
+  SELECT DISTINCT source, doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {_BOILER_N - 1}),
+                               i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks
+),
+src AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY 1),
+df AS (
+  SELECT source, gram, CAST(count(*) AS BIGINT) AS df
+  FROM grams GROUP BY 1, 2
+)
+SELECT d.source, d.gram, d.df,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(d.df AS DOUBLE) / s.n_docs AS df_frac
+FROM df d JOIN src s USING (source)
+WHERE d.df * 5 >= s.n_docs
+"""
+
+
+@query("boilerplate_bigram_df", oracle=_BOILER_ORACLE)
+def boilerplate_bigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, gram, df, n_docs, df_frac): word bigrams present in
+    ≥ {_BOILER_MIN_FRAC:.0%} of a source's documents — the
+    document-frequency screen that finds template/boilerplate
+    fragments before they get memorized (C4's "repeated lines"
+    filter, generalized to grams).
+
+    Scale shape: grams are DISTINCT-per-doc before counting (term
+    frequency inside one doc must not fake document frequency), which
+    is one map-side-combinable distinct+count keyed by (source,
+    gram); the per-source doc totals are a tiny broadcast join; the
+    threshold compares as exact integers (df·5 ≥ n_docs — no float
+    cutoff), with df_frac published as a single final division."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "source", "doc_id", ws_tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= _BOILER_N)
+    grams = toked.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_BOILER_N - 1}),"
+                " i -> concat(t[i-1], ' ', t[i]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    src = toked.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    df = grams.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return (
+        df.join(F.broadcast(src), on="source")
+        .filter(F.col("df") * 5 >= F.col("n_docs"))
+        .select(
+            "source",
+            "gram",
+            "df",
+            "n_docs",
+            (F.col("df").cast("double") / F.col("n_docs")).alias("df_frac"),
+        )
+    )

@@ -743,3 +743,47 @@ def test_round8_ops_plan_shapes(spark, sf_dir):
 
     norms = q["embedding_norm_outliers"](spark, sf_dir)
     assert global_window_count(norms) == 0
+
+
+def test_bloom_decontaminate_broadcasts_filter_words(spark, sf_dir):
+    # E147: the Bloom filter must reach the probe join as a broadcast
+    # (≤66 word rows regardless of benchmark size), and nothing in
+    # the pipeline may plan a cartesian product or a global window —
+    # the corpus side streams map-side through the probe join.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["decontaminate_bloom"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert global_window_count(df) == 0
+
+
+def test_rrf_fusion_inputs_are_topk_heaps(spark, sf_dir):
+    # E148: both retriever lists are TakeOrderedAndProject heaps (no
+    # full-sort shuffle of the corpus), and the only windows rank the
+    # ≤TOPK-row lists — bounded, not corpus-sized.
+    df = spark_queries()["similarity_rrf_fusion"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_assign_is_projection_plus_partial_agg(spark, sf_dir):
+    # E149: split assignment adds no shuffle beyond the audit
+    # group-by (one Exchange), and the aggregate combines map-side.
+    df = spark_queries()["corpus_split_assign"](spark, sf_dir)
+    assert has_partial_aggregation(df)
+    # exactly one Exchange node in the plan tree (the audit group-by);
+    # formatted plans repeat each node in the detail section, so count
+    # the tree-form "+- Exchange" only
+    assert formatted_plan(df).count("+- Exchange") == 1
+
+
+def test_boilerplate_screen_broadcasts_source_totals(spark, sf_dir):
+    # E150: per-source doc totals broadcast into the DF join; the
+    # gram side never cartesians.
+    df = spark_queries()["boilerplate_bigram_df"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
