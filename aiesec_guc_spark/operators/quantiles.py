@@ -125,3 +125,62 @@ def exact_ntile(df: DataFrame, order_cols: list[str], n_buckets: int) -> DataFra
         )
     )
     return ranked.withColumn("bucket", bucket).drop("_grank")
+
+
+def exact_global_cummax(
+    df: DataFrame,
+    order_exprs: list[str | Column],
+    max_col: str,
+) -> DataFrame:
+    """Append ``_gcummax_excl``: the exact running max of ``max_col``
+    over all STRICTLY EARLIER rows in the global order (exclusive
+    prefix max; NULL for the global first row) — the max-monoid twin
+    of ``exact_global_rank``'s running sum, with the same offset-merge
+    shape and no single-partition window.
+
+    Same contract: ``order_exprs`` must be a strict total order.  The
+    driver folds one max per partition (O(#partitions) rows); each
+    partition combines its local exclusive running max with the
+    offset via ``greatest`` (null-skipping on both engines).
+
+    Used by the Pareto-frontier (skyline) query: dominance against
+    "any strictly-better-on-x row" is exactly an exclusive prefix max
+    of y in x-descending order.
+    """
+    spark = df.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    exprs = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
+    ranged = materialize(
+        df.repartitionByRange(nparts, *exprs).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    per = ranged.groupBy("_pid").agg(F.max(max_col).alias("_pm"))
+    max_type = dict(per.dtypes)["_pm"]
+    rows = sorted(per.collect(), key=lambda r: r["_pid"])
+
+    offsets: list[tuple] = []
+    macc = None  # max over all earlier partitions; None before any
+    for r in rows:
+        offsets.append((r["_pid"], macc))
+        if r["_pm"] is not None and (macc is None or r["_pm"] > macc):
+            macc = r["_pm"]
+    off = F.broadcast(
+        spark.createDataFrame(offsets, f"_pid int, _moff {max_type}")
+    )
+
+    wloc = Window.partitionBy("_pid").orderBy(*exprs)
+    out = (
+        ranged.withColumn(
+            "_lmax",
+            F.max(max_col).over(
+                wloc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .join(off, "_pid")
+        # greatest skips NULLs in both engines: first row of the first
+        # partition gets NULL (no earlier row anywhere), first row of a
+        # later partition gets the broadcast offset alone.
+        .withColumn("_gcummax_excl", F.greatest("_moff", "_lmax"))
+    )
+    return out.drop("_pid", "_moff", "_lmax")

@@ -175,6 +175,8 @@ _EVIDENCE_PRIORITY = [
     "similarity_rrf_fusion",
     "corpus_split_assign",
     "boilerplate_bigram_df",
+    "pareto_frontier_customers",
+    "events_twap_by_user",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -1418,3 +1418,82 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("monetary").cast("double"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — customers not dominated on the
+# (order count, account balance) plane.  The classic multi-objective
+# "best tradeoff" set: a customer is ON the frontier iff no other
+# customer is >= on both axes and > on at least one.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT c.c_custkey,
+         CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_orders,
+         c.c_acctbal AS acctbal
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) cnt
+    ON cnt.o_custkey = c.c_custkey
+)
+SELECT p.c_custkey, p.n_orders, p.acctbal
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.n_orders >= p.n_orders AND q.acctbal >= p.acctbal
+    AND (q.n_orders > p.n_orders OR q.acctbal > p.acctbal)
+)
+"""
+
+
+@query("pareto_frontier_customers", oracle=_SKYLINE_ORACLE)
+def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-D skyline: customers where no other customer has both
+    more orders and a higher balance (ties: strict dominance only, so
+    coincident points survive together).
+
+    The oracle states dominance as the O(n²) NOT EXISTS; the Spark
+    plan is the O(n log n) sweep — dominated(p) ⇔
+    ``max{y : x > x_p} ≥ y_p  OR  max{y : x = x_p} > y_p`` — built
+    from a per-x grouped max (one map-side-combinable shuffle) and an
+    EXCLUSIVE global prefix max over the distinct-x frame in
+    x-descending order, via the offset-merge ``exact_global_cummax``
+    (operators/quantiles.py): range-repartition + per-partition
+    running max + O(#partitions) driver-folded offsets — never a
+    single-partition window, so the sweep survives a corpus-sized
+    x-domain.  The comparisons are pure (no arithmetic on the double
+    column), so the frontier is engine-exact.
+    """
+    from ..operators.quantiles import exact_global_cummax
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    pts = (
+        c.join(cnt, c.c_custkey == cnt.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    gx = pts.groupBy("n_orders").agg(F.max("acctbal").alias("gy"))
+    swept = exact_global_cummax(gx, [F.desc("n_orders")], "gy").select(
+        F.col("n_orders").alias("_x"), "gy", "_gcummax_excl"
+    )
+    return (
+        # no forced broadcast: the swept frame is |distinct x| rows —
+        # tiny here, but a corpus-sized x-domain must stay joinable
+        # (AQE broadcasts it at runtime whenever it actually is small)
+        pts.join(swept, pts.n_orders == F.col("_x"))
+        .filter(
+            ~(
+                (
+                    F.col("_gcummax_excl").isNotNull()
+                    & (F.col("_gcummax_excl") >= F.col("acctbal"))
+                )
+                | (F.col("gy") > F.col("acctbal"))
+            )
+        )
+        .select("c_custkey", "n_orders", "acctbal")
+    )

@@ -599,3 +599,79 @@ def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_closed").cast("bigint").alias("n_closed"),
         F.sum("net").over(w).cast("bigint").alias("backlog"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) — the irregular-sampling average where
+# each observation counts for how LONG it held, not how often it was
+# sampled.  Plain AVG over-weights chatty periods; TWAP weights each
+# value by its holding interval (step-function / last-observation-
+# carried-forward semantics), which is the correct average for
+# sensor/price/gauge streams sampled on change.
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt_us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(dt_us) AS BIGINT) AS span_us,
+         SUM(CAST(CAST(v_cents AS DECIMAL(19,0)) * dt_us AS DECIMAL(38,0)))
+           AS num_cents_us
+  FROM s GROUP BY 1
+)
+SELECT user_id, n_events, span_us,
+       CAST(num_cents_us AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0 AS twap
+FROM agg
+WHERE span_us > 0
+"""
+
+
+@query("events_twap_by_user", oracle=_TWAP_ORACLE)
+def events_twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, span_us, twap): per-user time-weighted
+    average of ``value`` — each observation weighted by the
+    microseconds until the user's next observation (the last sample
+    carries no weight; users whose span is zero are dropped).
+
+    Determinism: the weight fold is ALL-INTEGER — values pin to exact
+    cents (the registry's DECIMAL(18,2) money convention), each
+    cents×μs product is an exact DECIMAL(38,0), and the per-user sum
+    stays decimal; doubles appear only in the final two fixed-order
+    divisions.  Scale shape: one per-user window (``lead`` over the
+    user's own rows — partitioned, never global) and one grouped
+    aggregate, both map-side-combinable after the user shuffle; at
+    100 TB this is a single exchange keyed by user_id.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v_cents"),
+    )
+    agg = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+        F.sum(
+            (F.col("v_cents").cast("decimal(19,0)") * F.col("dt_us")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("num_cents_us"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_events",
+        "span_us",
+        (
+            F.col("num_cents_us").cast("double")
+            / F.col("span_us").cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+    )

@@ -787,3 +787,50 @@ def test_boilerplate_screen_broadcasts_source_totals(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exact_global_cummax_matches_naive_window(spark):
+    """exact_global_cummax (under pareto_frontier_customers) must
+    reproduce the naive EXCLUSIVE global prefix max bit-for-bit on a
+    skewed input — NULL for the global first row — while planning no
+    partition-less Window."""
+    from aiesec_guc_spark.operators.quantiles import exact_global_cummax
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 100 < 99, 7).otherwise(F.col("id") % 100).alias("v"),
+        F.col("id"),
+        ((F.col("id") * 37) % 1009).cast("double").alias("y"),
+    )
+    swept = exact_global_cummax(df, [F.desc("v"), F.asc("id")], "y")
+    assert global_window_count(swept) == 0
+    got = {r["id"]: r["_gcummax_excl"] for r in swept.collect()}
+
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    naive = df.select(
+        "id",
+        F.max("y").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("m"),
+    )
+    want = {r["id"]: r["m"] for r in naive.collect()}
+    assert got == want
+    assert sum(1 for x in got.values() if x is None) == 1  # global first row
+
+
+def test_pareto_frontier_no_global_window(spark, sf_dir):
+    # E151: the skyline sweep must never plan a partition-less window
+    # or a cartesian dominance product.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["pareto_frontier_customers"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_twap_window_is_per_user(spark, sf_dir):
+    # E152: the lead() window partitions by user_id — never global.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["events_twap_by_user"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
