@@ -177,6 +177,11 @@ _EVIDENCE_PRIORITY = [
     "boilerplate_bigram_df",
     "pareto_frontier_customers",
     "events_twap_by_user",
+    "text_bm25_retrieval",
+    "order_interval_overlaps",
+    "events_cusum_changepoint",
+    "dedup_prefix_truncation",
+    "hll_intersection_users",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -1617,3 +1617,76 @@ def dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(is_dup) * 10000 div count(1)").cast("double") / 100
         ).alias("dup_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-truncation duplicates — docs that are a PROPER PREFIX of a
+# longer doc (the crawl artifact where the same page is captured both
+# truncated and full).  Exact-dup handles identical texts; this
+# catches the truncated re-crawl that hash dedup misses entirely.
+# ---------------------------------------------------------------------------
+
+PREFIX_BAND = 24  # band key: first 24 chars — any prefix pair >= this length collides
+
+
+_PREFIX_TRUNC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len
+  FROM documents WHERE length(text) >= {PREFIX_BAND}
+)
+SELECT a.doc_id AS doc_short, b.doc_id AS doc_long,
+       CAST(a.len AS BIGINT) AS len_short, CAST(b.len AS BIGINT) AS len_long
+FROM d a JOIN d b
+  ON substr(a.text, 1, {PREFIX_BAND}) = substr(b.text, 1, {PREFIX_BAND})
+ AND a.len < b.len
+ AND substr(b.text, 1, a.len) = a.text
+"""
+
+
+@query("dedup_prefix_truncation", oracle=_PREFIX_TRUNC_ORACLE)
+def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_short, doc_long, len_short, len_long): every pair where
+    the shorter doc's FULL text is a proper prefix of the longer
+    doc's (docs shorter than the {band}-char band key are out of
+    scope — a documented contract, since a prefix pair at least
+    {band} chars long always shares the band key).
+
+    Scale shape: candidates come from an EQUI-join on the first-
+    {band}-chars band key — never all-pairs; bucket occupancy is the
+    number of docs sharing a 24-char head, so fan-out is
+    boilerplate-bounded, and the startswith verification touches only
+    candidates (the same band→verify discipline as the LSH family).
+    The strict len < len predicate both excludes exact duplicates
+    (exact dedup's job) and halves the candidate checks.  A pathological
+    shared-boilerplate head (every doc starting with the same banner)
+    is the one skew risk — the escape is lengthening the band key or
+    salting the hot bucket, unchanged semantics.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= PREFIX_BAND)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("len"),
+            F.substring("text", 1, PREFIX_BAND).alias("band"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.len") < F.col("b.len"))
+            & (
+                F.col("b.text").substr(F.lit(1), F.col("a.len"))
+                == F.col("a.text")
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_short"),
+            F.col("b.doc_id").alias("doc_long"),
+            F.col("a.len").cast("bigint").alias("len_short"),
+            F.col("b.len").cast("bigint").alias("len_long"),
+        )
+    )

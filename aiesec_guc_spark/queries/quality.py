@@ -539,3 +539,89 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import run_streaming_cms
 
     return run_streaming_cms(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-algebra set intersection — |clickers ∩ purchasers| WITHOUT
+# re-shuffling raw keys, via inclusion-exclusion over mergeable HLL
+# sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B).  The audience-overlap
+# primitive at 100 TB: per-segment sketches persist once, any pairwise
+# overlap is then three sketch reads and two unions.
+# ---------------------------------------------------------------------------
+
+_HLL_INTER_TOL = 0.15  # IE compounds three ±5% estimates on an overlap ~half their size
+
+_HLL_INTER_ORACLE = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+       CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+         AS exact_both,
+       TRUE AS sketch_ok
+"""
+
+
+@query("hll_intersection_users", oracle=_HLL_INTER_ORACLE)
+def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap by sketch algebra: the clicker and purchaser
+    HLL sketches are built in ONE pass (conditional sketch_agg per
+    segment), the union sketch is their merge (no rescan), and the
+    intersection estimate is inclusion-exclusion.  Like the other
+    sketch queries, the surfaced values are the exact counts plus a
+    ``sketch_ok`` flag the oracle expects TRUE — binaries aren't
+    portable across engines, so the gate checks the estimate landed
+    inside tolerance (IE on an overlap this size compounds to ~3σ ≈
+    15%) rather than sketch bytes.
+
+    Scale shape: one scan, two conditional sketch_aggs (map-side
+    combinable — each executor folds its partition into one sketch),
+    a driver-side merge of two 4 KB sketches, zero shuffles of raw
+    user ids.  The exact-count twin here costs two distincts and a
+    join; at 100 TB only the sketch path is run (the exact columns
+    exist for the gate) and extending to k segments is k sketches +
+    O(k²) pairwise merges of kilobyte blobs.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = e.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_a"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_b"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).cast("bigint").alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).cast("bigint").alias("exact_b"),
+    )
+    both = (
+        e.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("ca"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("cb"),
+        )
+        .filter((F.col("ca") == 1) & (F.col("cb") == 1))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_both"))
+    )
+    est_inter = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    )
+    return (
+        sk.crossJoin(F.broadcast(both))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_both",
+            (
+                F.abs(est_inter - F.col("exact_both"))
+                <= F.lit(_HLL_INTER_TOL) * F.col("exact_both")
+            ).alias("sketch_ok"),
+        )
+    )

@@ -1518,3 +1518,138 @@ def boilerplate_bigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("df").cast("double") / F.col("n_docs")).alias("df_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval — score every document against a fixed keyword query
+# and return the top-k.  The retrieval primitive behind "find the
+# best-matching docs for this prompt" over a crawled corpus: term
+# frequency saturates (k1), long documents are normalized (b), rare
+# terms weigh more (idf).
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "join", "stream")  # fixed query, fixed fold order
+BM25_TOPK = 20
+# k1 = 6/5, b = 3/4 as exact rationals; idf is the log-free variant
+# idf(t) = (N - df + 1/2) / (df + 1/2) = (2N-2df+1)/(2df+1) so every
+# per-term contribution is ONE double division of two exact integers:
+#   tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))    with
+#   avgdl = T/N (kept as the rational T/N, never a float) gives
+#   contrib = (2N-2df+1) * 44*tf*T / ((2df+1)*(20*T*tf + 6*T + 18*dl*N))
+
+
+def _bm25_oracle() -> str:
+    tf_exprs = ",\n         ".join(
+        f"CAST(length(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    contribs = " + ".join(
+        f"""(CAST((2*g.n_docs - 2*g.df_{t} + 1) * 44 * s.tf_{t} * g.total_len AS DOUBLE)
+           / CAST((2*g.df_{t} + 1)
+                  * (20 * g.total_len * s.tf_{t} + 6 * g.total_len
+                     + 18 * s.dl * g.n_docs) AS DOUBLE))"""
+        for t in BM25_TERMS
+    )
+    df_aggs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    tf_cols = ", ".join(f"s.tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(toks) AS BIGINT) AS dl,
+         {tf_exprs}
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents)
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len,
+         {df_aggs}
+  FROM s
+)
+SELECT s.doc_id, s.dl, {tf_cols},
+       {contribs} AS score
+FROM s, g
+WHERE {" + ".join(f"s.tf_{t}" for t in BM25_TERMS)} > 0
+ORDER BY score DESC, s.doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@query("text_bm25_retrieval", oracle=_bm25_oracle())
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents by BM25 for the fixed query {terms}: per-doc
+    (doc_id, dl, tf_<term>..., score).
+
+    Engine-exact floats: k1=6/5 and b=3/4 are exact rationals, avgdl
+    stays the rational total_len/n_docs (never a float), and the
+    log-free idf (2N-2df+1)/(2df+1) makes each term's contribution a
+    SINGLE double division of two exact BIGINT products, summed in
+    the fixed literal term order — so Spark and DuckDB produce
+    bit-identical scores.  (At 100 TB the two products would be
+    widened to DECIMAL(38,0) before the division — they stay exact;
+    BIGINT suffices at every test SF and is what both engines run
+    here.)
+
+    Scale shape: the per-doc stats (dl, tf per query term) are a pure
+    PROJECTION — `size(filter(tokens, ...))` on the token array, no
+    explode, no shuffle.  The corpus-level constants (N, total_len,
+    df per term) are ONE map-side-combinable global aggregate row,
+    broadcast back by the 1-row cross join.  The final top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort).  Net
+    cost at 100 TB: one scan + one 1-row agg + one heap — the minimum
+    possible for exact corpus-wide BM25.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.expr(f"CAST(size(filter(toks, x -> x = '{t}')) AS BIGINT)").alias(
+                f"tf_{t}"
+            )
+            for t in BM25_TERMS
+        ],
+    )
+    g = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("bigint").alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    contrib = None
+    for t in BM25_TERMS:
+        num = (
+            (2 * F.col("n_docs") - 2 * F.col(f"df_{t}") + 1)
+            * 44
+            * F.col(f"tf_{t}")
+            * F.col("total_len")
+        ).cast("double")
+        den = (
+            (2 * F.col(f"df_{t}") + 1)
+            * (
+                20 * F.col("total_len") * F.col(f"tf_{t}")
+                + 6 * F.col("total_len")
+                + 18 * F.col("dl") * F.col("n_docs")
+            )
+        ).cast("double")
+        term = num / den
+        contrib = term if contrib is None else contrib + term
+    any_tf = None
+    for t in BM25_TERMS:
+        c = F.col(f"tf_{t}")
+        any_tf = c if any_tf is None else any_tf + c
+    return (
+        s.crossJoin(F.broadcast(g))
+        .filter(any_tf > 0)
+        .select("doc_id", "dl", *[f"tf_{t}" for t in BM25_TERMS], contrib.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -675,3 +675,192 @@ def events_twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join — for every order, how many OTHER orders
+# of the same customer were open at the same time.  The interval-join
+# operator Spark lacks natively, expressed as a key-partitioned
+# overlap join (never all-pairs): pairs form only within a customer.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH iv AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(o.o_orderdate AS DATE) AS s,
+         COALESCE(c.e, CAST(o.o_orderdate AS DATE)) AS e
+  FROM orders o
+  LEFT JOIN (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS e
+             FROM lineitem GROUP BY 1) c
+    ON c.l_orderkey = o.o_orderkey
+)
+SELECT iv.o_orderkey,
+       CAST(iv.s AS VARCHAR) AS open_day,
+       CAST(iv.e AS VARCHAR) AS close_day,
+       CAST(COALESCE(n.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM iv
+LEFT JOIN (
+  SELECT a.o_orderkey, count(*) AS n_overlap
+  FROM iv a JOIN iv b
+    ON a.o_custkey = b.o_custkey AND a.o_orderkey <> b.o_orderkey
+   AND a.s <= b.e AND b.s <= a.e
+  GROUP BY 1
+) n ON n.o_orderkey = iv.o_orderkey
+"""
+
+
+@query("order_interval_overlaps", oracle=_OVERLAP_ORACLE)
+def order_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, open_day, close_day, n_overlap): each order's open
+    interval runs from its order date to its last lineitem ship date
+    (same-day for lineitem-less orders); n_overlap counts the SAME
+    customer's other orders whose intervals intersect it (closed-
+    interval day semantics).
+
+    Scale shape: the interval join is partitioned by the natural
+    blocking key — pairs can only form within one customer, so the
+    self-join is an equi-join on o_custkey whose fan-out is bounded
+    by per-customer order counts (~10 in TPC-H), never |orders|².
+    Both join inputs come off the SAME custkey shuffle (co-
+    partitioned), the close-day lookup is one orderkey-keyed
+    map-side-combined max, and the zero-overlap rows return via a
+    left join against the same co-partitioned frame.  A whale
+    customer (millions of open intervals) would switch this to the
+    month-bucket banding used by the dedup family — the predicate and
+    outputs are unchanged, only the blocking key widens to
+    (custkey, month).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("e")
+    )
+    iv = (
+        o.join(closes, o.o_orderkey == closes.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").alias("s"),
+            F.coalesce(F.col("e"), F.to_date("o_orderdate")).alias("e"),
+        )
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    n = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") != F.col("b.o_orderkey"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .groupBy(F.col("a.o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        iv.join(n, iv.o_orderkey == n.k, "left")
+        .select(
+            "o_orderkey",
+            F.col("s").cast("string").alias("open_day"),
+            F.col("e").cast("string").alias("close_day"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point — per event type, the day where the cumulative
+# deviation of the daily count from its overall mean peaks: the
+# classic "when did the level shift?" detector over a metric series,
+# kept ALL-INTEGER so both engines agree exactly.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, d, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prefix,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS idx,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM daily
+),
+g AS (
+  SELECT event_type, d, n_days, total,
+         abs(n_days * prefix - idx * total) AS abs_g
+  FROM c
+)
+SELECT event_type,
+       CAST(d AS VARCHAR) AS change_day,
+       CAST(abs_g AS BIGINT) AS max_abs_g,
+       n_days, CAST(total AS BIGINT) AS total
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs_g DESC, d) AS rk
+  FROM g
+) WHERE rk = 1
+"""
+
+
+@query("events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the change-point day where the CUSUM statistic
+    |sum_{i<=t}(x_i - mean)| peaks over the daily-count series, with
+    the peak value and the series' shape constants.
+
+    Integer-exactness: the mean is never materialized — the CUSUM is
+    scaled by n_days (G_t = n_days·prefix_t − t·total, an exact
+    BIGINT), which preserves the argmax and every comparison, so the
+    detector is bit-identical across engines with zero float ops.
+    Ties break to the earliest day.
+
+    Scale shape: the raw stream collapses to (type, day) counts in
+    one map-side-combinable aggregate; every window partitions by
+    event_type over the per-type DAY frame (calendar-bounded, never
+    corpus-sized); the argmax is one more per-type window.  At 100 TB
+    this is one shuffle to (type, day) grain and windows over
+    thousands of rows per type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    word = Window.partitionBy("event_type").orderBy("d")
+    wall = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type",
+        "d",
+        F.sum("n").over(
+            word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("prefix"),
+        F.row_number().over(word).cast("bigint").alias("idx"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_days"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    g = c.select(
+        "event_type",
+        "d",
+        "n_days",
+        "total",
+        F.abs(
+            F.col("n_days") * F.col("prefix") - F.col("idx") * F.col("total")
+        ).alias("abs_g"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(F.desc("abs_g"), "d")
+    return (
+        g.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("change_day"),
+            F.col("abs_g").cast("bigint").alias("max_abs_g"),
+            "n_days",
+            F.col("total").cast("bigint").alias("total"),
+        )
+    )

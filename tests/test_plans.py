@@ -834,3 +834,57 @@ def test_twap_window_is_per_user(spark, sf_dir):
     df = spark_queries()["events_twap_by_user"](spark, sf_dir)
     assert global_window_count(df) == 0
     assert has_partial_aggregation(df)
+
+
+def test_bm25_is_projection_plus_heap(spark, sf_dir):
+    # E153: per-doc tf/dl stats must be a pure projection (no explode
+    # shuffle), the corpus constants one broadcast row, and the top-k a
+    # per-partition heap — never a global sort or cartesian product.
+    df = spark_queries()["text_bm25_retrieval"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan  # no explode in the scoring path
+
+
+def test_interval_overlaps_is_key_partitioned(spark, sf_dir):
+    # E154: the interval self-join must block on the customer key —
+    # an equi-join, never a cartesian/broadcast-nested-loop all-pairs.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["order_interval_overlaps"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
+
+
+def test_cusum_windows_are_per_type(spark, sf_dir):
+    # E155: every CUSUM window partitions by event_type — never global.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["events_cusum_changepoint"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
+
+
+def test_prefix_truncation_is_banded_equijoin(spark, sf_dir):
+    # E156: candidates must come from the band-key EQUI-join (hash or
+    # sort-merge on the 24-char head) — the startswith verification is
+    # a post-join filter, never the join itself.
+    df = spark_queries()["dedup_prefix_truncation"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_intersection_single_pass(spark, sf_dir):
+    # E157: the sketch build is one scan with map-side-combinable
+    # aggregates; no shuffle of raw user ids beyond the one exact-twin
+    # group-by, and no global window anywhere.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["hll_intersection_users"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in formatted_plan(df)
