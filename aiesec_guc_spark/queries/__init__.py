@@ -182,6 +182,8 @@ _EVIDENCE_PRIORITY = [
     "events_cusum_changepoint",
     "dedup_prefix_truncation",
     "hll_intersection_users",
+    "events_value_mad_outliers",
+    "streaming_twap_by_user",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -625,3 +625,164 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier screen — median/MAD per event type, computed by
+# HISTOGRAM MEDIAN: the scale shape for exact medians over a bounded
+# integer domain.  Mean/stddev outlier rules break under the very
+# outliers they hunt; median ± k·MAD does not.
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3  # the classic 3-MAD fence
+
+_MAD_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(cnt) AS n FROM h GROUP BY 1),
+cum AS (
+  SELECT h.event_type, h.c, t.n,
+         SUM(h.cnt) OVER (PARTITION BY h.event_type ORDER BY h.c
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM h JOIN tot t ON t.event_type = h.event_type
+),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END)
+           + MIN(CASE WHEN cum >= (n + 2) // 2 THEN c END) AS m2
+  FROM cum GROUP BY event_type
+),
+dh AS (
+  SELECT h.event_type, abs(2 * h.c - m.m2) AS dev, SUM(h.cnt) AS cnt
+  FROM h JOIN med m ON m.event_type = h.event_type
+  GROUP BY 1, 2
+),
+dcum AS (
+  SELECT d.event_type, d.dev, t.n,
+         SUM(d.cnt) OVER (PARTITION BY d.event_type ORDER BY d.dev
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM dh d JOIN tot t ON t.event_type = d.event_type
+),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev END)
+           + MIN(CASE WHEN cum >= (n + 2) // 2 THEN dev END) AS mad2
+  FROM dcum GROUP BY event_type
+)
+SELECT t.event_type,
+       CAST(t.n AS BIGINT) AS n_events,
+       m.m2 AS median_x2_cents,
+       a.mad2 AS mad_x4_cents,
+       CAST(COALESCE(SUM(CASE WHEN 2 * d.dev > {k} * a.mad2
+                              THEN d.cnt END), 0) AS BIGINT) AS n_outliers
+FROM tot t
+JOIN med m ON m.event_type = t.event_type
+JOIN mad a ON a.event_type = t.event_type
+LEFT JOIN dh d ON d.event_type = t.event_type
+GROUP BY 1, 2, 3, 4
+""".replace("{k}", str(_MAD_K))
+
+
+@query("events_value_mad_outliers", oracle=_MAD_ORACLE)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: exact median, exact MAD, and the count of
+    values outside the 3·MAD fence — the robust screen a metrics
+    pipeline runs where mean/stddev would be poisoned by the outliers
+    themselves.
+
+    Integer-exact throughout: values pin to cents; the median is kept
+    DOUBLED (sum of the two middle ranks — no /2, so even-count
+    interpolation never touches a float) and the MAD quadrupled, with
+    the fence 2·dev > 3·mad2 an all-BIGINT comparison.  Zero float
+    ops anywhere.
+
+    Scale shape — histogram median: the corpus collapses FIRST to a
+    (type, cents) histogram (map-side-combinable; its size is bounded
+    by the VALUE DOMAIN, not the corpus — ~56k cells/type here, same
+    at 100 TB), so the rank-hunting windows run over bounded frames.
+    The per-type window partitions are histogram cells, never raw
+    events — this is how an exact median survives a type with 10^12
+    rows without a corpus-sized sort, and it beats the offset-merge
+    rank for bounded domains (one shuffle smaller).  The deviation
+    pass reuses the same histogram (re-keyed, not re-scanned).
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+
+    from pyspark.sql import Window as W
+
+    def _hist_median2(hist: DataFrame, val: str) -> DataFrame:
+        """(event_type, m2): doubled median of `val` weighted by cnt,
+        via cumulative counts over the bounded per-type histogram."""
+        w = W.partitionBy("event_type").orderBy(val).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        cum = hist.join(F.broadcast(tot), "event_type").withColumn(
+            "cum", F.sum("cnt").over(w)
+        )
+        return (
+            cum.groupBy("event_type")
+            .agg(
+                (
+                    F.min(
+                        F.when(
+                            F.col("cum") >= F.expr("(n + 1) div 2"), F.col(val)
+                        )
+                    )
+                    + F.min(
+                        F.when(
+                            F.col("cum") >= F.expr("(n + 2) div 2"), F.col(val)
+                        )
+                    )
+                ).alias("m2")
+            )
+        )
+
+    med = _hist_median2(h, "c")
+    dh = (
+        h.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type",
+            F.abs(2 * F.col("c") - F.col("m2")).alias("dev"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _hist_median2(dh, "dev").withColumnRenamed("m2", "mad2")
+    out = (
+        dh.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        2 * F.col("dev") > _MAD_K * F.col("mad2"), F.col("cnt")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        tot.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(out), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("m2").alias("median_x2_cents"),
+            F.col("mad2").alias("mad_x4_cents"),
+            "n_outliers",
+        )
+    )

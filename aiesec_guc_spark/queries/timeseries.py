@@ -864,3 +864,17 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("bigint").alias("total"),
         )
     )
+
+
+@query("streaming_twap_by_user", oracle=_TWAP_ORACLE)
+def streaming_twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_twap_by_user``: the LOCF time-
+    weighted average folded per user as events arrive, via
+    ``applyInPandasWithState`` — O(1) integer state per key
+    (last_ts, last_value, three accumulators), drained with
+    availableNow.  The oracle is the SAME SQL as the batch query:
+    streaming and batch must agree bit-for-bit, including the final
+    fixed-order double divisions."""
+    from ..streaming.stateful import run_streaming_twap
+
+    return run_streaming_twap(spark, sf_dir)

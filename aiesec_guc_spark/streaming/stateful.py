@@ -113,3 +113,117 @@ def run_streaming_sessionize(
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_sessions", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming TWAP — the stateful twin of the batch events_twap_by_user:
+# last-observation-carried-forward time-weighting folded per user as
+# events arrive.  Each new observation closes the PREVIOUS one's
+# holding interval, so the fold needs exactly (last_ts, last_value)
+# plus the integer accumulators — O(1) state per key, the shape that
+# holds a billion live gauges.
+# ---------------------------------------------------------------------------
+
+_TWAP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("span_us", T.LongType(), True),
+        T.StructField("num_cents_us", T.LongType(), True),
+    ]
+)
+
+# num_cents_us is Σ cents×μs — int64 is exact to ~9.2e18, comfortably
+# above max_cents × corpus_span at every test SF; the batch twin's
+# DECIMAL(38,0) widening applies if a deployment's gauges overflow.
+_TWAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType(), True),
+        T.StructField("last_v_cents", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("span_us", T.LongType(), True),
+        T.StructField("num_cents_us", T.LongType(), True),
+    ]
+)
+
+
+def _twap_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's new rows into the TWAP accumulators.
+
+    Rows sort by (ts, event_id) — the batch window's order — and the
+    carried-in (last_ts, last_value) closes its interval against the
+    batch's first row, so the fold is exact across micro-batches
+    (same single-file caveat as the sessionizer).  All-integer: the
+    value pins to cents on the JVM side; here only int64 sums."""
+    last_ts, last_v, n_events, span_us, num = (
+        state.get if state.exists else (None, None, 0, 0, 0)
+    )
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    cents = pdf["v_cents"].astype("int64").to_numpy()
+    if last_ts is not None:
+        dt = int(ts_us[0]) - last_ts
+        span_us += dt
+        num += last_v * dt
+    if len(ts_us) > 1:
+        dts = ts_us[1:] - ts_us[:-1]
+        span_us += int(dts.sum())
+        num += int((cents[:-1] * dts).sum())
+    n_events += len(pdf)
+    last_ts, last_v = int(ts_us[-1]), int(cents[-1])
+    state.update((last_ts, last_v, n_events, span_us, num))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]], dtype="int64"),
+            "n_events": pd.Series([n_events], dtype="int64"),
+            "span_us": pd.Series([span_us], dtype="int64"),
+            "num_cents_us": pd.Series([num], dtype="int64"),
+        }
+    )
+
+
+def run_streaming_twap(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_twap"
+) -> DataFrame:
+    """Drain the events stream through the stateful TWAP fold and
+    return per-user (n_events, span_us, twap) — must equal the batch
+    events_twap_by_user exactly (same oracle)."""
+    from .incremental import _drain_to_memory, _events_stream
+    from pyspark.sql import Window, functions as F
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        # pin to exact cents on the JVM side — the pandas fold only
+        # ever sees integers (same convention as the batch twin)
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _twap_group,
+        outputStructType=_TWAP_OUT_SCHEMA,
+        stateStructType=_TWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    t = _drain_to_memory(spark, out, query_name, "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return final.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_events",
+        "span_us",
+        (
+            F.col("num_cents_us").cast("double")
+            / F.col("span_us").cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+    )

@@ -888,3 +888,15 @@ def test_hll_intersection_single_pass(spark, sf_dir):
     assert global_window_count(df) == 0
     assert has_partial_aggregation(df)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_mad_outliers_histogram_shape(spark, sf_dir):
+    # E158: medians must come off the bounded (type, cents) histogram —
+    # map-side-combinable aggregates, windows only over histogram
+    # frames (partitioned by type), never a raw-event sort.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["events_value_mad_outliers"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in formatted_plan(df)
