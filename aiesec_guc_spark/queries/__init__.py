@@ -184,6 +184,7 @@ _EVIDENCE_PRIORITY = [
     "hll_intersection_users",
     "events_value_mad_outliers",
     "streaming_twap_by_user",
+    "incremental_join_maintenance",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -727,3 +727,81 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance — the delta algebra for a
+# materialized join: with appends ΔA and ΔB,
+#   ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB
+# and merge(V_old, ΔV) must equal the full recompute — which is
+# exactly what the oracle checks.
+# ---------------------------------------------------------------------------
+
+_JOIN_IVM_ORACLE = """
+SELECT c.c_nationkey AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@query("incremental_join_maintenance", oracle=_JOIN_IVM_ORACLE)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view (orders ⋈
+    customer, aggregated to nation grain) under appends on BOTH
+    sides: deterministic md5 splits play yesterday's tables
+    (A_old, B_old) vs today's ingest (ΔA = 1/10 of orders, ΔB = 1/20
+    of customers), and the returned view is
+
+        merge(V_old,  ΔA⋈B_old,  A_old⋈ΔB,  ΔA⋈ΔB)
+
+    — the inner-join delta algebra.  The oracle is the FULL
+    recompute, so a green row proves the three delta terms cover
+    exactly the new join pairs (no loss, no double count — the
+    classic mistake, ΔA⋈B_new, double-counts ΔA⋈ΔB).
+
+    Scale shape: in production V_old is the already-materialized
+    view (here recomputed only because the testdata persists no
+    state), so the maintenance cost is the DELTA joins — each has a
+    delta-sized side that AQE broadcasts, so a 100 TB view updates
+    for the price of today's ingest, never a full re-join.  All four
+    terms produce mergeable partials (count + exact decimal sum)
+    unioned and re-aggregated map-side; revenue casts to double only
+    after the exact merge.
+    """
+    from ..functions.text import hash32
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+        (hash32(F.col("o_orderkey").cast("string")) % 10 == 0).alias("da"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (hash32(F.col("c_custkey").cast("string")) % 20 == 0).alias("db"),
+    )
+    a_old, a_new = o.filter(~F.col("da")), o.filter(F.col("da"))
+    b_old, b_new = c.filter(~F.col("db")), c.filter(F.col("db"))
+
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, a.o_custkey == b.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price").alias("s"),
+            )
+        )
+
+    v_old = term(a_old, b_old)  # stands in for reading the materialized view
+    parts = (
+        v_old.unionByName(term(a_new, b_old))
+        .unionByName(term(a_old, b_new))
+        .unionByName(term(a_new, b_new))
+    )
+    return parts.groupBy("nationkey").agg(
+        F.sum("n").cast("bigint").alias("n_orders"),
+        F.sum("s").cast("double").alias("revenue"),
+    )

@@ -900,3 +900,12 @@ def test_mad_outliers_histogram_shape(spark, sf_dir):
     assert global_window_count(df) == 0
     assert has_partial_aggregation(df)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_join_ivm_partials_merge(spark, sf_dir):
+    # E160: all four IVM terms must be mergeable partial aggregates
+    # (map-side combine on the union) and no term may degrade to a
+    # cartesian product.
+    df = spark_queries()["incremental_join_maintenance"](spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in formatted_plan(df)
