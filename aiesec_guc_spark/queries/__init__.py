@@ -185,6 +185,7 @@ _EVIDENCE_PRIORITY = [
     "events_value_mad_outliers",
     "streaming_twap_by_user",
     "incremental_join_maintenance",
+    "embedding_random_projection",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -1414,3 +1414,108 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= MAXSIM_TOPK)
         .select("query_id", "vec_id", F.round("maxsim", 9).alias("maxsim"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss) — 64-dim embeddings down
+# to 16 dims with a FIXED ±1 sign matrix derived from md5, scaled by
+# 1/√16 = 0.25 (exact in binary, so the scale never adds error).
+# The dimensionality-reduction step ANN pipelines run before
+# quantization/LSH at 100 TB: projection is a pure per-row map.
+# ---------------------------------------------------------------------------
+
+RP_OUT_DIM = 16
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """±1 from md5 — identical constant matrix on both engines."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{i}:{j}".encode()).digest()[0]
+    return 1 if h % 2 == 0 else -1
+
+
+def _rp_terms(j: int, arr: str) -> str:
+    """The literal ±-chain for projected coordinate j over a 1-based
+    array reference — the SAME text feeds Spark (element_at) and
+    DuckDB ([] indexing), so the fold order is identical."""
+    parts = []
+    for i in range(1, EMBEDDING_DIM + 1):
+        s = "+" if _rp_sign(i, j) > 0 else "-"
+        parts.append(f"{s} CAST({arr.format(i=i)} AS DOUBLE)")
+    return " ".join(parts)
+
+
+def _rp_proj_sql(arr: str) -> list[str]:
+    return [
+        f"round(0.25 * ({_rp_terms(j, arr)}), 9)" for j in range(RP_OUT_DIM)
+    ]
+
+
+def _rp_oracle() -> str:
+    projs = _rp_proj_sql("embedding[{i}]")
+    norm2 = " + ".join(f"(p{j} * p{j})" for j in range(RP_OUT_DIM))
+    orig = " + ".join(
+        f"(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE))"
+        for i in range(1, EMBEDDING_DIM + 1)
+    )
+    proj_cols = ",\n         ".join(
+        f"{p} AS p{j}" for j, p in enumerate(projs)
+    )
+    plist = ", ".join(f"p{j}" for j in range(RP_OUT_DIM))
+    return f"""
+WITH p AS (
+  SELECT vec_id, label,
+         {proj_cols},
+         {orig} AS orig_norm2
+  FROM embeddings
+)
+SELECT vec_id, label, [{plist}] AS proj,
+       round(({norm2}) / orig_norm2, 9) AS norm2_ratio
+FROM p
+WHERE orig_norm2 > 0
+"""
+
+
+@query("embedding_random_projection", oracle=_rp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, proj[16], norm2_ratio): every embedding mapped
+    to 16 dimensions by a fixed ±1 (Achlioptas) sign matrix scaled by
+    1/√16 — plus the per-row JL audit, the projected/original squared-
+    norm ratio (concentrates near 1 when the projection is healthy;
+    surfacing it makes a broken sign matrix a red gate row, not a
+    silent recall drop downstream).
+
+    Engine-exactness: the sign matrix is md5-derived at build time and
+    EMBEDDED AS LITERALS in both the Spark expression and the oracle
+    SQL — the ±-chain text is identical, so the fold order matches,
+    and the standard round-to-9 absorbs last-ulp division noise (same
+    convention as the cosine family).  The 0.25 scale is a power of
+    two — exact, adds zero error.
+
+    Scale shape: projection is a PURE PROJECTION — per-row, statically
+    unrolled inside whole-stage codegen (no HOF fold, no UDF, no
+    shuffle); at 100 TB it pipelines with whatever scan feeds it.
+    The 16× narrower output is what the ANN/quantization stages
+    downstream then index.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    projs = _rp_proj_sql("element_at(embedding, {i})")
+    orig = " + ".join(
+        f"(CAST(element_at(embedding, {i}) AS DOUBLE)"
+        f" * CAST(element_at(embedding, {i}) AS DOUBLE))"
+        for i in range(1, EMBEDDING_DIM + 1)
+    )
+    p = e.select(
+        "vec_id",
+        "label",
+        *[F.expr(s).alias(f"p{j}") for j, s in enumerate(projs)],
+        F.expr(orig).alias("orig_norm2"),
+    )
+    norm2 = " + ".join(f"(p{j} * p{j})" for j in range(RP_OUT_DIM))
+    return p.filter(F.col("orig_norm2") > 0).select(
+        "vec_id",
+        "label",
+        F.array(*[F.col(f"p{j}") for j in range(RP_OUT_DIM)]).alias("proj"),
+        F.expr(f"round(({norm2}) / orig_norm2, 9)").alias("norm2_ratio"),
+    )

@@ -909,3 +909,12 @@ def test_join_ivm_partials_merge(spark, sf_dir):
     df = spark_queries()["incremental_join_maintenance"](spark, sf_dir)
     assert has_partial_aggregation(df)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_random_projection_is_pure_map(spark, sf_dir):
+    # E161: projection must be a single scan + codegen projection —
+    # no exchange, no generate, no UDF (BatchEvalPython) anywhere.
+    df = spark_queries()["embedding_random_projection"](spark, sf_dir)
+    plan = formatted_plan(df)
+    for op in ("Exchange", "Generate", "BatchEvalPython", "CartesianProduct"):
+        assert op not in plan, op
