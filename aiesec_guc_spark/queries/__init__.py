@@ -186,6 +186,7 @@ _EVIDENCE_PRIORITY = [
     "streaming_twap_by_user",
     "incremental_join_maintenance",
     "embedding_random_projection",
+    "nation_revenue_trend_ols",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -809,3 +809,103 @@ def value_dispersion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_pop"),
         (F.sqrt(var) / (s1d / F.col("n"))).alias("cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend via exact sufficient statistics — the regression
+# shape that scales: each group folds to five integers (n, Σx, Σy,
+# Σxy, Σx²) in ONE map-side-combinable aggregate, and slope/intercept
+# are closed-form divisions at the end.  No iterative fitting, no
+# float accumulation, no per-group data movement beyond the agg.
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH daily AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+              AS BIGINT) AS x,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+           AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT nationkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(19,0)) * x) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT nationkey, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept_cents
+FROM s
+WHERE n * sxx - sx * sx <> 0
+"""
+
+
+@query("nation_revenue_trend_ols", oracle=_OLS_ORACLE)
+def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of daily revenue: slope (cents/day) and
+    intercept from the closed-form normal equations over exact
+    integer sufficient statistics — x is the day index, y the day's
+    revenue in cents, and (n, Σx, Σy, Σxy, Σx²) accumulate as
+    DECIMAL(38,0)/BIGINT so the fit is engine-exact; doubles appear
+    only in the two final fixed-order division expressions.
+
+    Scale shape: the corpus collapses to (nation, day) grain in one
+    map-side-combinable aggregate (the join's customer side is
+    dim-sized, AQE broadcasts), then each nation folds to FIVE
+    NUMBERS in a second map-combinable agg — the sufficient-
+    statistics pattern that fits a trend per key across 100 TB
+    without any per-group sort, window, or iterative pass.  Degenerate
+    groups (a single day: zero x-variance) are excluded exactly.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("y")
+        )
+    )
+    s = daily.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return s.filter(den != 0).select(
+        "nationkey",
+        "n",
+        slope.alias("slope_cents_per_day"),
+        (
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+    )

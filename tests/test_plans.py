@@ -918,3 +918,15 @@ def test_random_projection_is_pure_map(spark, sf_dir):
     plan = formatted_plan(df)
     for op in ("Exchange", "Generate", "BatchEvalPython", "CartesianProduct"):
         assert op not in plan, op
+
+
+def test_ols_trend_sufficient_stats_shape(spark, sf_dir):
+    # E162: both aggregate layers must be map-side combinable, the dim
+    # join broadcast, and no window/sort anywhere.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["nation_revenue_trend_ols"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert "BroadcastHashJoin" in plan
+    assert global_window_count(df) == 0
