@@ -187,6 +187,7 @@ _EVIDENCE_PRIORITY = [
     "incremental_join_maintenance",
     "embedding_random_projection",
     "nation_revenue_trend_ols",
+    "events_watermark_lateness_audit",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -878,3 +878,78 @@ def streaming_twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import run_streaming_twap
 
     return run_streaming_twap(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit — how out-of-order is the stream, really?
+# Lateness of an event = (running max event-time seen so far in its
+# user's arrival order) − (its own event time).  The distribution is
+# what PICKS a streaming watermark: the 10-minute bound below is
+# exactly `withWatermark("ts", "10 minutes")`'s drop line.
+# ---------------------------------------------------------------------------
+
+_LATENESS_ORACLE = """
+WITH l AS (
+  SELECT event_type,
+         MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - epoch_us(ts) AS late_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(late_us) AS BIGINT) AS max_late_us,
+       CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_beyond_10m,
+       CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+            * 10000 // count(*) AS DOUBLE) / 100 AS pct_beyond_10m
+FROM l GROUP BY 1
+"""
+
+
+@query("events_watermark_lateness_audit", oracle=_LATENESS_ORACLE)
+def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the out-of-orderness profile — max lateness and
+    the share of events a 10-minute watermark would drop, where
+    lateness is measured against the running event-time high-water
+    mark in the user's ARRIVAL order (event_id — the ingest
+    sequence), exactly how Structured Streaming's watermark sees it.
+
+    This is the query you run BEFORE choosing `withWatermark`: the
+    10-minute fence here is the drop line of the registry's streaming
+    dedup/join queries, so the audit and the operators it tunes share
+    one constant.  All-integer: lateness in μs, the percentage via
+    the ×10000-div-count fixed-point idiom (one exact integer
+    division, then /100 — no float accumulation).
+
+    Scale shape: one window partitioned by user_id in arrival order
+    (the per-user inclusive running max — never a global window),
+    then a map-side-combinable per-type aggregate.  At 100 TB this is
+    one user-keyed exchange, same as the sessionizers.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    l = e.select(
+        "event_type",
+        (
+            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("late_us"),
+    )
+    late = (F.col("late_us") > 600_000_000).cast("int")
+    return l.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+        F.sum(late).cast("bigint").alias("n_beyond_10m"),
+        (
+            F.expr(
+                "CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)"
+                " * 10000 div count(1) AS DOUBLE)"
+            )
+            / 100
+        ).alias("pct_beyond_10m"),
+    )

@@ -930,3 +930,13 @@ def test_ols_trend_sufficient_stats_shape(spark, sf_dir):
     assert has_partial_aggregation(df)
     assert "BroadcastHashJoin" in plan
     assert global_window_count(df) == 0
+
+
+def test_lateness_audit_window_is_per_user(spark, sf_dir):
+    # E163: the running high-water mark must partition by user —
+    # never a global window — and the type rollup must map-combine.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["events_watermark_lateness_audit"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
