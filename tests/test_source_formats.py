@@ -62,3 +62,29 @@ def test_streaming_scrape_source_matches_batch(spark, tmp_path):
         map(tuple, spark.table("scrape_stream_test").collect())
     )
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    # ORC is the third columnar format Spark ships natively (after
+    # parquet); at 100 TB it matters because ingest often arrives as
+    # ORC from Hive-era warehouses.  Same explicit-schema contract.
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "events_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.schema(src.schema).orc(path)
+    assert _rows(back) == _rows(src)
+
+
+def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+    # The format must not cost the optimizer anything: an equality
+    # filter over the ORC scan has to reach the reader as a pushed
+    # filter, same as parquet.
+    from aiesec_guc_spark.plans.explain import formatted_plan
+
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "events_orc_pf")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.schema(src.schema).orc(path).filter(F.col("user_id") == 7)
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in (
+        formatted_plan(back)
+    )
