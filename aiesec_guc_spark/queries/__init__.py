@@ -188,6 +188,7 @@ _EVIDENCE_PRIORITY = [
     "embedding_random_projection",
     "nation_revenue_trend_ols",
     "events_watermark_lateness_audit",
+    "order_installment_schedule",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -805,3 +805,70 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_orders"),
         F.sum("s").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-generating expansion — each order explodes into its 3-part
+# installment schedule.  This is the UDTF-shaped operation (one row
+# in, N rows out) kept on the JVM fast path: explode(sequence())
+# inside codegen, never a Python row loop (the actual Python UDTF API
+# is pinned separately in tests/test_pandas_apis.py).
+# ---------------------------------------------------------------------------
+
+_INSTALLMENTS = 3
+
+_INSTALL_ORACLE = f"""
+SELECT o.o_orderkey,
+       CAST(g.i AS INT) AS installment_no,
+       CAST(CAST(o.o_orderdate AS DATE) + CAST((g.i - 1) * 30 AS INTEGER)
+            AS VARCHAR) AS due_day,
+       CAST(CASE WHEN g.i = 1
+                 THEN c - ({_INSTALLMENTS - 1}) * (c // {_INSTALLMENTS})
+                 ELSE c // {_INSTALLMENTS} END AS BIGINT) AS amount_cents
+FROM (SELECT o_orderkey, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM orders) o
+CROSS JOIN generate_series(1, {_INSTALLMENTS}) AS g(i)
+"""
+
+
+@query("order_installment_schedule", oracle=_INSTALL_ORACLE)
+def order_installment_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order expanded into its 3 monthly installments — equal
+    thirds in exact cents with the division remainder folded into the
+    FIRST installment (so the schedule always sums back to the order
+    total: the reconciliation invariant billing pipelines audit).
+
+    Scale shape: the 1→N expansion is ``explode(sequence(...))``
+    inside whole-stage codegen — a pure row generator with zero
+    shuffle and no Python (this is what a row-per-output UDTF would
+    express; the engine keeps the hot path JVM-side and pins the
+    actual ``@udtf`` API in tests).  Output is 3× the scan, streamed
+    straight to the sink — at 100 TB the expansion never
+    materializes driver-side.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    n = _INSTALLMENTS
+    per = F.expr(f"c div {n}")
+    return o.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("installment_no"),
+        "d",
+        "c",
+    ).select(
+        "o_orderkey",
+        F.col("installment_no").cast("int").alias("installment_no"),
+        F.date_add(F.col("d"), (F.col("installment_no") - 1) * 30)
+        .cast("string")
+        .alias("due_day"),
+        F.when(F.col("installment_no") == 1, F.col("c") - (n - 1) * per)
+        .otherwise(per)
+        .cast("bigint")
+        .alias("amount_cents"),
+    )

@@ -940,3 +940,13 @@ def test_lateness_audit_window_is_per_user(spark, sf_dir):
     df = spark_queries()["events_watermark_lateness_audit"](spark, sf_dir)
     assert global_window_count(df) == 0
     assert has_partial_aggregation(df)
+
+
+def test_installment_expansion_is_codegen_generate(spark, sf_dir):
+    # E164: the 1->N expansion must be a JVM Generate (explode) with
+    # no exchange and no Python evaluation.
+    df = spark_queries()["order_installment_schedule"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" in plan
+    for op in ("Exchange", "BatchEvalPython", "CartesianProduct"):
+        assert op not in plan, op

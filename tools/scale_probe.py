@@ -47,6 +47,15 @@ PROBE_QUERIES = [
     "funnel_conversion_latency",  # conditional-min frames + rank window
     "pareto_revenue_concentration",  # per-key agg + running-sum window
     "join_size_estimate",         # per-key count frames, no fact join
+    # round 8 additions — every new fact-driven shape
+    "order_interval_overlaps",    # key-blocked interval self-join
+    "events_twap_by_user",        # per-user lead window + agg
+    "events_cusum_changepoint",   # (type, day) grain + per-type windows
+    "events_value_mad_outliers",  # histogram median / MAD
+    "events_watermark_lateness_audit",  # per-user running max
+    "nation_revenue_trend_ols",   # sufficient-statistics OLS
+    "incremental_join_maintenance",  # two-sided delta-join IVM
+    "pareto_frontier_customers",  # skyline sweep (offset-merge cummax)
 ]
 
 
