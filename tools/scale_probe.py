@@ -112,8 +112,17 @@ def time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
 
 
 def main() -> int:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    scratch = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_probe_x{factor}"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        if i + 1 >= len(argv):
+            print("usage: scale_probe.py [N] [DIR] [--queries a,b]", file=sys.stderr)
+            return 2
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    factor = int(argv[0]) if len(argv) > 0 else 10
+    scratch = argv[1] if len(argv) > 1 else f"/tmp/scale_probe_x{factor}"
 
     from aiesec_guc_spark.queries import spark_queries
     from aiesec_guc_spark.session import get_spark
@@ -127,6 +136,8 @@ def main() -> int:
     qs = spark_queries()
     print(f"{'query':<34} {'sf0.1':>8} {'x' + str(factor):>8} {'ratio':>7}")
     for name in PROBE_QUERIES:
+        if only is not None and name not in only:
+            continue
         base = time_query(spark, qs[name], BASE_SF)
         scaled = time_query(spark, qs[name], scratch)
         print(f"{name:<34} {base:>7.2f}s {scaled:>7.2f}s {scaled / base:>6.1f}x")
