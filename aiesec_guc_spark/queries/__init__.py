@@ -189,6 +189,8 @@ _EVIDENCE_PRIORITY = [
     "nation_revenue_trend_ols",
     "events_watermark_lateness_audit",
     "order_installment_schedule",
+    "orders_benford_first_digit",
+    "events_arrival_dispersion",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

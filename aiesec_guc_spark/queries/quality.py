@@ -786,3 +786,157 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — do order totals follow Benford's law?
+# The classic fabricated-data screen: organic multiplicative amounts
+# put digit d first with probability log10(1 + 1/d); injected or
+# templated values don't.  Expected shares are compile-time literals,
+# so the only floats are literal constants and one final division.
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) as fixed literals — identical text in both engines.
+_BENFORD = {
+    1: "0.301029995663981",
+    2: "0.176091259055681",
+    3: "0.124938736608300",
+    4: "0.096910013008056",
+    5: "0.079181246047625",
+    6: "0.066946789630613",
+    7: "0.057991946977687",
+    8: "0.051152522447381",
+    9: "0.045757490560675",
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders
+  WHERE CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) > 0
+),
+c AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(count(*)) OVER () AS BIGINT) AS total
+  FROM digits GROUP BY 1
+)
+SELECT d, n,
+       CAST(n AS DOUBLE) / total AS share,
+       CAST(CASE d {_BENFORD_CASE} END AS DOUBLE) AS expected,
+       abs(CAST(n AS DOUBLE) / total
+           - CAST(CASE d {_BENFORD_CASE} END AS DOUBLE)) AS abs_dev
+FROM c
+"""
+
+
+@query("orders_benford_first_digit", oracle=_BENFORD_ORACLE)
+def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per leading digit of the order total (in cents): observed
+    count, observed share, Benford-expected share, absolute
+    deviation — the data-forensics screen that catches fabricated or
+    template-generated amounts (which flunk the log-uniform first-
+    digit law organic totals follow).
+
+    Determinism: the digit comes from the exact cents BIGINT's string
+    form (no float formatting); expected shares are literal constants
+    with identical text in both engines; observed share is one double
+    division and the deviation one subtraction — fixed order, no
+    accumulation.  (The 1-row total via SUM OVER () / broadcast is
+    the same 1-row-constant idiom as BM25's corpus stats.)
+
+    Scale shape: a pure projection to d ∈ {1..9}, one
+    map-side-combinable 9-cell count, one broadcast total.  At 100 TB
+    the audit costs the scan and nothing else.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("bigint")
+    digits = o.select(cents.alias("c")).filter(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("d")
+    )
+    c = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = F.expr(f"CAST(CASE d {_BENFORD_CASE} END AS DOUBLE)")
+    share = F.col("n").cast("double") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            share.alias("share"),
+            expected.alias("expected"),
+            F.abs(share - expected).alias("abs_dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrival overdispersion — is the event stream Poisson-like, or bursty?
+# The index of dispersion (variance/mean of per-hour counts) is the
+# one-number answer; ≈1 is Poisson, >1 is bursty (retry storms,
+# batch-replays), <1 is throttled.  Variance comes from the same
+# exact sufficient statistics as the OLS fold.
+# ---------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, n, sc AS total_events,
+       CAST(n * scc - sc * sc AS DOUBLE)
+         / CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)
+         / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) AS dispersion
+FROM s
+WHERE n > 1 AND sc > 0
+"""
+
+
+@query("events_arrival_dispersion", oracle=_DISPERSION_ORACLE)
+def events_arrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the index of dispersion of hourly arrival
+    counts (sample variance / mean) — the burstiness one-liner that
+    tells a capacity planner whether arrivals are Poisson (≈1),
+    bursty (>1: retry storms, replays), or throttled (<1).
+
+    The variance numerator n·Σc² − (Σc)² is exact BIGINT (same
+    sufficient-statistics fold as the OLS query); doubles appear only
+    in the final fixed-order division chain, so both engines agree
+    bit-for-bit.
+
+    Scale shape: collapse to (type, hour) grain map-side, then each
+    type folds to three integers.  Same two-aggregate shape as OLS —
+    one exchange at hour grain, one at type grain, nothing else.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    num = (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")).cast("double")
+    mean = F.col("sc").cast("double") / F.col("n").cast("double")
+    return s.filter((F.col("n") > 1) & (F.col("sc") > 0)).select(
+        "event_type",
+        "n",
+        F.col("sc").alias("total_events"),
+        (
+            num / (F.col("n") - 1).cast("double") / F.col("n").cast("double")
+            / mean
+        ).alias("dispersion"),
+    )

@@ -950,3 +950,23 @@ def test_installment_expansion_is_codegen_generate(spark, sf_dir):
     assert "Generate" in plan
     for op in ("Exchange", "BatchEvalPython", "CartesianProduct"):
         assert op not in plan, op
+
+
+def test_benford_is_scan_plus_nine_cells(spark, sf_dir):
+    # E165: a projection to d in 1..9, one map-combinable count, one
+    # broadcast total — no window, no cartesian.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["orders_benford_first_digit"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_dispersion_sufficient_stats_shape(spark, sf_dir):
+    # E166: same two-aggregate sufficient-statistics fold as OLS.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["events_arrival_dispersion"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
