@@ -191,6 +191,7 @@ _EVIDENCE_PRIORITY = [
     "order_installment_schedule",
     "orders_benford_first_digit",
     "events_arrival_dispersion",
+    "dedup_lsh_band_sweep",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -30,6 +30,7 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     materialize,
     minhash_coeffs,
+    MINHASH_NUM_HASHES,
     minhash_signatures,
     shingle_rows,
     simhash,
@@ -1690,3 +1691,170 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.len").cast("bigint").alias("len_long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter sweep — the S-curve audit that PICKS (bands, rows):
+# for each banding of the same 8 minhashes, how many candidate pairs
+# does the bucket join emit and how many survive exact verification?
+# Run before committing a config at 100 TB: candidates are the cost,
+# precision is what you buy.
+# ---------------------------------------------------------------------------
+
+# (bands, rows) with bands*rows = MINHASH_NUM_HASHES; r=1 is excluded
+# as degenerate (single-hash buckets approach all-pairs on a uniform
+# corpus).  s50 = the Jaccard at 50% catch probability,
+# (1 - 0.5**(1/b))**(1/r), computed HERE and embedded as a literal so
+# neither engine evaluates pow() at query time.
+LSH_SWEEP = [
+    (b, MINHASH_NUM_HASHES // b) for b in (1, 2, 4)
+]
+_SWEEP_T = {
+    (b, r): f"{(1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r):.15f}"
+    for b, r in LSH_SWEEP
+}
+SWEEP_DUP_J = 0.5  # verification threshold shared with the LSH family
+
+
+def _band_sweep_oracle() -> str:
+    base = _minhash_oracle()
+    head = base.split("bands AS (")[0].replace(
+        "sig AS (", "sig AS MATERIALIZED ("
+    ).replace("sh AS (", "sh AS MATERIALIZED (")
+    per_cfg = []
+    for b, r in LSH_SWEEP:
+        band_selects = "\n    UNION ALL\n".join(
+            "    SELECT doc_id, {band} AS band, {key} AS band_key FROM sig".format(
+                band=band,
+                key=" || '_' || ".join(
+                    f"CAST(sig_{band * r + k} AS VARCHAR)" for k in range(r)
+                ),
+            )
+            for band in range(b)
+        )
+        per_cfg.append(f"""cand_{b} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (
+{band_selects}
+  ) a JOIN (
+{band_selects}
+  ) b ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+ver_{b} AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(COALESCE(i.icnt, 0) AS DOUBLE)
+           / (sa.sz + sb.sz - COALESCE(i.icnt, 0)) AS j
+  FROM cand_{b} c
+  LEFT JOIN (
+    SELECT c2.doc_a, c2.doc_b, count(*) AS icnt
+    FROM cand_{b} c2
+    JOIN shd x ON x.doc_id = c2.doc_a
+    JOIN shd y ON y.doc_id = c2.doc_b AND y.shingle = x.shingle
+    GROUP BY 1, 2
+  ) i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+),
+row_{b} AS (
+  SELECT {b} AS n_bands, {MINHASH_NUM_HASHES // b} AS n_rows,
+         CAST({_SWEEP_T[(b, MINHASH_NUM_HASHES // b)]} AS DOUBLE) AS s50,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN j >= {SWEEP_DUP_J} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_dups,
+         CAST(COALESCE(SUM(CASE WHEN j >= {SWEEP_DUP_J} THEN 1 ELSE 0 END)
+                       * 10000 // NULLIF(count(*), 0), 0) AS DOUBLE) / 100
+           AS precision_pct
+  FROM ver_{b}
+)""")
+        # noqa: E501
+    rows_union = "\nUNION ALL\n".join(
+        f"SELECT * FROM row_{b}" for b, _ in LSH_SWEEP
+    )
+    return f"""{head}shd AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+{",".join(per_cfg)}
+{rows_union}
+"""
+
+
+@query("dedup_lsh_band_sweep", oracle=_band_sweep_oracle())
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (bands, rows) banding of the SAME 8-minhash
+    signatures: candidate-pair count, verified-duplicate count
+    (exact Jaccard ≥ 0.5), precision, and the config's theoretical
+    50%-catch threshold s50 = (1−0.5^(1/b))^(1/r) (a build-time
+    literal — no pow() at query time).  This is the audit that picks
+    the production banding: more bands catch lower similarities but
+    emit more candidates; the sweep measures the actual tradeoff on
+    the actual corpus instead of trusting the S-curve asymptote.
+
+    Scale shape: the signature build is shared across configs (one
+    shingle explode + one doc-grain min-combine shuffle); each config
+    adds only its bucket equi-join (candidate-bounded, same LSH
+    discipline as the production path — never all-pairs; r=1 is
+    excluded as degenerate) and a verification bounded by ITS
+    candidates.  Precision uses the ×10000-div fixed-point idiom.
+    """
+    from ..operators.dedup import materialize, shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = materialize(minhash_signatures(d, "doc_id", "text"))
+    sh = shingle_rows(d, "doc_id", "text")
+
+    out = None
+    for b, r in LSH_SWEEP:
+        bands = None
+        for band in range(b):
+            sel = sigs.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"sig_{band * r + k}").cast("string")
+                        for k in range(r)
+                    ],
+                ).alias("band_key"),
+            )
+            bands = sel if bands is None else bands.unionByName(sel)
+        a = bands.alias("a")
+        bb = bands.alias("b")
+        cand = (
+            a.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        ver = jaccard_verify(cand, sh, "doc_id")
+        is_dup = (F.col("jaccard") >= SWEEP_DUP_J).cast("int")
+        row = ver.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.coalesce(F.sum(is_dup), F.lit(0)).cast("bigint").alias(
+                "n_true_dups"
+            ),
+            (
+                F.expr(
+                    f"CAST(COALESCE(SUM(CASE WHEN jaccard >= {SWEEP_DUP_J}"
+                    " THEN 1 ELSE 0 END) * 10000 div NULLIF(count(1), 0), 0)"
+                    " AS DOUBLE)"
+                )
+                / 100
+            ).alias("precision_pct"),
+        ).select(
+            F.lit(b).alias("n_bands"),
+            F.lit(r).alias("n_rows"),
+            F.expr(f"CAST({_SWEEP_T[(b, r)]} AS DOUBLE)").alias("s50"),
+            "n_candidates",
+            "n_true_dups",
+            "precision_pct",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

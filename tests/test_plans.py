@@ -970,3 +970,13 @@ def test_dispersion_sufficient_stats_shape(spark, sf_dir):
     df = spark_queries()["events_arrival_dispersion"](spark, sf_dir)
     assert global_window_count(df) == 0
     assert has_partial_aggregation(df)
+
+
+def test_lsh_band_sweep_no_cross_product(spark, sf_dir):
+    # E167: every config's candidate generation must be the banded
+    # bucket EQUI-join — no cartesian/nested-loop anywhere in the
+    # unioned sweep plan.
+    df = spark_queries()["dedup_lsh_band_sweep"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
