@@ -1435,39 +1435,29 @@ def _rp_sign(i: int, j: int) -> int:
     return 1 if h % 2 == 0 else -1
 
 
-def _rp_terms(j: int, arr: str) -> str:
-    """The literal ±-chain for projected coordinate j over a 1-based
-    array reference — the SAME text feeds Spark (element_at) and
-    DuckDB ([] indexing), so the fold order is identical."""
-    parts = []
-    for i in range(1, EMBEDDING_DIM + 1):
-        s = "+" if _rp_sign(i, j) > 0 else "-"
-        parts.append(f"{s} CAST({arr.format(i=i)} AS DOUBLE)")
-    return " ".join(parts)
-
-
-def _rp_proj_sql(arr: str) -> list[str]:
+def _rp_sign_row(j: int) -> list[str]:
     return [
-        f"round(0.25 * ({_rp_terms(j, arr)}), 9)" for j in range(RP_OUT_DIM)
+        ("1.0" if _rp_sign(i, j) > 0 else "-1.0")
+        for i in range(1, EMBEDDING_DIM + 1)
     ]
 
 
 def _rp_oracle() -> str:
-    projs = _rp_proj_sql("embedding[{i}]")
+    projs = ",\n         ".join(
+        "round(0.25 * list_sum(list_transform(generate_series(1, {d}), "
+        "i -> [{signs}][i] * CAST(embedding[i] AS DOUBLE))), 9) AS p{j}".format(
+            d=EMBEDDING_DIM, signs=", ".join(_rp_sign_row(j)), j=j
+        )
+        for j in range(RP_OUT_DIM)
+    )
     norm2 = " + ".join(f"(p{j} * p{j})" for j in range(RP_OUT_DIM))
-    orig = " + ".join(
-        f"(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE))"
-        for i in range(1, EMBEDDING_DIM + 1)
-    )
-    proj_cols = ",\n         ".join(
-        f"{p} AS p{j}" for j, p in enumerate(projs)
-    )
     plist = ", ".join(f"p{j}" for j in range(RP_OUT_DIM))
     return f"""
 WITH p AS (
   SELECT vec_id, label,
-         {proj_cols},
-         {orig} AS orig_norm2
+         {projs},
+         list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS orig_norm2
   FROM embeddings
 )
 SELECT vec_id, label, [{plist}] AS proj,
@@ -1487,30 +1477,40 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     silent recall drop downstream).
 
     Engine-exactness: the sign matrix is md5-derived at build time and
-    EMBEDDED AS LITERALS in both the Spark expression and the oracle
-    SQL — the ±-chain text is identical, so the fold order matches,
-    and the standard round-to-9 absorbs last-ulp division noise (same
-    convention as the cosine family).  The 0.25 scale is a power of
-    two — exact, adds zero error.
+    embedded as literal arrays in both engines; each coordinate is an
+    interpreted HOF fold (zip-multiply → left fold) and the standard
+    round-to-9 absorbs fold-order last-ulp noise (same convention as
+    the cosine family).  The 0.25 scale is a power of two — exact.
 
-    Scale shape: projection is a PURE PROJECTION — per-row, statically
-    unrolled inside whole-stage codegen (no HOF fold, no UDF, no
-    shuffle); at 100 TB it pipelines with whatever scan feeds it.
-    The 16× narrower output is what the ANN/quantization stages
-    downstream then index.
+    Scale shape: a pure per-row map — one scan, ZERO exchanges
+    (plan-asserted), no Python.  The folds are deliberately the
+    interpreted HOF form, not the statically-unrolled chain: 16
+    coordinates × 64 terms + the norm audit inlined into ONE codegen
+    method grows past janino's 64 KB limit and silently falls back to
+    interpreted for the whole stage anyway (measured here) — the HOF
+    form is the honest version of the same cost, and per SCALING.md's
+    compile-vs-evaluate rule the fold is the right choice at ≤K dots
+    per row.  The 16× narrower output feeds the ANN/quantization
+    stages downstream.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    projs = _rp_proj_sql("element_at(embedding, {i})")
-    orig = " + ".join(
-        f"(CAST(element_at(embedding, {i}) AS DOUBLE)"
-        f" * CAST(element_at(embedding, {i}) AS DOUBLE))"
-        for i in range(1, EMBEDDING_DIM + 1)
-    )
+    projs = [
+        F.expr(
+            "round(0.25 * aggregate(zip_with(embedding, array({signs}), "
+            "(v, s) -> CAST(v AS DOUBLE) * s), 0D, (acc, x) -> acc + x), 9)".format(
+                signs=", ".join(f"{x}D" for x in _rp_sign_row(j))
+            )
+        ).alias(f"p{j}")
+        for j in range(RP_OUT_DIM)
+    ]
     p = e.select(
         "vec_id",
         "label",
-        *[F.expr(s).alias(f"p{j}") for j, s in enumerate(projs)],
-        F.expr(orig).alias("orig_norm2"),
+        *projs,
+        F.expr(
+            "aggregate(embedding, 0D, "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ).alias("orig_norm2"),
     )
     norm2 = " + ".join(f"(p{j} * p{j})" for j in range(RP_OUT_DIM))
     return p.filter(F.col("orig_norm2") > 0).select(

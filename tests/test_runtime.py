@@ -100,3 +100,19 @@ def test_ts_range_predicate_reaches_scan(spark, sf_dir, table, col):
     assert pushed and any(col in l and "GreaterThanOrEqual" in l for l in pushed), (
         f"range predicate on {table}.{col} not in PushedFilters: {pushed}"
     )
+
+
+def test_random_projection_compiles_codegen(spark, sf_dir):
+    """E161 regression pin: the projection stage must not trip
+    janino's 64 KB method limit (the unrolled form did — Spark then
+    silently de-codegens the whole stage).  Executing with codegen
+    fallback DISABLED turns any regression into a hard error."""
+    from aiesec_guc_spark.queries import spark_queries
+
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df = spark_queries()["embedding_random_projection"](spark, sf_dir)
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
