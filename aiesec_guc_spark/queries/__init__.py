@@ -192,6 +192,8 @@ _EVIDENCE_PRIORITY = [
     "orders_benford_first_digit",
     "events_arrival_dispersion",
     "dedup_lsh_band_sweep",
+    "shipping_leadtime_percentiles",
+    "corpus_vocab_growth",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -1653,3 +1653,106 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps'-law audit) — how fast does the corpus
+# vocabulary grow as docs accumulate?  The curation signal that
+# separates organic text (sublinear, Heaps-like growth) from
+# templated/synthetic floods (vocab flatlines) — and the sizing input
+# for tokenizer training.  Exact at every checkpoint WITHOUT re-
+# scanning per checkpoint: vocab(d) = #terms whose FIRST occurrence
+# is at decile ≤ d, so one min-aggregate answers all ten.
+# ---------------------------------------------------------------------------
+
+_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"  # portable hash idiom
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST({_H32.format(x="CAST(doc_id AS VARCHAR)")} % 10 + 1 AS INT)
+           AS decile
+  FROM documents
+),
+toks AS (
+  SELECT decile, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM d
+),
+firsts AS (
+  SELECT term, MIN(decile) AS first_decile FROM toks GROUP BY term
+),
+perd AS (
+  SELECT first_decile AS decile, CAST(count(*) AS BIGINT) AS new_terms
+  FROM firsts GROUP BY 1
+),
+docs_per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1
+)
+SELECT dp.decile,
+       CAST(SUM(dp.n_docs) OVER (ORDER BY dp.decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_docs,
+       CAST(COALESCE(p.new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(SUM(COALESCE(p.new_terms, 0)) OVER (ORDER BY dp.decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM docs_per dp LEFT JOIN perd p ON p.decile = dp.decile
+"""
+
+
+@query("corpus_vocab_growth", oracle=_VOCAB_GROWTH_ORACLE)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, cum_docs, new_terms, vocab_size): the vocabulary
+    growth curve over a deterministic md5-ordered 10-way split of the
+    corpus — Heaps'-law-shaped for organic text, flat for templated
+    floods; also the tokenizer-training sizing input.
+
+    The trick that makes ten checkpoints cost ONE pass: vocab(d) is
+    the number of terms whose FIRST decile is ≤ d, so a single
+    min-aggregate per term (map-side combinable) plus a 10-row
+    running sum answers every checkpoint — no per-checkpoint rescan,
+    no 10-way distinct.  The decile is a pure md5-bucket PROJECTION
+    (hash32(doc_id) % 10 — the corpus_split_assign convention):
+    retry-stable, engine-identical, and NO global window anywhere —
+    bucket sizes are multinomial rather than exactly equal, which the
+    growth curve doesn't need (cum_docs reports the actual counts).
+
+    Scale shape: the only corpus-sized shuffle is the term
+    min-aggregate (combinable: shuffle rows ≤ |vocab| × partitions);
+    the windows at the end run over a 10-row frame.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (hash32(F.col("doc_id").cast("string")) % 10 + 1)
+        .cast("int")
+        .alias("decile"),
+    )
+    toks = d.select(
+        "decile",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    firsts = toks.groupBy("term").agg(F.min("decile").alias("first_decile"))
+    perd = firsts.groupBy(F.col("first_decile").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_terms")
+    )
+    docs_per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs_per.join(perd, "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+            F.coalesce("new_terms", F.lit(0)).cast("bigint").alias("new_terms"),
+            F.sum(F.coalesce("new_terms", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_size"),
+        )
+    )

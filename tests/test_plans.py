@@ -980,3 +980,26 @@ def test_lsh_band_sweep_no_cross_product(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leadtime_percentiles_histogram_shape(spark, sf_dir):
+    # E168: rank hunt over the (supplier, days) histogram — windows
+    # partition by supplier, aggregates map-combine, no cartesian.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["shipping_leadtime_percentiles"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_vocab_growth_single_pass(spark, sf_dir):
+    # E169: the decile must be a pure projection — no ntile/row_number
+    # over the corpus (the partition-less windows that remain run over
+    # the 10-row decile frame, bounded by construction).  The term
+    # min-aggregate must map-combine.
+    df = spark_queries()["corpus_vocab_growth"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in plan
+    assert "ntile" not in plan.lower()
