@@ -407,3 +407,47 @@ def test_merge_upsert_matches_dict_reference(spark, tmp_path):
             r.k: (r.ts, r.v) for r in spark.read.parquet(path).collect()
         }
         assert got == ref, f"batch {batch}: {got} != {ref}"
+
+
+# ---------------------------------------------------------------------------
+# Histogram median (the E158/E168 primitive): the doubled-median over
+# a (key, value) histogram must equal the naive sorted-multiset
+# definition on seeded-random integer multisets — including the
+# even/odd middle-rank cases and single-value groups.
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_median2_matches_bruteforce(spark):
+    from pyspark.sql import Window as W
+
+    rng = random.Random(20260814)
+    rows = []
+    expected = {}
+    for case in range(40):
+        n = rng.randint(1, 60)
+        vals = [rng.randint(-50, 50) for _ in range(n)]
+        vals.sort()
+        # doubled median: sum of the two middle ranks (equal for odd n)
+        expected[case] = vals[(n - 1) // 2] + vals[n // 2]
+        rows += [(case, v) for v in vals]
+    df = spark.createDataFrame(rows, "case int, v int")
+
+    # the histogram-median shape under events_value_mad_outliers /
+    # shipping_leadtime_percentiles, fused across cases
+    h = df.groupBy("case", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = h.groupBy("case").agg(F.sum("cnt").alias("n"))
+    w = W.partitionBy("case").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = h.join(tot, "case").withColumn("cum", F.sum("cnt").over(w))
+    m2 = (
+        cum.groupBy("case")
+        .agg(
+            (
+                F.min(F.when(F.expr("cum >= (n + 1) div 2"), F.col("v")))
+                + F.min(F.when(F.expr("cum >= (n + 2) div 2"), F.col("v")))
+            ).alias("m2")
+        )
+    )
+    got = {r["case"]: r["m2"] for r in m2.collect()}
+    assert got == expected
