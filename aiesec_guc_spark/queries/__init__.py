@@ -194,6 +194,9 @@ _EVIDENCE_PRIORITY = [
     "dedup_lsh_band_sweep",
     "shipping_leadtime_percentiles",
     "corpus_vocab_growth",
+    "user_behavior_diversity",
+    "source_quality_shrunk",
+    "dedup_cluster_size_histogram",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

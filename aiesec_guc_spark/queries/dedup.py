@@ -1858,3 +1858,59 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram — the audit that tells a curation
+# run WHAT KIND of duplication it is removing: many 2-doc clusters
+# (organic reposts) vs a few giant clusters (template floods, crawler
+# traps).  Log2-bucketed so the histogram is O(log max_cluster) rows
+# at any corpus size.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_HIST_ORACLE = """
+WITH cl AS (
+  SELECT md5(lower(trim(text))) AS fp, CAST(count(*) AS BIGINT) AS csize
+  FROM documents GROUP BY 1
+)
+SELECT CAST(length(bin(csize)) - 1 AS INT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(csize) AS BIGINT) AS n_docs,
+       CAST(SUM(csize) - count(*) AS BIGINT) AS n_excess_dups
+FROM cl GROUP BY 1
+"""
+
+
+@query("dedup_cluster_size_histogram", oracle=_CLUSTER_HIST_ORACLE)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact-duplicate cluster sizes in log2 buckets:
+    (⌊log2 size⌋, n_clusters, n_docs, n_excess_dups) — bucket 0 is
+    unique docs, bucket 1 is pairs/triples, high buckets are template
+    floods.  Σ n_excess_dups is exactly the doc count removed by
+    keep-one-per-cluster dedup, so the histogram doubles as the
+    audit trail for `dedup_exact_docs`.
+
+    ⌊log2 n⌋ is computed as length(bin(n)) − 1 — `bin` renders the
+    same minimal binary string in Spark and DuckDB, so the bucket is
+    exact integer arithmetic in both engines (a float floor(log2())
+    could straddle a power of two differently per libm).
+
+    Scale shape: one md5-fingerprint count (map-side combinable,
+    shuffle keyed on the hash — uniform by construction), then a
+    second combinable fold onto ≤ ~40 bucket rows.  Never builds the
+    pair list; cluster sizes are counts, so a 10M-doc template flood
+    is one row, not 10M² pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cl = d.groupBy(fingerprint_md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("csize")
+    )
+    return cl.groupBy(
+        (F.length(F.bin("csize")) - 1).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("csize").cast("bigint").alias("n_docs"),
+        (F.sum("csize") - F.count(F.lit(1))).cast("bigint").alias(
+            "n_excess_dups"
+        ),
+    )

@@ -1497,3 +1497,69 @@ def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "n_orders", "acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral diversity (Gini–Simpson) per user — how spread is each
+# user's activity across event types?  The engagement-breadth signal
+# (bots hammer one type → diversity ~0; organic users mix) computed
+# WITHOUT logs: 1 − Σp² is a ratio of exact integers, so unlike a
+# Shannon-entropy fold it hash-matches across engines bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH bytype AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM bytype GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       CAST(n_events * n_events - sum_sq AS DOUBLE)
+         / CAST(n_events * n_events AS DOUBLE) AS diversity
+FROM s
+"""
+
+
+@query("user_behavior_diversity", oracle=_DIVERSITY_ORACLE)
+def user_behavior_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: (n_events, n_types, Gini–Simpson diversity 1 − Σp²)
+    over event types — the behavioral-breadth score that separates
+    single-action bots (≈0) from organic mixed activity (→ 1 − 1/k).
+
+    Gini–Simpson instead of Shannon entropy is a determinism choice,
+    not a shortcut: 1 − Σ(cᵢ/n)² = (n² − Σcᵢ²)/n² is ONE double
+    division of two exact BIGINTs, so Spark and DuckDB agree
+    bit-for-bit, while a Σp·log p fold would sum doubles in
+    engine-dependent order.  (At 100 TB n² widens to DECIMAL(38,0)
+    before the division — still exact.)
+
+    Scale shape: two map-side-combinable aggregates — collapse to
+    (user, type) grain, then fold each user's counts to three
+    integers.  Both exchanges hash-partition on the grain key; no
+    window, no join, no skew (per-user type cardinality is bounded
+    by the type vocabulary).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bytype = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = bytype.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+    )
+    nsq = F.col("n_events") * F.col("n_events")
+    return s.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        ((nsq - F.col("sum_sq")).cast("double") / nsq.cast("double")).alias(
+            "diversity"
+        ),
+    )

@@ -940,3 +940,91 @@ def events_arrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / mean
         ).alias("dispersion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality with empirical-Bayes shrinkage — the domain-level
+# filtering signal (keep/downsample whole sources) that small sources
+# can't game: a 3-doc source with a lucky alpha ratio is pulled toward
+# the corpus mean, while a 10k-doc source speaks for itself.
+# ---------------------------------------------------------------------------
+
+_SHRUNK_PSEUDO_CHARS = 500  # prior weight, in characters
+
+_SHRUNK_ORACLE = f"""
+WITH perdoc AS (
+  SELECT source,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+              AS BIGINT) AS a,
+         CAST(length(text) AS BIGINT) AS t
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(t) AS BIGINT) AS st
+  FROM perdoc GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(sa) AS BIGINT) AS ga, CAST(SUM(st) AS BIGINT) AS gt
+  FROM per_source
+)
+SELECT s.source, s.n_docs, s.sa AS alpha_chars, s.st AS total_chars,
+       CAST(s.sa AS DOUBLE) / CAST(s.st AS DOUBLE) AS raw_ratio,
+       CAST(s.sa * g.gt + {_SHRUNK_PSEUDO_CHARS} * g.ga AS DOUBLE)
+         / CAST((s.st + {_SHRUNK_PSEUDO_CHARS}) * g.gt AS DOUBLE)
+         AS shrunk_ratio
+FROM per_source s CROSS JOIN g
+"""
+
+
+@query("source_quality_shrunk", oracle=_SHRUNK_ORACLE)
+def source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: alphabetic-character ratio, raw and shrunk toward
+    the corpus mean with a {pseudo}-character prior — the
+    domain-level keep/downsample score used when filtering whole
+    sources rather than single documents.
+
+    Exactness: the per-source and global character sums are BIGINT;
+    the shrunk ratio (Σa_s + m·A/T)/(Σt_s + m) is cleared of its
+    inner fraction by multiplying through by T, so each output is ONE
+    double division of two exact integer products (DECIMAL(38,0)
+    widening at 100 TB, same as the BM25 idf products — the division
+    stays single and deterministic).
+
+    Scale shape: one map-side-combinable aggregate to source grain
+    (the per-doc a/t are projections), one 1-row global fold
+    broadcast back via cross join.  Source cardinality ≪ corpus, so
+    the final frame is dimension-sized; no window, no skew-sensitive
+    join anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    perdoc = d.select(
+        "source",
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+        .cast("bigint")
+        .alias("a"),
+        F.length("text").cast("bigint").alias("t"),
+    )
+    per_source = perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("t").cast("bigint").alias("st"),
+    )
+    g = per_source.agg(
+        F.sum("sa").cast("bigint").alias("ga"),
+        F.sum("st").cast("bigint").alias("gt"),
+    )
+    m = F.lit(_SHRUNK_PSEUDO_CHARS)
+    return per_source.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        F.col("sa").alias("alpha_chars"),
+        F.col("st").alias("total_chars"),
+        (F.col("sa").cast("double") / F.col("st").cast("double")).alias(
+            "raw_ratio"
+        ),
+        (
+            (F.col("sa") * F.col("gt") + m * F.col("ga")).cast("double")
+            / ((F.col("st") + m) * F.col("gt")).cast("double")
+        ).alias("shrunk_ratio"),
+    )

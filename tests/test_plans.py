@@ -1003,3 +1003,37 @@ def test_vocab_growth_single_pass(spark, sf_dir):
     assert has_partial_aggregation(df)
     assert "CartesianProduct" not in plan
     assert "ntile" not in plan.lower()
+
+
+def test_behavior_diversity_two_combinable_aggs(spark, sf_dir):
+    # E170: (user, type) grain then user grain — both partial-agg
+    # exchanges, no window, no join.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["user_behavior_diversity"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert global_window_count(df) == 0
+    assert "Join" not in plan
+
+
+def test_source_quality_shrunk_broadcast_global(spark, sf_dir):
+    # E171: the 1-row global fold is broadcast back; the only joins
+    # are that broadcast — no shuffle join of source-grain frames.
+    df = spark_queries()["source_quality_shrunk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_histogram_never_builds_pairs(spark, sf_dir):
+    # E172: two combinable aggregates, no join at all — a template
+    # flood is one count row, never a pair blowup.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["dedup_cluster_size_histogram"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert global_window_count(df) == 0
+    assert "Join" not in plan
