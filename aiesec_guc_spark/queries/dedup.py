@@ -1914,3 +1914,81 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_excess_dups"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training — pairs that COLLIDE
+# in the LSH index but verify as non-duplicates.  Exactly the pairs a
+# retrieval/embedding model learns the most from: superficially
+# similar (shared shingles → bucket collision) yet not the same
+# document.  The complement of `sample_negative_pairs` (uniform
+# random) and `dedup_minhash_lsh` (the true-dup side of the same
+# candidate set).
+# ---------------------------------------------------------------------------
+
+HARD_NEG_J = 0.5   # verified-Jaccard ceiling: above this it's a dup, not a negative
+HARD_NEG_PER_ANCHOR = 2
+
+_HARD_NEG_ORACLE = f"""
+WITH base AS ({{base}}),
+sym AS (
+  SELECT doc_a AS anchor_id, doc_b AS partner_id, jaccard FROM base
+  WHERE jaccard > 0 AND jaccard < {HARD_NEG_J}
+  UNION ALL
+  SELECT doc_b, doc_a, jaccard FROM base
+  WHERE jaccard > 0 AND jaccard < {HARD_NEG_J}
+),
+ranked AS (
+  SELECT anchor_id, partner_id, jaccard,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY jaccard DESC, partner_id) AS rnk
+  FROM sym
+)
+SELECT anchor_id, partner_id, jaccard, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {HARD_NEG_PER_ANCHOR}
+"""
+
+
+@query(
+    "sample_hard_negatives",
+    oracle=_HARD_NEG_ORACLE.format(base=_minhash_oracle()),
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} hard negatives per anchor document: LSH bucket
+    collisions whose verified Jaccard lands in (0, {j}) — similar
+    enough to fool the index, verified not duplicates.  The standard
+    contrastive-pair mining move: train on what the index confuses.
+
+    Reuses the shared five-stage MinHash pipeline (one signature
+    build, banded bucket equi-join, candidate-bounded verification —
+    never all-pairs), then symmetrizes the surviving pairs so each
+    side serves as an anchor and keeps the {k} highest-similarity
+    partners per anchor.
+
+    Scale shape: everything corpus-sized is inherited from the
+    already-plan-asserted candidate pipeline; the added work is a
+    filter + a window over PER-ANCHOR candidate lists (bounded by
+    bucket collision counts, the quantity LSH parameters already
+    control — audited by `dedup_lsh_band_sweep`).
+    """
+    pairs = _minhash_jaccard_pairs(spark, sf_dir).filter(
+        (F.col("jaccard") > 0) & (F.col("jaccard") < HARD_NEG_J)
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("anchor_id"),
+        F.col("doc_b").alias("partner_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("anchor_id"),
+            F.col("doc_a").alias("partner_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("jaccard"), F.asc("partner_id")
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= HARD_NEG_PER_ANCHOR)
+    )

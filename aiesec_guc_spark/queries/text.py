@@ -1756,3 +1756,217 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality score (CCNet-style) — score each document by how
+# probable its word bigrams are under a Laplace-smoothed LM trained on
+# the corpus itself.  The classic LM-perplexity quality filter
+# re-expressed log-free: the per-doc statistic is the LOWER MEDIAN of
+# the per-bigram probabilities — a realized (c12+1)/(c1+V) value, ONE
+# double division of exact integers — so both engines agree
+# bit-for-bit where a mean-log fold (true perplexity) would sum
+# doubles in engine-dependent order.
+# ---------------------------------------------------------------------------
+
+_LM_QUALITY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+),
+binst AS (
+  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS bg
+    FROM d
+  )
+),
+bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM binst GROUP BY 1),
+ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM binst GROUP BY 1),
+v AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab
+  FROM (SELECT unnest(toks) AS term FROM d)
+),
+scored AS (
+  SELECT b.doc_id, b.bg,
+         CAST(g.c12 + 1 AS DOUBLE) / CAST(c.c1 + v.vocab AS DOUBLE) AS p
+  FROM binst b JOIN bgc g USING (bg) JOIN ctx c ON b.w1 = c.w1
+  CROSS JOIN v
+),
+ranked AS (
+  SELECT doc_id, bg, p,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p, bg) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM scored
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, p AS med_prob
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+@query("text_bigram_lm_quality", oracle=_LM_QUALITY_ORACLE)
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score per document: the lower-median
+    Laplace-smoothed bigram probability (c₁₂+1)/(c₁+V) under a bigram
+    model trained on the corpus itself — low scores flag gibberish /
+    boilerplate, high scores flag fluent (or memorized) text.
+
+    Determinism choices: the LOWER median is a realized probability —
+    one double division of exact BIGINTs — never an interpolated
+    midpoint (Spark and DuckDB lerp differently), and never a mean of
+    logs (engine-order double summation).  Ties in p break on the
+    bigram string, so the picked element is unique.
+
+    Scale shape: bigram instances are built by a zero-shuffle
+    projection (slice+transform over the token array — no posexplode
+    self-join); the model is two map-side-combinable count
+    aggregates whose output is VOCABULARY-sized, not corpus-sized;
+    scoring joins instances to those counts on the bigram key (AQE
+    handles hot-bigram skew) and V arrives via a 1-row broadcast.
+    The median hunt is a per-doc window — bounded by document
+    length, never corpus-global.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks"),
+    )
+    binst = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks)-1),"
+                    " (x, i) -> concat(x, ' ', toks[i+1]))"
+                )
+            ).alias("bg"),
+        )
+        .withColumn("w1", F.expr("split_part(bg, ' ', 1)"))
+    )
+    bgc = binst.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    ctx = binst.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    v = d.select(F.explode("toks").alias("term")).agg(
+        F.count_distinct("term").cast("bigint").alias("vocab")
+    )
+    scored = (
+        binst.join(bgc, "bg")
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "bg",
+            (
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("vocab")).cast("double")
+            ).alias("p"),
+        )
+    )
+    wd = Window.partitionBy("doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "p",
+        F.row_number().over(wd.orderBy("p", "bg")).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_bigrams"),
+        F.col("p").alias("med_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law slope per language — the companion diagnostic to the
+# Heaps'-law curve (corpus_vocab_growth): organic text shows a
+# log-frequency vs log-rank slope near −1; templated or synthetic
+# floods flatten or cliff it.  Octave-binned (⌊log2⌋ on both axes) so
+# the regression is exact integer arithmetic end-to-end.
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+freqs AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS f
+  FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang,
+         CAST(length(bin(row_number() OVER (
+           PARTITION BY lang ORDER BY f DESC, term))) - 1 AS BIGINT) AS x,
+         CAST(length(bin(f)) - 1 AS BIGINT) AS y
+  FROM freqs
+),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM ranked GROUP BY 1
+)
+SELECT lang, n AS n_terms,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+FROM s
+WHERE n > 1 AND n * sxx - sx * sx <> 0
+"""
+
+
+@query("text_zipf_octave_slope", oracle=_ZIPF_ORACLE)
+def text_zipf_octave_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: the Zipf slope — OLS of ⌊log2 freq⌋ on
+    ⌊log2 rank⌋ over the term-frequency table (≈ −1 for organic text,
+    flatter for templated floods).  Pairs with `corpus_vocab_growth`
+    as the two classic power-law health checks a tokenizer-training
+    corpus gets.
+
+    Octave binning via length(bin(n))−1 keeps both axes exact
+    integers (no libm log whose ulp could differ per engine), and the
+    OLS uses the sufficient-statistics fold (n, Σx, Σy, Σxy, Σx² —
+    all BIGINT) with ONE double division at the end, the same
+    discipline as `nation_revenue_trend_ols`.
+
+    Scale shape: the only corpus-sized operation is the (lang, term)
+    count — map-side combinable, shuffle keyed on the pair.  The rank
+    window partitions by lang over the VOCABULARY-sized frequency
+    table (Heaps: ≪ corpus; same posture as text_topk_terms_per_lang),
+    and the regression folds each language to five integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    freqs = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), "term")
+    ranked = freqs.select(
+        "lang",
+        (F.length(F.bin(F.row_number().over(w))) - 1).cast("bigint").alias("x"),
+        (F.length(F.bin("f")) - 1).cast("bigint").alias("y"),
+    )
+    s = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter((F.col("n") > 1) & (den != 0)).select(
+        "lang",
+        F.col("n").alias("n_terms"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / den.cast("double")
+        ).alias("zipf_slope"),
+    )
