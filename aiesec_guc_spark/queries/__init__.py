@@ -197,6 +197,11 @@ _EVIDENCE_PRIORITY = [
     "user_behavior_diversity",
     "source_quality_shrunk",
     "dedup_cluster_size_histogram",
+    "text_bigram_lm_quality",
+    "text_zipf_octave_slope",
+    "sample_hard_negatives",
+    "embedding_dim_variance",
+    "orders_dow_seasonality",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

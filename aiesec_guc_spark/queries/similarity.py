@@ -1519,3 +1519,78 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.col(f"p{j}") for j in range(RP_OUT_DIM)]).alias("proj"),
         F.expr(f"round(({norm2}) / orig_norm2, 9)").alias("norm2_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension variance screen — which embedding dimensions carry
+# signal?  Collapsed/dead dimensions (variance ≈ 0) are the classic
+# symptom of representation collapse and the input to dimension-drop
+# compression; computed with the same fixed-point-quantized exact
+# sums as the centroid-separation query so both engines agree
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_DIM_VAR_ORACLE = f"""
+WITH flat AS (
+    SELECT u.d AS dim,
+           CAST(floor(CAST(u.v AS DOUBLE) * 100000) AS BIGINT) AS q
+    FROM embeddings,
+         LATERAL (
+            SELECT unnest(generate_series(1, {{dim}})) AS d,
+                   unnest(embedding) AS v
+         ) u
+),
+s AS (
+    SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS sq,
+           CAST(SUM(q * q) AS BIGINT) AS sqq
+    FROM flat GROUP BY 1
+)
+SELECT CAST(dim AS INT) AS dim, n,
+       CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100000 AS mean_val,
+       CAST(n * sqq - sq * sq AS DOUBLE)
+         / CAST(n * (n - 1) AS DOUBLE) / 10000000000 AS variance
+FROM s
+"""
+
+
+@query("embedding_dim_variance", oracle=_DIM_VAR_ORACLE.format(dim=EMBEDDING_DIM))
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per embedding dimension: n, mean, sample variance — the
+    representation-collapse screen (dead dims have variance ≈ 0) and
+    the ranking input for variance-based dimension dropping.
+
+    Determinism: values are fixed-point quantized (floor(v·10⁵), the
+    `label_centroid_separation` convention) so Σq and Σq² are exact
+    BIGINTs; n·Σq²−(Σq)² is the exact sufficient-statistics variance
+    numerator, and doubles appear only in the final fixed-order
+    division chain.  (Headroom: Σq² ≤ n·(3·10⁵)² stays under 2⁶³ to
+    ~10¹² vectors; DECIMAL(38,0) widening beyond.)
+
+    Scale shape: posexplode is a map-side projection; the whole
+    corpus folds to {dim} rows of three integers in one map-side-
+    combinable aggregate keyed on dim — perfectly uniform, no skew,
+    no window, no join.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("d0", "v")).select(
+        (F.col("d0") + 1).cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * 100000).cast("bigint").alias("q"),
+    )
+    s = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+    )
+    return s.select(
+        "dim",
+        "n",
+        (F.col("sq").cast("double") / F.col("n").cast("double") / F.lit(100000)).alias(
+            "mean_val"
+        ),
+        (
+            (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+            / F.lit(10000000000)
+        ).alias("variance"),
+    )

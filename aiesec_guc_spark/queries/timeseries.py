@@ -953,3 +953,97 @@ def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFra
             / 100
         ).alias("pct_beyond_10m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal index — classical ratio-to-moving-average
+# decomposition at daily grain: detrend daily revenue with a centered
+# 7-day moving average, then summarize each weekday's actual/trend
+# ratio.  The capacity-planning readout ("Sundays run at 0.7× trend")
+# that a raw dow groupBy conflates with long-run growth.
+# ---------------------------------------------------------------------------
+
+_DOW_SEASONALITY_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+ma AS (
+  SELECT d, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS trend7,
+         CAST(count(*) OVER w AS BIGINT) AS cnt7,
+         date_diff('day', min(d) OVER w, max(d) OVER w) AS span7
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+ratios AS (
+  SELECT dayofweek(d) AS dow, d,
+         CAST(7 * cents AS DOUBLE) / CAST(trend7 AS DOUBLE) AS ratio
+  FROM ma WHERE cnt7 = 7 AND span7 = 6
+),
+ranked AS (
+  SELECT dow, ratio,
+         row_number() OVER (PARTITION BY dow ORDER BY ratio, d) AS rn,
+         count(*) OVER (PARTITION BY dow) AS n
+  FROM ratios
+)
+SELECT CAST(dow AS INT) AS dow, CAST(n AS BIGINT) AS n_days,
+       ratio AS seasonal_index
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+@query("orders_dow_seasonality", oracle=_DOW_SEASONALITY_ORACLE)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per weekday (0=Sunday): the seasonal index — the lower-median
+    ratio of daily revenue to its centered 7-day moving-average trend
+    — classical ratio-to-MA decomposition, robust to the growth trend
+    a plain dow groupBy would fold in.
+
+    Determinism: daily revenue and the 7-day trend are exact cents
+    BIGINTs; each ratio is ONE double division (7·cents/trendΣ — the
+    /7 is cleared into the numerator); the per-dow summary is the
+    LOWER median (a realized ratio, ties broken by date), never an
+    interpolated midpoint.  Edge days and date gaps are excluded
+    exactly (window must hold 7 rows spanning 6 days).
+
+    Scale shape: the corpus collapses to DATE-grain first (map-side-
+    combinable sum, one shuffle keyed on date); every window after
+    that runs over the date-domain frame (~10³ rows regardless of
+    corpus size — the gapfill/backlog posture) or partitions by dow.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("trend7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt7"),
+        F.datediff(F.max("d").over(w), F.min("d").over(w)).alias("span7"),
+    )
+    ratios = ma.filter((F.col("cnt7") == 7) & (F.col("span7") == 6)).select(
+        (F.dayofweek("d") - 1).cast("int").alias("dow"),
+        "d",
+        ((F.col("cents") * 7).cast("double") / F.col("trend7").cast("double")).alias(
+            "ratio"
+        ),
+    )
+    wd = Window.partitionBy("dow")
+    ranked = ratios.select(
+        "dow",
+        "ratio",
+        F.row_number().over(wd.orderBy("ratio", "d")).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "dow",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("ratio").alias("seasonal_index"),
+    )

@@ -1037,3 +1037,64 @@ def test_cluster_histogram_never_builds_pairs(spark, sf_dir):
     assert has_partial_aggregation(df)
     assert global_window_count(df) == 0
     assert "Join" not in plan
+
+
+def test_bigram_lm_no_posexplode_self_join(spark, sf_dir):
+    # E173: bigrams come from a slice+transform projection — the plan
+    # must contain exactly one Generate (the explode of the built
+    # bigram array) and no cartesian; the median window partitions by
+    # doc_id.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["text_bigram_lm_quality"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert global_window_count(df) == 0
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_zipf_slope_combinable_folds(spark, sf_dir):
+    # E174: rank window partitions by lang (never global); the OLS
+    # fold is a partial aggregation.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["text_zipf_octave_slope"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_hard_negatives_no_cross_product(spark, sf_dir):
+    # E175: candidates come from the banded bucket equi-join — no
+    # all-pairs anywhere, and the per-anchor window is partitioned.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["sample_hard_negatives"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert global_window_count(df) == 0
+
+
+def test_dim_variance_single_combinable_fold(spark, sf_dir):
+    # E176: posexplode projection + ONE partial aggregation to
+    # dim-count rows; no window, no join.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["embedding_dim_variance"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert global_window_count(df) == 0
+    assert "Join" not in plan
+
+
+def test_dow_seasonality_date_domain_windows(spark, sf_dir):
+    # E177: the corpus-sized input collapses to date grain via a
+    # partial aggregation BEFORE any window; the MA window is ordered
+    # over the date-domain frame (documented bounded-domain posture,
+    # same as gapfill), so a global window IS expected here — assert
+    # the partial agg feeds it and nothing cartesian appears.
+    df = spark_queries()["orders_dow_seasonality"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in plan
