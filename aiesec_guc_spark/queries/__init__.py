@@ -202,6 +202,9 @@ _EVIDENCE_PRIORITY = [
     "sample_hard_negatives",
     "embedding_dim_variance",
     "orders_dow_seasonality",
+    "dedup_shingle_hotspot_audit",
+    "session_duration_histogram",
+    "supplier_hhi_by_region",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

@@ -1992,3 +1992,88 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= HARD_NEG_PER_ANCHOR)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hot-shingle skew audit — WHICH shingles would blow up a naive
+# shingle-join dedup?  Each shingle with document frequency df
+# contributes df·(df−1)/2 candidate pairs, so the skew that SCALING.md's
+# hot-term sharding escape exists for is exactly the head of this
+# table.  The audit that turns "we handle skew" into a measured list.
+# ---------------------------------------------------------------------------
+
+SHINGLE_HOTSPOT_TOPK = 20
+
+_SHINGLE_HOTSPOT_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= {SHINGLE_WORDS}
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - {SHINGLE_WORDS - 1}),
+                i -> {" || ' ' || ".join(f"toks[i+{k}]" for k in range(SHINGLE_WORDS))}))
+           AS shingle
+  FROM docs
+),
+df AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS total_pairs FROM df
+)
+SELECT d.shingle, d.df,
+       CAST(d.df * (d.df - 1) // 2 AS BIGINT) AS pair_candidates,
+       CAST(1000000 * (d.df * (d.df - 1) // 2) AS DOUBLE)
+         / CAST(t.total_pairs AS DOUBLE) AS ppm_of_total
+FROM df d CROSS JOIN tot t
+ORDER BY d.df DESC, d.shingle
+LIMIT {SHINGLE_HOTSPOT_TOPK}
+"""
+
+
+@query("dedup_shingle_hotspot_audit", oracle=_SHINGLE_HOTSPOT_ORACLE)
+def dedup_shingle_hotspot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} hottest shingles by document frequency, with the
+    candidate-pair count df·(df−1)/2 each would contribute to a naive
+    shingle-bucket join and its share (ppm) of the total — the
+    measured skew profile behind the hot-term sharding escape
+    SCALING.md prescribes for the n-gram dedup family.
+
+    Exactness: df and the pair counts are BIGINT (integer // 2 —
+    df·(df−1) is always even); the ppm share is ONE double division
+    of exact integers.  (df·(df−1)/2 approaches 2⁶³ only past ~4·10⁹
+    docs sharing a shingle — DECIMAL widening documented there.)
+
+    Scale shape: reuses the shared shingle projection (tokenize once,
+    explode map-side); df is a combinable count keyed on the shingle;
+    the total is a 1-row fold broadcast back; the head is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
+    ).select("doc_id", "text")
+    df = (
+        shingle_rows(docs, "doc_id", "text")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    pairs = F.expr("CAST(df * (df - 1) div 2 AS BIGINT)")
+    tot = df.agg(F.sum(pairs).cast("bigint").alias("total_pairs"))
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .select(
+            "shingle",
+            "df",
+            pairs.alias("pair_candidates"),
+            (
+                (F.lit(1000000) * pairs).cast("double")
+                / F.col("total_pairs").cast("double")
+            ).alias("ppm_of_total"),
+        )
+        .orderBy(F.desc("df"), "shingle")
+        .limit(SHINGLE_HOTSPOT_TOPK)
+    )

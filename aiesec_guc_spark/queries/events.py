@@ -1068,3 +1068,90 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bounce_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-duration histogram — how long do 30-min-gap sessions
+# actually run?  Log2-bucketed over whole seconds so the histogram is
+# O(log max_duration) rows at any corpus size; the capacity/engagement
+# readout that complements session counts (events_sessionize) and
+# bounce share (session_bounce_rate).
+# ---------------------------------------------------------------------------
+
+_SESSION_DURATION_HIST_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM gaps
+),
+per_session AS (
+  SELECT user_id, session_id,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT CASE WHEN dur_s = 0 THEN -1
+            ELSE CAST(length(bin(dur_s)) - 1 AS INT) END AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM per_session
+GROUP BY 1
+"""
+
+
+@query("session_duration_histogram", oracle=_SESSION_DURATION_HIST_ORACLE)
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of 30-min-gap session durations in log2(seconds)
+    buckets (bucket −1 = sub-second/single-event sessions): per
+    bucket, session and event counts.  The engagement-depth readout
+    that a mean session length hides (the histogram separates a
+    bimodal bounce/binge mix).
+
+    Determinism: duration is exact integer microseconds floored to
+    whole seconds (µs div 10⁶ — both engines integer-divide), and the
+    bucket is length(bin(s))−1, exact in both engines; the ambiguous
+    0-second case gets its own sentinel bucket rather than sharing
+    bucket 0 with 1-second sessions.
+
+    Scale shape: the sessionizer is the shared single user-keyed
+    shuffle (both windows reuse it); per-session collapse is a
+    combinable aggregate on (user, session), and the histogram fold
+    ends at O(log max_duration) rows.  Nothing global, nothing
+    corpus-sized after the first shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sessions = ev.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "CAST((max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000"
+            " AS BIGINT)"
+        ).alias("dur_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return per_session.groupBy(
+        F.when(F.col("dur_s") == 0, F.lit(-1))
+        .otherwise((F.length(F.bin("dur_s")) - 1).cast("int"))
+        .cast("int")
+        .alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )

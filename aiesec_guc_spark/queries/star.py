@@ -1246,3 +1246,91 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weighted_median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier market concentration (Herfindahl–Hirschman index) per
+# region — is a region's supply revenue spread across many suppliers
+# or locked in a few?  The procurement-risk twin of the Gini query,
+# computed log-free as a ratio of exact integer sums.
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, l.l_suppkey,
+         CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))))
+              AS BIGINT) AS dollars
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT region, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(dollars) AS BIGINT) AS total_dollars,
+         CAST(SUM(dollars * dollars) AS BIGINT) AS sum_sq
+  FROM rev GROUP BY 1
+)
+SELECT region, n_suppliers, total_dollars,
+       CAST(sum_sq AS DOUBLE)
+         / CAST(total_dollars * total_dollars AS DOUBLE) AS hhi
+FROM s
+"""
+
+
+@query("supplier_hhi_by_region", oracle=_HHI_ORACLE)
+def supplier_hhi_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per region: supplier revenue concentration as the
+    Herfindahl–Hirschman index Σ(shareᵢ)² — 1/n for perfectly spread
+    supply, → 1 for a captive single supplier — plus the supplier
+    count and total whole-dollar revenue it is computed over.
+
+    Determinism: per-supplier revenue is the exact decimal fold
+    FLOORED to whole dollars (floor of an exact decimal — never a
+    double round); Σd and Σd² are exact BIGINTs, and the HHI
+    Σd²/(Σd)² is ONE double division.  (Σd² nears 2⁶³ once a single
+    supplier's revenue passes ~3·10⁹ dollars — DECIMAL(38,0) widening
+    there, same note as the BM25 products.)
+
+    Scale shape: the fact scan broadcast-joins the supplier→nation→
+    region dimension chain (no fact shuffle for the joins, same plan
+    as star_revenue_by_nation); the only data shuffles are the two
+    combinable aggregates — (region, suppkey) grain, then 5-row
+    region grain.  No window, no self-join.
+    """
+    li = fan_out_scan(spark, load_table(spark, sf_dir, "lineitem"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "l_suppkey")
+        .agg(
+            F.floor(
+                F.sum(
+                    _dec("l_extendedprice", 18)
+                    * (F.lit(1) - _dec("l_discount", 18))
+                )
+            )
+            .cast("bigint")
+            .alias("dollars")
+        )
+    )
+    agg = rev.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("dollars").cast("bigint").alias("total_dollars"),
+        F.sum(F.col("dollars") * F.col("dollars")).cast("bigint").alias("sum_sq"),
+    )
+    return agg.select(
+        "region",
+        "n_suppliers",
+        "total_dollars",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total_dollars") * F.col("total_dollars")).cast("double")
+        ).alias("hhi"),
+    )

@@ -1098,3 +1098,33 @@ def test_dow_seasonality_date_domain_windows(spark, sf_dir):
     plan = formatted_plan(df)
     assert has_partial_aggregation(df)
     assert "CartesianProduct" not in plan
+
+
+def test_shingle_hotspot_heap_head(spark, sf_dir):
+    # E178: top-k must be TakeOrderedAndProject (no global sort) and
+    # the pipeline never forms a pair join.
+    df = spark_queries()["dedup_shingle_hotspot_audit"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_session_duration_hist_single_user_shuffle(spark, sf_dir):
+    # E179: both sessionizer windows share the user-keyed sort; the
+    # two aggregates after it are combinable; no global window.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["session_duration_histogram"](spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
+
+
+def test_hhi_broadcasts_dim_chain(spark, sf_dir):
+    # E180: the supplier->nation->region chain must broadcast; the
+    # fact side never shuffles for the joins.
+    df = spark_queries()["supplier_hhi_by_region"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert has_partial_aggregation(df)
