@@ -224,3 +224,82 @@ def expire_partitions(
         for v in victims:
             shutil.rmtree(os.path.join(path, f"{column}={v}"))
     return victims
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout rewrite — multi-dimensional clustering for min/max
+# file skipping.  A table range-partitioned on one column prunes that
+# column only; interleaving the bits of two filter columns gives every
+# file a tight bounding BOX in (x, y), so point/range predicates on
+# EITHER column skip most files at the footer-stats level — the layout
+# operation behind Delta/Iceberg OPTIMIZE ZORDER, expressed as plain
+# Spark (repartitionByRange + sortWithinPartitions on the Morton key).
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 12
+
+
+def zorder_key_expr(x_col: str, y_col: str, bits: int = ZORDER_BITS) -> str:
+    """Spark-SQL expression for the Morton (bit-interleaved) z-value
+    of the low ``bits`` of two non-negative integer columns.  Same
+    generated form as the `layout_zorder_stats` query oracle, so the
+    layout the operator writes is the layout the query audits."""
+    mask = (1 << bits) - 1
+    x, y = f"({x_col} & {mask})", f"({y_col} & {mask})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_rewrite(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    bits: int = ZORDER_BITS,
+) -> dict:
+    """Rewrite ``df`` at ``path`` as ``n_files`` parquet files
+    z-order-clustered on ``(x_col, y_col)``.
+
+    Mechanics: compute the Morton key, ``repartitionByRange`` on it
+    (range partitioning = contiguous z-intervals per file → tight
+    per-file (x, y) bounding boxes), ``sortWithinPartitions`` so row
+    groups inside each file cluster too, then drop the key before
+    writing — the layout survives in the file/row-group min/max
+    stats, not as a stored column.  The write goes through the same
+    hidden-sibling two-rename swap as ``compact_table`` so readers
+    never see a half-written table.
+
+    Scale: one range shuffle of the rewritten slice — the same cost
+    as any compaction pass, and like ``compact_partitions`` it should
+    be applied per partition-directory at 100 TB so a single job
+    never rewrites the whole table.  Returns ``file_stats(path)``
+    after the swap.
+    """
+    z = zorder_key_expr(x_col, y_col, bits)
+    spark = df.sparkSession
+    tmp = swap_sibling(path, "zorder_tmp")
+    (
+        df.withColumn("_zkey", _expr_col(z))
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = swap_sibling(path, "zorder_old")
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    return file_stats(path)
+
+
+def _expr_col(sql_expr: str):
+    from pyspark.sql import functions as F
+
+    return F.expr(sql_expr)
