@@ -205,6 +205,7 @@ _EVIDENCE_PRIORITY = [
     "dedup_shingle_hotspot_audit",
     "session_duration_histogram",
     "supplier_hhi_by_region",
+    "similarity_pq_adc",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
     "approx_quantile_orders",

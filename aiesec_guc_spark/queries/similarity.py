@@ -1594,3 +1594,194 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000000000)
         ).alias("variance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (shared codebook) — the FAISS-classic ANN
+# compression the suite was missing: each vector is stored as M small
+# codeword ids instead of M·d/M floats, and a probe scores candidates
+# from the codewords alone.  Completes the coarse-quantizer (IVF) +
+# scalar-quantizer (int8) + binary-sketch (SimHash/LSH) family.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                          # subspaces
+PQ_SUBDIM = EMBEDDING_DIM // PQ_M  # dims per subspace
+# Codebook size: _kmeans_centroids seeds with IVF_K rows, so the
+# shared codebook deliberately reuses the same K=16.
+
+
+def _pq_cents_cte() -> str:
+    """Oracle CTE chain ``e → sub → seed → cent{1..ITERS} → cb`` —
+    the SQL twin of the pooled sub-vector k-means below (same md5
+    seed, same cosine tie-breaks, same decimal-exact mean), with the
+    sub-vector id ``sid = vec_id·M + m`` as the seeding key."""
+    m, d = PQ_M, PQ_SUBDIM
+    mean_cols = ", ".join(
+        f"CAST(SUM(CAST(s.semb[{k + 1}] AS {_MEAN_DEC})) AS DOUBLE)"
+        f" / COUNT(*) AS m{k}"
+        for k in range(d)
+    )
+    mean_list = "list_value(" + ", ".join(f"mm.m{k}" for k in range(d)) + ")"
+    parts = [
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb"
+        " FROM embeddings)",
+        f"""sub AS (
+  SELECT vec_id, t.m, vec_id * {m} + t.m AS sid,
+         emb[t.m*{d}+1 : t.m*{d}+{d}] AS semb
+  FROM e, unnest(generate_series(0, {m - 1})) AS t(m)
+)""",
+        f"""seed AS (
+  SELECT sid AS cid, semb AS cvec FROM sub
+  ORDER BY md5(CAST(sid AS VARCHAR)), sid LIMIT {IVF_K}
+)""",
+    ]
+    prev = "seed"
+    for it in range(1, IVF_KMEANS_ITERS + 1):
+        parts.append(
+            f"""asg{it} AS (
+  SELECT s.sid, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.sid
+           ORDER BY {_cosine_sql('s.semb', 'c.cvec')} DESC, c.cid ASC
+         ) AS rn
+  FROM sub s CROSS JOIN {prev} c
+),
+mean{it} AS (
+  SELECT a.cid, {mean_cols}
+  FROM sub s JOIN asg{it} a ON s.sid = a.sid AND a.rn = 1
+  GROUP BY a.cid
+),
+cent{it} AS (
+  SELECT s.cid,
+         CASE WHEN mm.cid IS NULL THEN s.cvec ELSE {mean_list} END AS cvec
+  FROM {prev} s LEFT JOIN mean{it} mm ON s.cid = mm.cid
+)"""
+        )
+        prev = f"cent{it}"
+    parts.append(f"cb AS (SELECT cid, cvec FROM {prev})")
+    return ",\n".join(parts)
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH {_pq_cents_cte()},
+codes AS (
+  SELECT s.vec_id, s.m, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.sid
+           ORDER BY {_cosine_sql('s.semb', 'c.cvec')} DESC, c.cid ASC
+         ) AS rn
+  FROM sub s CROSS JOIN cb c
+),
+recon AS (
+  SELECT k.vec_id, flatten(list(b.cvec ORDER BY k.m)) AS remb
+  FROM codes k JOIN cb b USING (cid)
+  WHERE k.rn = 1
+  GROUP BY k.vec_id
+),
+probe AS (
+  SELECT vec_id AS probe_id, emb AS p FROM e
+  WHERE vec_id = (SELECT min(vec_id) FROM e)
+),
+scored AS (
+  SELECT r.vec_id, e.label,
+         {_cosine_sql('r.remb', 'probe.p')} AS cosine_pq
+  FROM recon r JOIN e ON e.vec_id = r.vec_id CROSS JOIN probe
+  WHERE r.vec_id <> probe.probe_id
+)
+SELECT vec_id, label, round(cosine_pq, 9) AS cosine_pq
+FROM scored ORDER BY cosine_pq DESC, vec_id LIMIT {TOPK}
+"""
+
+
+@query("similarity_pq_adc", oracle=_pq_oracle())
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors compressed to 8 codeword
+    ids from a shared 16-entry codebook trained by pooled-sub-vector
+    k-means (md5 seed + Lloyd rounds, the IVF trainer reused at
+    dim=8); a probe's top-k is scored from the codewords alone.
+
+    Scoring is by CODEBOOK RECONSTRUCTION — cos(probe, concat of the
+    vector's codewords) — which is mathematically the ADC lookup-table
+    sum (Σₘ dot(qₘ, c_codeₘ) = dot(q, concat(c))) expressed as the
+    suite's standard fixed-order array fold so the hash gate stays
+    exact; a production probe would precompute the M×K LUT and sum M
+    lookups per candidate (engine-order float adds — fine when no
+    cross-engine gate is watching).
+
+    Scale shape: training pools ALL sub-vectors through the existing
+    broadcast-K argmax + decimal-mean rounds (ingest-time cost, like
+    IVF); encoding is the same broadcast argmax once per sub-vector;
+    reconstruction joins codes to the BROADCAST 16-row codebook and
+    re-assembles per vector with an order-pinned collect (M rows per
+    vector, never corpus-wide); top-k is TakeOrderedAndProject.  The
+    compressed representation is M·log2(K) = 32 bits/vector vs 2048
+    for the raw floats — a 64× shrink.
+    """
+    from ..operators.dedup import materialize
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = raw.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                F.expr(f"slice(emb, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})").alias(
+                    "semb"
+                ),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    sub = e.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id",
+        F.col("s.m").alias("m"),
+        (F.col("vec_id") * PQ_M + F.col("s.m")).alias("sid"),
+        F.col("s.semb").alias("semb"),
+    )
+    train = sub.select(F.col("sid").alias("vec_id"), F.col("semb").alias("emb"))
+    cb = _kmeans_centroids(train, dim=PQ_SUBDIM)
+
+    codes = (
+        _assign_nearest(train, cb)
+        .select(
+            F.expr(f"vec_id div {PQ_M}").alias("ovec"),
+            (F.col("vec_id") % PQ_M).cast("int").alias("m"),
+            "cid",
+        )
+    )
+    recon = materialize(
+        codes.join(F.broadcast(cb), "cid")
+        .groupBy("ovec")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list(struct(m, cvec))),"
+                " s -> s.cvec))"
+            ).alias("remb")
+        )
+    )
+    probe = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("p"),
+        F.sqrt(hof_dot(F.col("emb"), F.col("emb"))).alias("p_nrm"),
+    )
+    scored = (
+        recon.join(e.select("vec_id", "label"), recon.ovec == F.col("vec_id"))
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "vec_id",
+            "label",
+            (
+                hof_dot(F.col("remb"), F.col("p"))
+                / (F.sqrt(hof_dot(F.col("remb"), F.col("remb"))) * F.col("p_nrm"))
+            ).alias("cosine_pq"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cosine_pq"), F.asc("vec_id"))
+        .limit(TOPK)
+        .select("vec_id", "label", F.round("cosine_pq", 9).alias("cosine_pq"))
+    )

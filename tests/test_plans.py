@@ -1128,3 +1128,14 @@ def test_hhi_broadcasts_dim_chain(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert has_partial_aggregation(df)
+
+
+def test_pq_adc_broadcasts_codebook(spark, sf_dir):
+    # E182: the 16-row codebook must broadcast everywhere it is
+    # joined; the head is a heap, and nothing cartesian beyond the
+    # broadcast 1-row probe / 16-row codebook appears.
+    df = spark_queries()["similarity_pq_adc"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
