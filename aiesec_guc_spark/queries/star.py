@@ -1270,12 +1270,12 @@ WITH rev AS (
 s AS (
   SELECT region, CAST(count(*) AS BIGINT) AS n_suppliers,
          CAST(SUM(dollars) AS BIGINT) AS total_dollars,
-         CAST(SUM(dollars * dollars) AS BIGINT) AS sum_sq
+         SUM(CAST(dollars AS HUGEINT) * dollars) AS sum_sq
   FROM rev GROUP BY 1
 )
 SELECT region, n_suppliers, total_dollars,
        CAST(sum_sq AS DOUBLE)
-         / CAST(total_dollars * total_dollars AS DOUBLE) AS hhi
+         / CAST(CAST(total_dollars AS HUGEINT) * total_dollars AS DOUBLE) AS hhi
 FROM s
 """
 
@@ -1320,17 +1320,20 @@ def supplier_hhi_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dollars")
         )
     )
+    # Σd² and (Σd)² near 2⁶³ once a region's revenue passes ~3·10⁹
+    # whole dollars (hit at sf0.1 under ANSI mode) — widen both
+    # products to DECIMAL(38,0): exact integers, one double division
+    # at the end, bit-identical to the oracle's HUGEINT fold.
+    d19 = F.col("dollars").cast("decimal(19,0)")
     agg = rev.groupBy("region").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
         F.sum("dollars").cast("bigint").alias("total_dollars"),
-        F.sum(F.col("dollars") * F.col("dollars")).cast("bigint").alias("sum_sq"),
+        F.sum(d19 * d19).cast("decimal(38,0)").alias("sum_sq"),
     )
+    t19 = F.col("total_dollars").cast("decimal(19,0)")
     return agg.select(
         "region",
         "n_suppliers",
         "total_dollars",
-        (
-            F.col("sum_sq").cast("double")
-            / (F.col("total_dollars") * F.col("total_dollars")).cast("double")
-        ).alias("hhi"),
+        (F.col("sum_sq").cast("double") / (t19 * t19).cast("double")).alias("hhi"),
     )

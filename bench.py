@@ -197,10 +197,14 @@ def main() -> None:
                     sum(timings[n] for n in HEADLINE if n in timings), 3
                 ),
                 "queries_detail": detail,
+                # Errored queries carry no timings — they are excluded
+                # here but visible in "errors", so a partial total is
+                # never silently mistaken for a clean full-suite run.
                 "warm_total": round(
                     sum(
-                        d["warm_min"] if d["warm_min"] is not None else d["cold"]
+                        d["warm_min"] if d.get("warm_min") is not None else d["cold"]
                         for d in detail.values()
+                        if "cold" in d
                     ),
                     3,
                 ),

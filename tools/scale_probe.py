@@ -56,6 +56,12 @@ PROBE_QUERIES = [
     "nation_revenue_trend_ols",   # sufficient-statistics OLS
     "incremental_join_maintenance",  # two-sided delta-join IVM
     "pareto_frontier_customers",  # skyline sweep (offset-merge cummax)
+    # late round-8 additions — fact-driven shapes only (text/ANN
+    # tables are fixed-size at every SF; see module docstring)
+    "user_behavior_diversity",    # two combinable aggs, log-free ratio
+    "session_duration_histogram",  # sessionize + log2-bucket fold
+    "supplier_hhi_by_region",     # broadcast dim chain + Σd² fold
+    "orders_dow_seasonality",     # date-grain collapse + date-domain MA
 ]
 
 
