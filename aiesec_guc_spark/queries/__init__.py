@@ -81,6 +81,7 @@ _QUERY_MODULES = [
 # last driver round) from CORRECTNESS_r*.json so the gap is auditable.
 _EVIDENCE_PRIORITY = [
     # --- changed in round 8 (code or oracle) — driver re-verification wanted first ---
+    "supplier_hhi_by_region",  # DECIMAL(38,0) overflow widening, both engines
     "sample_negative_pairs",
     "funnel_conversion_latency",
     "pareto_revenue_concentration",
@@ -204,7 +205,6 @@ _EVIDENCE_PRIORITY = [
     "orders_dow_seasonality",
     "dedup_shingle_hotspot_audit",
     "session_duration_histogram",
-    "supplier_hhi_by_region",
     "similarity_pq_adc",
     # --- driver evidence exists — stalest first ---
     "approx_distinct_customers",
