@@ -2077,3 +2077,87 @@ def dedup_shingle_hotspot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "shingle")
         .limit(SHINGLE_HOTSPOT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-window exact dedup — the shuffle-friendly Spark shape of
+# ExactSubstr deduplication (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better", ACL 2022).  Their suffix-array scan
+# is inherently sequential; the distributed re-expression hashes
+# fixed-length character windows (32 chars, stride 16) so any ≥48-char
+# verbatim overlap between two documents is guaranteed to share at
+# least one full window — a rolling-hash screen with zero pairwise
+# comparisons.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_WINDOW_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, text FROM documents WHERE length(text) >= 32
+),
+w AS (
+  SELECT DISTINCT lang, doc_id,
+         ('0x' || substr(md5(substr(text, CAST(p AS INTEGER)*16 + 1, 32)), 1, 8))::BIGINT AS h
+  FROM (
+    SELECT lang, doc_id, text,
+           unnest(range(0, (length(text) - 32) // 16 + 1)) AS p
+    FROM d
+  )
+),
+dup AS (
+  SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+)
+SELECT w.lang,
+       CAST(count(*) AS BIGINT) AS n_doc_windows,
+       CAST(count(DISTINCT CASE WHEN dup.h IS NOT NULL THEN w.h END) AS BIGINT) AS n_dup_hashes,
+       CAST(count(DISTINCT CASE WHEN dup.h IS NOT NULL THEN w.doc_id END) AS BIGINT) AS n_affected_docs
+FROM w LEFT JOIN dup ON w.h = dup.h
+GROUP BY 1
+"""
+
+
+@query("dedup_substring_windows", oracle=_SUBSTR_WINDOW_ORACLE)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring audit: hash every 32-char
+    window at stride 16 (so any ≥48-char verbatim overlap shares a
+    full window), mark hashes seen in ≥2 distinct documents, and
+    report per language how much of the corpus is inside repeated
+    spans — the screen a pipeline runs before cutting duplicated
+    passages (Lee et al. ACL 2022 remove ≥50-token verbatim repeats).
+
+    Unlike the pairwise n-gram Jaccard family this never joins doc
+    against doc: duplicate detection is a grouped count on the window
+    hash.  Windows are md5-derived 32-bit (portable convention) —
+    collisions only overstate the audit, never corrupt data.
+
+    Scale shape: the explode is linear (len/16 windows per doc,
+    map-side); within-doc repeats collapse in the distinct BEFORE the
+    shuffle; duplicate marking is one combinable count keyed on the
+    hash and one equi-join back — both partition cleanly by h at any
+    corpus size.  No window functions, no pairwise candidate set.
+    """
+    d = fan_out_scan(spark, load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") >= 32
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.expr("(length(text) - 32) div 16")),
+        lambda p: hash32(F.substring(F.col("text"), p * 16 + 1, F.lit(32))),
+    )
+    w = (
+        d.select("lang", "doc_id", F.explode(wins).alias("h"))
+        .distinct()
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return w.join(dup, on="h", how="left").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_doc_windows"),
+        F.countDistinct(F.when(F.col("is_dup") == 1, F.col("h")))
+        .cast("bigint")
+        .alias("n_dup_hashes"),
+        F.countDistinct(F.when(F.col("is_dup") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("n_affected_docs"),
+    )

@@ -1970,3 +1970,69 @@ def text_zipf_octave_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / den.cast("double")
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced language mixture (τ = 0.5) — the multilingual
+# corpus-balancing rule of XLM-R (Conneau et al. 2020) / mT5 (Xue et
+# al. 2021): sampling weights ∝ n_lang^τ flatten the head without
+# drowning low-resource languages.  τ = 0.5 is the one fractional
+# power that stays cross-engine exact: IEEE sqrt is correctly rounded
+# in both the JVM and libm, so floor(sqrt(n·10⁶)) is the SAME scaled
+# integer everywhere — all downstream arithmetic is exact integers.
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before FROM documents GROUP BY 1),
+s AS (SELECT lang, n_before,
+             CAST(FLOOR(SQRT(CAST(n_before AS DOUBLE) * 1000000)) AS BIGINT) AS sw
+      FROM c),
+t AS (SELECT CAST(SUM(n_before) AS BIGINT) AS n_total,
+             CAST(SUM(sw) AS BIGINT) AS sw_sum FROM s)
+SELECT s.lang, s.n_before,
+       CAST((CAST(s.sw AS HUGEINT) * 1000000) // t.sw_sum AS BIGINT) AS weight_ppm,
+       CAST((CAST(t.n_total AS HUGEINT) * s.sw) // t.sw_sum AS BIGINT) AS n_target
+FROM s CROSS JOIN t
+"""
+
+
+@query("corpus_temperature_mixture", oracle=_TEMP_MIX_ORACLE)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling plan under temperature τ = 0.5: weight
+    each language ∝ √n_docs, emit the exact-integer ppm share and the
+    resampled document target at the same total corpus size.  The
+    uniform-target twin is ``corpus_mixture_rebalance``; this one
+    keeps head languages partially dominant instead of hard-capping.
+
+    Determinism: the ONLY floating step is one correctly-rounded
+    sqrt per language (identical in JVM and libm); the scaled weight
+    floor(√(n·10⁶)) is then exact BIGINT, and shares/targets are
+    integer products floor-divided in DECIMAL(38,0) (HUGEINT on the
+    oracle side) — no float shares, no order-dependent double sums.
+
+    Scale shape: one combinable grouped count (≤ a few hundred
+    language rows), a 1-row total broadcast back — nothing here grows
+    with corpus size except the initial count scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    s = c.withColumn(
+        "sw",
+        F.floor(F.sqrt(F.col("n_before").cast("double") * F.lit(1000000.0))).cast(
+            "bigint"
+        ),
+    )
+    t = s.agg(
+        F.sum("n_before").cast("bigint").alias("n_total"),
+        F.sum("sw").cast("bigint").alias("sw_sum"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_before",
+        F.expr(
+            "cast((cast(sw as decimal(38,0)) * 1000000) div sw_sum as bigint)"
+        ).alias("weight_ppm"),
+        F.expr(
+            "cast((cast(n_total as decimal(38,0)) * sw) div sw_sum as bigint)"
+        ).alias("n_target"),
+    )

@@ -1139,3 +1139,35 @@ def test_pq_adc_broadcasts_codebook(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_substring_windows_no_pairwise_join(spark, sf_dir):
+    # E183: duplicate detection must be a grouped count on the window
+    # hash plus one equi-join back — never a doc×doc candidate join,
+    # never a window function, and the explode must keep partial
+    # aggregation (within-doc distinct collapses before the shuffle).
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["dedup_substring_windows"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
+    # exactly one join operator (the dup-hash mark-back); a pairwise
+    # candidate variant would need at least two
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins <= 2  # tree node + its formatted-details section
+
+
+def test_temperature_mixture_broadcasts_total(spark, sf_dir):
+    # E184: the 1-row (n_total, sw_sum) aggregate must broadcast back
+    # over the language rows; nothing here may shuffle more than the
+    # grouped count.
+    df = spark_queries()["corpus_temperature_mixture"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
