@@ -44,6 +44,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.formats import _check_fmt, read_table, write_table
@@ -137,13 +138,20 @@ def compact_table(
     return {"before": before, "after": file_stats(path), "n_target": n_target}
 
 
-_SWAP_MARKERS = ("__compact_", "__merge_", "__old_")
+_SWAP_MARKERS = (
+    "__compact_",
+    "__merge_",
+    "__old_",
+    "__zorder_tmp_",
+    "__zorder_old_",
+)
 
 
 def vacuum_siblings(path: str, dry_run: bool = False) -> list[str]:
     """Remove orphaned swap siblings (``tbl__compact_*`` /
-    ``tbl__merge_*`` / ``tbl__old_*``) left by a compaction or merge
-    that crashed between write and rename.
+    ``tbl__merge_*`` / ``tbl__old_*`` / ``tbl__zorder_tmp_*`` /
+    ``tbl__zorder_old_*``) left by a compaction, merge, or layout
+    rewrite that crashed between write and rename.
 
     The swap protocol guarantees the LIVE table is never the damaged
     party — a crash abandons only temp/old siblings — so vacuuming is
@@ -283,7 +291,7 @@ def zorder_rewrite(
     spark = df.sparkSession
     tmp = swap_sibling(path, "zorder_tmp")
     (
-        df.withColumn("_zkey", _expr_col(z))
+        df.withColumn("_zkey", F.expr(z))
         .repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
@@ -297,9 +305,3 @@ def zorder_rewrite(
     if os.path.exists(old):
         shutil.rmtree(old)
     return file_stats(path)
-
-
-def _expr_col(sql_expr: str):
-    from pyspark.sql import functions as F
-
-    return F.expr(sql_expr)

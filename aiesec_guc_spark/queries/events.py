@@ -11,6 +11,38 @@ from ..catalog import load_table
 from ..operators.snapshot import changed_rows, day_snapshots, snapshot_delta
 from . import query
 
+#: Session gap threshold shared by every sessionizing query: a new
+#: session starts after >30 min of inactivity, compared in exact
+#: microseconds (``ts.cast('long')`` would truncate sub-second
+#: precision and could classify a gap within ~1 s of the boundary
+#: differently from the oracles' INTERVAL comparison).
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_flags(ev: DataFrame) -> DataFrame:
+    """Add ``new_session`` (1 at each >30-min gap, else 0) over one
+    user-keyed shuffle.  Tie-break on (ts, event_id) so same-timestamp
+    events order identically in both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return ev.withColumn(
+        "new_session",
+        F.when(gap <= _SESSION_GAP_US, F.lit(0)).otherwise(F.lit(1)),
+    )
+
+
+def _sessionize(ev: DataFrame) -> DataFrame:
+    """The shared 30-min-gap sessionizer: ``new_session`` plus
+    ``session_id`` (the per-user running count).  Both windows order
+    by (ts, event_id) and partition by user, so they reuse a single
+    user-keyed sort — the one shuffle every sessionized query pays."""
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return _session_flags(ev).withColumn(
+        "session_id", F.sum("new_session").over(wrun)
+    )
+
 # ---------------------------------------------------------------------------
 # Flagship: the reference's one analytics query (aiesec.py:137-145)
 # re-expressed on the events table — today's rows whose key (user_id)
@@ -228,16 +260,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap within ~1 s of the 1800 s boundary could classify differently
     from the oracle's exact INTERVAL comparison.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    sessions = ev.withColumn(
-        "new_session",
-        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
-    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    sessions = _sessionize(load_table(spark, sf_dir, "events"))
     return sessions.groupBy("user_id").agg(
         F.max("session_id").cast("bigint").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
@@ -764,13 +787,8 @@ def events_daily_ops_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("purchase_value"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     starts = (
-        e.withColumn(
-            "new_session",
-            F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
-        )
+        _session_flags(e)
         .groupBy(day.alias("day"))
         .agg(F.sum("new_session").cast("bigint").alias("n_sessions_started"))
     )
@@ -945,16 +963,7 @@ def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by user; the path count is two-phase on a tiny key
     space; the final ranking window sees distinct paths only.
     """.replace("{k}", str(_PATHS_TOPK))
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    sess = e.withColumn(
-        "new_session",
-        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
-    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    sess = _sessionize(load_table(spark, sf_dir, "events"))
     paths = sess.groupBy("user_id", "session_id").agg(
         F.array_join(
             F.transform(
@@ -1039,16 +1048,7 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     events would otherwise order nondeterministically between
     engines).
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    sessions = ev.withColumn(
-        "new_session",
-        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
-    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    sessions = _sessionize(load_table(spark, sf_dir, "events"))
     per_session = sessions.groupBy("user_id", "session_id").agg(
         F.to_date(F.min("ts")).alias("day"),
         F.count(F.lit(1)).alias("n_events"),
@@ -1129,16 +1129,7 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends at O(log max_duration) rows.  Nothing global, nothing
     corpus-sized after the first shuffle.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    sessions = ev.withColumn(
-        "new_session",
-        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
-    ).withColumn("session_id", F.sum("new_session").over(wrun))
+    sessions = _sessionize(load_table(spark, sf_dir, "events"))
     per_session = sessions.groupBy("user_id", "session_id").agg(
         F.expr(
             "CAST((max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000"

@@ -1685,12 +1685,12 @@ probe AS (
 ),
 scored AS (
   SELECT r.vec_id, e.label,
-         {_cosine_sql('r.remb', 'probe.p')} AS cosine_pq
+         {_cosine_sql('r.remb', 'probe.p')} AS c_raw
   FROM recon r JOIN e ON e.vec_id = r.vec_id CROSS JOIN probe
   WHERE r.vec_id <> probe.probe_id
 )
-SELECT vec_id, label, round(cosine_pq, 9) AS cosine_pq
-FROM scored ORDER BY cosine_pq DESC, vec_id LIMIT {TOPK}
+SELECT vec_id, label, round(c_raw, 9) AS cosine_pq
+FROM scored ORDER BY c_raw DESC, vec_id LIMIT {TOPK}
 """
 
 
@@ -1718,8 +1718,6 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed representation is M·log2(K) = 32 bits/vector vs 2048
     for the raw floats — a 64× shrink.
     """
-    from ..operators.dedup import materialize
-
     raw = load_table(spark, sf_dir, "embeddings")
     e = raw.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
@@ -1752,7 +1750,10 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
         )
     )
-    recon = materialize(
+    # recon has exactly one downstream consumer (scored → top-k), so
+    # no materialize: an eager checkpoint here would pay an extra job
+    # and executor-storage residency for zero reuse.
+    recon = (
         codes.join(F.broadcast(cb), "cid")
         .groupBy("ovec")
         .agg(

@@ -82,18 +82,27 @@ def test_vacuum_removes_only_orphan_siblings(spark, sf_dir, tmp_path):
 
     path = str(tmp_path / "tbl")
     _fragmented(spark, sf_dir, path, n=4)
-    # simulate a crash mid-swap: stale temp + old dirs beside the table
-    for orphan in ("tbl__compact_dead1", "tbl__merge_dead2", "tbl__old_dead3"):
+    # simulate a crash mid-swap: stale temp + old dirs beside the
+    # table, covering EVERY swap tag the operators use (the zorder
+    # tags were once missing from the marker list — a crashed layout
+    # rewrite's table-sized orphan accumulated forever)
+    for orphan in (
+        "tbl__compact_dead1",
+        "tbl__merge_dead2",
+        "tbl__old_dead3",
+        ".tbl__zorder_tmp_dead4",
+        ".tbl__zorder_old_dead5",
+    ):
         os.makedirs(tmp_path / orphan)
     # an unrelated sibling must survive
     os.makedirs(tmp_path / "tbl_backup")
 
     matched = vacuum_siblings(path, dry_run=True)
-    assert len(matched) == 3
+    assert len(matched) == 5
     assert all(os.path.exists(m) for m in matched)
 
     removed = vacuum_siblings(path)
-    assert len(removed) == 3
+    assert len(removed) == 5
     left = sorted(os.listdir(tmp_path))
     assert left == ["tbl", "tbl_backup"]
     # table untouched
