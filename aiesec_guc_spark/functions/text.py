@@ -91,6 +91,13 @@ def hash32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+#: DuckDB twins of hash32/hash32_hi — oracle SQL builders interpolate
+#: them with .format(x="<sql expr>").  Single-sourced here so the
+#: portable-hash idiom can never drift between query modules.
+H32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+H32HI_SQL = "('0x' || substr(md5({x}), 9, 8))::BIGINT"
+
+
 def hash32_hi(col: Column | str) -> Column:
     """Second independent 32-bit hash: md5 hex digits 9-16.
 

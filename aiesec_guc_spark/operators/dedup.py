@@ -186,13 +186,22 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     return h.groupBy(id_col).agg(*aggs)
 
 
-def lsh_band_keys(sigs: DataFrame, id_col: str) -> DataFrame:
-    """Explode signatures into (doc, band, band_key) rows."""
+def lsh_band_keys(
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int = MINHASH_BANDS,
+    n_rows: int = MINHASH_ROWS,
+) -> DataFrame:
+    """Explode signatures into (doc, band, band_key) rows.
+
+    ``(n_bands, n_rows)`` defaults to the production banding; the
+    band-sweep audit passes each candidate config so the banding
+    definition stays single-sourced."""
     bands = []
-    for band in range(MINHASH_BANDS):
+    for band in range(n_bands):
         cols = [
-            F.col(f"sig_{band * MINHASH_ROWS + r}").cast("string")
-            for r in range(MINHASH_ROWS)
+            F.col(f"sig_{band * n_rows + r}").cast("string")
+            for r in range(n_rows)
         ]
         bands.append(
             F.struct(F.lit(band).alias("band"), F.concat_ws("_", *cols).alias("band_key"))
@@ -227,13 +236,22 @@ def lsh_candidate_pairs(band_rows: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingles: DataFrame, id_col: str
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    *,
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs.
 
     intersection via shingle equi-join restricted to candidates;
     |A ∪ B| = |A| + |B| - |A ∩ B|.  Cost scales with candidate count,
     not corpus size.
+
+    ``pre_distinct=True`` declares ``shingles`` is ALREADY a
+    materialized distinct (id, shingle) frame — callers that verify
+    several candidate sets against one corpus (the band sweep) build
+    it once instead of paying the explode+distinct per call.
     """
     # Both reused subtrees are eagerly materialized: `pairs` feeds the
     # intersection aggregation AND the final left join, and the
@@ -241,7 +259,11 @@ def jaccard_verify(
     # sides) — each would otherwise recompute per consumer (and a
     # *lazy* persist hits the cache race described in `materialize`).
     pairs = materialize(pairs)
-    shd = materialize(shingles.select(F.col(id_col), "shingle").distinct())
+    shd = (
+        shingles
+        if pre_distinct
+        else materialize(shingles.select(F.col(id_col), "shingle").distinct())
+    )
     sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     xa = shd.select(F.col(id_col).alias("doc_a"), "shingle")
     xb = shd.select(F.col(id_col).alias("doc_b"), "shingle")

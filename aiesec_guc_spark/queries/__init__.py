@@ -315,7 +315,13 @@ class Query:
     name: str
     fn: SparkQuery
     oracle: str | None
-    doc: str
+
+    @property
+    def doc(self) -> str:
+        # Read LIVE from the function: modules interpolate build-time
+        # constants into __doc__ after definition (a docstring cannot
+        # be an f-string), which runs after @query captures fn.
+        return self.fn.__doc__ or ""
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
@@ -324,7 +330,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle)
         return fn
 
     return deco

@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out_scan, load_table
-from ..functions.text import fingerprint_md5, hash32, hash32_hi
+from ..functions.text import (
+    H32HI_SQL,
+    H32_SQL,
+    fingerprint_md5,
+    hash32,
+    hash32_hi,
+)
 from ..operators.dedup import (
     MINHASH_BANDS,
     MINHASH_PRIME,
@@ -38,8 +44,9 @@ from ..operators.dedup import (
 )
 from . import query
 
-_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
-_H32HI = "('0x' || substr(md5({x}), 9, 8))::BIGINT"
+# single-sourced portable-hash SQL idioms (functions/text.py)
+_H32 = H32_SQL
+_H32HI = H32HI_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -1796,28 +1803,22 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded as degenerate) and a verification bounded by ITS
     candidates.  Precision uses the ×10000-div fixed-point idiom.
     """
-    from ..operators.dedup import materialize, shingle_rows
+    from ..operators.dedup import lsh_band_keys, materialize, shingle_rows
 
     d = load_table(spark, sf_dir, "documents")
     sigs = materialize(minhash_signatures(d, "doc_id", "text"))
-    sh = shingle_rows(d, "doc_id", "text")
+    # ONE distinct-shingle build shared by every config's verification
+    # (the corpus-sized explode+distinct is the sweep's dominant cost;
+    # per-config it would run #configs times)
+    shd = materialize(
+        shingle_rows(d, "doc_id", "text")
+        .select("doc_id", "shingle")
+        .distinct()
+    )
 
     out = None
     for b, r in LSH_SWEEP:
-        bands = None
-        for band in range(b):
-            sel = sigs.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"sig_{band * r + k}").cast("string")
-                        for k in range(r)
-                    ],
-                ).alias("band_key"),
-            )
-            bands = sel if bands is None else bands.unionByName(sel)
+        bands = lsh_band_keys(sigs, "doc_id", n_bands=b, n_rows=r)
         a = bands.alias("a")
         bb = bands.alias("b")
         cand = (
@@ -1833,7 +1834,7 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        ver = jaccard_verify(cand, sh, "doc_id")
+        ver = jaccard_verify(cand, shd, "doc_id", pre_distinct=True)
         is_dup = (F.col("jaccard") >= SWEEP_DUP_J).cast("int")
         row = ver.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
@@ -2161,3 +2162,25 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_affected_docs"),
     )
+
+
+# Interpolate build-time constants into docstrings (a plain docstring
+# cannot be an f-string; mutating __doc__ after definition keeps the
+# auto-generated QUERIES.md index free of raw {placeholders}).
+from ..operators.dedup import SHINGLE_WORDS as _SW  # noqa: E402
+
+dedup_prefix_truncation.__doc__ = dedup_prefix_truncation.__doc__.format(
+    band=PREFIX_BAND
+)
+sample_hard_negatives.__doc__ = sample_hard_negatives.__doc__.format(
+    k=HARD_NEG_PER_ANCHOR, j=HARD_NEG_J
+)
+decontaminate_bloom.__doc__ = decontaminate_bloom.__doc__.format(
+    SHINGLE_WORDS=_SW, BLOOM_BITS=BLOOM_BITS
+)
+decontaminate_ngram_overlap.__doc__ = decontaminate_ngram_overlap.__doc__.format(
+    SHINGLE_WORDS=_SW
+)
+dedup_shingle_hotspot_audit.__doc__ = dedup_shingle_hotspot_audit.__doc__.format(
+    k=SHINGLE_HOTSPOT_TOPK
+)

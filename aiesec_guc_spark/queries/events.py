@@ -962,7 +962,7 @@ def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered array_agg is the same contract).  The sessionizer windows
     partition by user; the path count is two-phase on a tiny key
     space; the final ranking window sees distinct paths only.
-    """.replace("{k}", str(_PATHS_TOPK))
+    """
     sess = _sessionize(load_table(spark, sf_dir, "events"))
     paths = sess.groupBy("user_id", "session_id").agg(
         F.array_join(
@@ -1146,3 +1146,9 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
+
+
+# Interpolate build-time constants into docstrings (a plain docstring
+# cannot be an f-string; mutating __doc__ after definition keeps the
+# auto-generated QUERIES.md index free of raw {placeholders}).
+session_path_mining.__doc__ = session_path_mining.__doc__.format(k=_PATHS_TOPK)

@@ -303,7 +303,94 @@ CMS_DEPTH = 4
 CMS_WIDTH = 64
 CMS_TOPK = 10
 
-_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+from ..functions.text import H32_SQL as _H32  # noqa: E402 — single-sourced idiom
+
+
+def cms_grid(rows: DataFrame, key_col: str) -> DataFrame:
+    """(r, bucket, cnt) Count-Min counter grid over ``rows``'
+    key column — bucket = hash32("cms{r}:{key}") % CMS_WIDTH.
+
+    One map-side explode plus a combinable count, valid on batch AND
+    streaming frames: the streaming twin (streaming/incremental.py
+    run_streaming_cms) folds micro-batches into this same grid, which
+    is the sketch's whole point — per-batch partials merge by
+    addition.  Single-sourced so the hash salt and width can never
+    drift between the batch query and the streaming twin."""
+    from ..functions.text import hash32
+
+    return (
+        rows.select(F.col(key_col).cast("string").alias("key"))
+        .select(
+            "key",
+            F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias(
+                "r"
+            ),
+        )
+        .select(
+            "r",
+            (
+                hash32(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("key"),
+                    )
+                )
+                % CMS_WIDTH
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate_topk(e: DataFrame, counters: DataFrame) -> DataFrame:
+    """Exact top-``CMS_TOPK`` user_ids probed against a counter grid:
+    (user_id, exact_n, cms_n, overestimate, bound_holds) — estimate =
+    min over the grid's rows, the CMS never-underestimates bound
+    surfaced as a checked column."""
+    from ..functions.text import hash32
+
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
+    ).select(
+        "user_id",
+        "exact_n",
+        "r",
+        (
+            hash32(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(counters, on=["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+            (F.col("cms_n") >= F.col("exact_n")).alias("bound_holds"),
+        )
+    )
 
 
 def _cms_oracle() -> str:
@@ -357,68 +444,8 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered; estimation joins the 10-row top-k against the 256-row
     counter grid — both broadcast-trivial.
     """
-    from ..functions.text import hash32
-
-    e = load_table(spark, sf_dir, "events").select(
-        F.col("user_id"), F.col("user_id").cast("string").alias("key")
-    )
-    spine = F.explode(
-        F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
-    ).alias("r")
-    hashed = e.select(
-        "user_id",
-        "key",
-        spine,
-    ).select(
-        "user_id",
-        F.col("r"),
-        (
-            hash32(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("key")))
-            % CMS_WIDTH
-        ).alias("bucket"),
-    )
-    counters = hashed.groupBy("r", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    exact = (
-        e.groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("user_id"))
-        .limit(CMS_TOPK)
-    )
-    probes = exact.select(
-        "user_id",
-        "exact_n",
-        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
-    ).select(
-        "user_id",
-        "exact_n",
-        "r",
-        (
-            hash32(
-                F.concat(
-                    F.lit("cms"),
-                    F.col("r").cast("string"),
-                    F.lit(":"),
-                    F.col("user_id").cast("string"),
-                )
-            )
-            % CMS_WIDTH
-        ).alias("bucket"),
-    )
-    est = (
-        F.broadcast(probes)
-        .join(counters, on=["r", "bucket"])
-        .groupBy("user_id", "exact_n")
-        .agg(F.min("cnt").alias("cms_n"))
-    )
-    return est.select(
-        "user_id",
-        "exact_n",
-        "cms_n",
-        (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
-        (F.col("cms_n") >= F.col("exact_n")).alias("bound_holds"),
-    )
+    e = load_table(spark, sf_dir, "events")
+    return cms_estimate_topk(e, cms_grid(e, "user_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -1028,3 +1055,9 @@ def source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("st") + m) * F.col("gt")).cast("double")
         ).alias("shrunk_ratio"),
     )
+
+
+# Interpolate build-time constants into docstrings (see events.py).
+source_quality_shrunk.__doc__ = source_quality_shrunk.__doc__.format(
+    pseudo=_SHRUNK_PSEUDO_CHARS
+)

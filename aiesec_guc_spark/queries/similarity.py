@@ -1786,3 +1786,13 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOPK)
         .select("vec_id", "label", F.round("cosine_pq", 9).alias("cosine_pq"))
     )
+
+
+# Interpolate build-time constants into docstrings (see events.py).
+similarity_rrf_fusion.__doc__ = similarity_rrf_fusion.__doc__.format(
+    TOPK=TOPK, _RRF_K=_RRF_K
+)
+similarity_ann_recall.__doc__ = similarity_ann_recall.__doc__.format(TOPK=TOPK)
+embedding_dim_variance.__doc__ = embedding_dim_variance.__doc__.format(
+    dim=EMBEDDING_DIM
+)

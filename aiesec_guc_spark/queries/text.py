@@ -1150,7 +1150,7 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the total weight is a 1-row broadcast aggregate; the test
     is a scan-level filter — embarrassingly parallel, and pushdown-
     friendly if u·W/w is precomputed at ingest.
-    """.replace("{k}", str(_WSAMPLE_K))
+    """
     d = load_table(spark, sf_dir, "documents")
     tot = d.agg(F.sum("n_chars").cast("bigint").alias("w"))
     u = hash32(F.col("text"))
@@ -1665,7 +1665,7 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is at decile ≤ d, so one min-aggregate answers all ten.
 # ---------------------------------------------------------------------------
 
-_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"  # portable hash idiom
+from ..functions.text import H32_SQL as _H32  # noqa: E402 — single-sourced idiom
 
 _VOCAB_GROWTH_ORACLE = f"""
 WITH d AS (
@@ -2036,3 +2036,21 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast((cast(n_total as decimal(38,0)) * sw) div sw_sum as bigint)"
         ).alias("n_target"),
     )
+
+
+# Interpolate build-time constants into docstrings (see events.py).
+text_bm25_retrieval.__doc__ = text_bm25_retrieval.__doc__.format(
+    k=BM25_TOPK, terms=", ".join(BM25_TERMS)
+)
+boilerplate_bigram_df.__doc__ = boilerplate_bigram_df.__doc__.format(
+    _BOILER_MIN_FRAC=_BOILER_MIN_FRAC
+)
+sample_weighted_docs.__doc__ = sample_weighted_docs.__doc__.format(
+    k=_WSAMPLE_K
+)
+pack_sequences_by_lang.__doc__ = pack_sequences_by_lang.__doc__.format(
+    PACK_BUDGET=PACK_BUDGET
+)
+text_chunk_windows.__doc__ = text_chunk_windows.__doc__.format(
+    CHUNK_SIZE=CHUNK_SIZE, CHUNK_STRIDE=CHUNK_STRIDE
+)

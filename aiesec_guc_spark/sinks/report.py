@@ -150,6 +150,13 @@ def read_snapshot_xlsx(spark, path: str, sheet_name: str = "Sheet1") -> DataFram
             from . import xlsxlite
 
             cols, rows = xlsxlite.read_xlsx(path)
+            # Empty cells must read back as "" exactly like the
+            # openpyxl path (keep_default_na=False) — astype(str)
+            # alone would stringify None into the literal "None" and
+            # the same snapshot pair would diff by environment.
+            rows = [
+                tuple("" if v is None else v for v in r) for r in rows
+            ]
             pdf = pd.DataFrame(rows, columns=cols)
     pdf = pdf.astype(str)
     return spark.createDataFrame(pdf)
@@ -234,6 +241,11 @@ def read_snapshot_dir(spark, path: str) -> DataFrame:
             from . import xlsxlite
 
             cols, rows = xlsxlite.read_xlsx(f)
+            # "" for empty cells, matching the openpyxl path (see
+            # read_snapshot_xlsx) — never the stringified "None"
+            rows = [
+                tuple("" if v is None else v for v in r) for r in rows
+            ]
             return pd.DataFrame(rows, columns=cols).astype(str)
 
     files = sorted(

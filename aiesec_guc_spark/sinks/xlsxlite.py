@@ -195,17 +195,26 @@ def read_xlsx(path: str) -> tuple[list[str], list[list[str | None]]]:
                 "".join(t.text or "" for t in si.iter(f"{_NS}t"))
                 for si in root.iter(f"{_NS}si")
             ]
-        sheet = next(
+        # First sheet part by name order — writers are free to call it
+        # something other than sheet1.xml (LibreOffice, multi-sheet
+        # pandas), so never hard-code; fail with a clear error when a
+        # workbook has no worksheet part at all.
+        sheets = sorted(
             n
-            for n in ("xl/worksheets/sheet1.xml",)
-            if n in z.namelist()
+            for n in z.namelist()
+            if n.startswith("xl/worksheets/") and n.endswith(".xml")
         )
-        root = ET.fromstring(z.read(sheet))
+        if not sheets:
+            raise ValueError(f"no worksheet part in {path!r}")
+        root = ET.fromstring(z.read(sheets[0]))
     out: list[list[str | None]] = []
     for row in root.iter(f"{_NS}row"):
         cells: list[str | None] = []
         for c in row.iter(f"{_NS}c"):
-            idx = _col_index(c.get("r", ""))
+            ref = c.get("r")
+            # The r attribute is optional per spec: without it a cell
+            # occupies the next position, never position -1.
+            idx = _col_index(ref) if ref else len(cells)
             while len(cells) < idx:
                 cells.append(None)
             cells.append(_cell_text(c, shared))

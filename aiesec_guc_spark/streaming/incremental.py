@@ -569,64 +569,11 @@ def run_streaming_cms(
     sketch is bit-identical to the one-shot build.
     """
     from ..catalog import load_table
-    from ..functions.text import hash32
-    from ..queries.quality import CMS_DEPTH, CMS_TOPK, CMS_WIDTH
+    from ..queries.quality import cms_estimate_topk, cms_grid
 
-    src = _events_stream(spark, sf_dir)
-    hashed = src.select(
-        F.col("user_id").cast("string").alias("key"),
-        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
-    ).select(
-        "r",
-        (
-            hash32(
-                F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("key"))
-            )
-            % CMS_WIDTH
-        ).alias("bucket"),
-    )
-    grid = hashed.groupBy("r", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    # The SAME grid builder as the batch query — per-micro-batch
+    # partials merge by addition under complete-mode aggregation, so
+    # the drained grid is bit-identical to the one-shot build.
+    grid = cms_grid(_events_stream(spark, sf_dir), "user_id")
     counters = _drain_to_memory(spark, grid, query_name, "complete")
-
-    e = load_table(spark, sf_dir, "events")
-    exact = (
-        e.groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("user_id"))
-        .limit(CMS_TOPK)
-    )
-    probes = exact.select(
-        "user_id",
-        "exact_n",
-        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
-    ).select(
-        "user_id",
-        "exact_n",
-        "r",
-        (
-            hash32(
-                F.concat(
-                    F.lit("cms"),
-                    F.col("r").cast("string"),
-                    F.lit(":"),
-                    F.col("user_id").cast("string"),
-                )
-            )
-            % CMS_WIDTH
-        ).alias("bucket"),
-    )
-    return (
-        F.broadcast(probes)
-        .join(counters, on=["r", "bucket"])
-        .groupBy("user_id", "exact_n")
-        .agg(F.min("cnt").alias("cms_n"))
-        .select(
-            "user_id",
-            "exact_n",
-            "cms_n",
-            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
-            (F.col("cms_n") >= F.col("exact_n")).alias("bound_holds"),
-        )
-    )
+    return cms_estimate_topk(load_table(spark, sf_dir, "events"), counters)

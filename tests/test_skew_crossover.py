@@ -81,20 +81,24 @@ def test_prefix_filter_beats_blocked_join_on_zipfian_grams(spark, tmp_path):
 
     # Identical exact results (prefix filtering is lossless) including
     # the planted pair, and the prefix variant must be FASTER here —
-    # the crossover the docstrings claim.  Cold single runs: the ~3x
-    # measured gap (12.3s vs 4.1s warm at this size) dwarfs run noise.
-    t0 = time.time()
-    blocked = sorted(
-        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
-        for r in q["dedup_ngram_jaccard"](spark, sf_dir).collect()
-    )
-    t_blocked = time.time() - t0
-    t0 = time.time()
-    prefixed = sorted(
-        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
-        for r in q["dedup_ngram_jaccard_prefix"](spark, sf_dir).collect()
-    )
-    t_prefix = time.time() - t0
+    # the crossover the docstrings claim.  Best-of-2 per variant: the
+    # ~3x measured gap (12.3s vs 4.1s warm at this size) dwarfs run
+    # noise, but a single cold run can still catch a GC pause or JIT
+    # warm-up asymmetry; the min of two runs pins the claim without
+    # timing flakiness.
+    def _run(name):
+        best, rows = float("inf"), None
+        for _ in range(2):
+            t0 = time.time()
+            rows = sorted(
+                (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                for r in q[name](spark, sf_dir).collect()
+            )
+            best = min(best, time.time() - t0)
+        return best, rows
+
+    t_blocked, blocked = _run("dedup_ngram_jaccard")
+    t_prefix, prefixed = _run("dedup_ngram_jaccard_prefix")
 
     assert blocked == prefixed
     assert [(a, b) for a, b, _ in blocked] == [(100000, 100001)]

@@ -126,6 +126,15 @@ def main() -> int:
             print("usage: scale_probe.py [N] [DIR] [--queries a,b]", file=sys.stderr)
             return 2
         only = set(argv[i + 1].split(","))
+        # fail loudly on typos, matching bench.py's --queries contract
+        unknown = only - set(PROBE_QUERIES)
+        if unknown:
+            print(
+                f"unknown probe queries: {sorted(unknown)} "
+                f"(known: {sorted(PROBE_QUERIES)})",
+                file=sys.stderr,
+            )
+            return 2
         del argv[i : i + 2]
     factor = int(argv[0]) if len(argv) > 0 else 10
     scratch = argv[1] if len(argv) > 1 else f"/tmp/scale_probe_x{factor}"
