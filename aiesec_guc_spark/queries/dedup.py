@@ -2184,3 +2184,141 @@ decontaminate_ngram_overlap.__doc__ = decontaminate_ngram_overlap.__doc__.format
 dedup_shingle_hotspot_audit.__doc__ = dedup_shingle_hotspot_audit.__doc__.format(
     k=SHINGLE_HOTSPOT_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe corpus splitting — train/val/test assignment at the
+# NEAR-DUP-CLUSTER grain.  A doc-hash split leaks: two near-duplicate
+# documents can land in train and test, and the model is then
+# evaluated on (a paraphrase of) its own training data (the
+# contamination mechanism Lee et al. ACL 2022 §6 measure).  Assigning
+# whole clusters keeps every near-dup family inside one split, and
+# the query quantifies exactly how many clusters a naive doc-hash
+# split WOULD have fragmented.
+# ---------------------------------------------------------------------------
+
+def _split_case_sql(bucket: str) -> str:
+    return (
+        f"CASE WHEN {bucket} <= 7 THEN 'train'"
+        f" WHEN {bucket} = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _leakage_safe_oracle() -> str:
+    cb = f"({H32_SQL.format(x='CAST(cluster_id AS VARCHAR)')}) % 10"
+    nb = f"({H32_SQL.format(x='CAST(doc_id AS VARCHAR)')}) % 10"
+    return f"""
+WITH RECURSIVE verified AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+  WHERE jaccard >= {CC_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+),
+marked AS (
+  SELECT doc_id, cluster_id,
+         {_split_case_sql(cb)} AS csplit,
+         {_split_case_sql(nb)} AS nsplit
+  FROM alldocs
+),
+per_cluster AS (
+  SELECT cluster_id, min(csplit) AS split,
+         count(*) AS n_docs,
+         count(DISTINCT nsplit) AS n_naive_splits
+  FROM marked GROUP BY 1
+)
+SELECT split,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_doc_clusters,
+       CAST(SUM(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_naive_leaky_clusters
+FROM per_cluster GROUP BY 1
+"""
+
+
+@query("corpus_split_leakage_safe", oracle=_leakage_safe_oracle())
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment at the near-dup-CLUSTER
+    grain: every doc inherits its connected-component id (singletons
+    are their own cluster), and the split is a deterministic md5
+    bucket of the CLUSTER id — so a near-dup family can never span
+    train and test.  Per split: docs, clusters, multi-doc (dup)
+    clusters kept intact, and the audit column a curation run logs:
+    how many of this split's clusters a naive doc-hash split would
+    have FRAGMENTED across splits (the test-set leakage Lee et al.
+    ACL 2022 §6 measure on C4/RealNews).
+
+    The doc-hash twin is ``corpus_split_assign`` — same bucket
+    convention, no cluster awareness; this query is the upgrade a
+    pipeline swaps in once near-dup clustering runs anyway for dedup.
+
+    Scale shape: reuses the shared five-stage MinHash pipeline and
+    the O(log n) large/small-star CC (both plan-asserted elsewhere);
+    everything after the labels is cluster-grain — one combinable
+    count per cluster, then a ≤3-row final fold.  The naive-leak
+    audit adds one COUNT(DISTINCT bucket-of-doc) inside the same
+    per-cluster aggregate, not a second corpus pass.
+    """
+    from ..operators.graph import connected_components_star
+
+    verified = _minhash_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= CC_JACCARD_THRESHOLD
+    )
+    cc = connected_components_star(verified.select("doc_a", "doc_b"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = (
+        d.join(
+            cc.select(F.col("id").alias("doc_id"), "cluster_id"),
+            on="doc_id",
+            how="left",
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    cb = hash32(F.col("cluster_id").cast("string")) % 10
+    nb = hash32(F.col("doc_id").cast("string")) % 10
+
+    def _split(bucket: F.Column) -> F.Column:
+        return (
+            F.when(bucket <= 7, F.lit("train"))
+            .when(bucket == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    per_cluster = (
+        labeled.select(
+            "cluster_id",
+            _split(cb).alias("csplit"),
+            _split(nb).alias("nsplit"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.min("csplit").alias("split"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("nsplit").alias("n_naive_splits"),
+        )
+    )
+    return per_cluster.groupBy("split").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum((F.col("n_docs") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_multi_doc_clusters"),
+        F.sum((F.col("n_naive_splits") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_naive_leaky_clusters"),
+    )

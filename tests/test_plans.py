@@ -1171,3 +1171,16 @@ def test_temperature_mixture_broadcasts_total(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert has_partial_aggregation(df)
+
+
+def test_leakage_safe_split_cluster_grain(spark, sf_dir):
+    # E185: after the (plan-asserted elsewhere) LSH+CC machinery, the
+    # split logic must stay cluster-grain — combinable aggregates, no
+    # global window, no cartesian anywhere in the composed plan.
+    from aiesec_guc_spark.plans.explain import global_window_count
+
+    df = spark_queries()["corpus_split_leakage_safe"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert global_window_count(df) == 0
+    assert has_partial_aggregation(df)
