@@ -204,3 +204,137 @@ def frame_offsets(media: DataFrame, n_frames: int = 4) -> DataFrame:
         .otherwise(F.array(F.lit(0)))
         .alias("offsets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode — P6 PPM, parsed byte-for-byte with the stdlib.
+# The container has no PIL/libvips, so compressed formats (JPEG/PNG)
+# stay import-gated; an uncompressed raster format needs no library,
+# which makes the decode stage genuinely real: header tokenizer,
+# raster extraction, per-channel statistics.
+# ---------------------------------------------------------------------------
+
+PPM_WIDTH = 8  # synth raster width (pixels); 3 bytes/pixel
+
+
+def decode_ppm(buf: bytes) -> dict:
+    """Decode a binary P6 PPM: returns width/height/maxval from the
+    REAL header parse plus exact per-channel byte sums of the raster.
+
+    Full P6 grammar: 'P6', then three whitespace-separated integers
+    (width, height, maxval) with '#' comments allowed between tokens,
+    then ONE whitespace byte, then width*height*3 raw RGB bytes."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = vals
+    n = w * h * 3
+    raster = buf[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"raster truncated: {len(raster)} of {n} bytes")
+    return {
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "sum_r": sum(raster[0::3]),
+        "sum_g": sum(raster[1::3]),
+        "sum_b": sum(raster[2::3]),
+    }
+
+
+def decode_image(payload: bytes) -> dict:
+    """Dispatch decode: P6 PPM decodes for real with the stdlib;
+    anything else needs PIL (import-gated — raises NotImplementedError
+    in this container, with the stub documented)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "compressed image decode requires PIL, not present here; "
+            "P6 PPM payloads decode natively"
+        ) from None
+    raise NotImplementedError("PIL path not exercised in this container")
+
+
+def synth_ppm(docs: DataFrame, width: int = PPM_WIDTH) -> DataFrame:
+    """Deterministic P6 payloads from the documents table: the text's
+    ASCII bytes become the RGB raster (truncated to whole rows), so an
+    exact SQL twin can recompute every decoded feature from the text
+    column.  ASCII-only docs (byte length == char length) keep char
+    and byte positions identical across engines."""
+    bpr = 3 * width  # bytes per raster row
+    return (
+        docs.filter(
+            (F.octet_length(F.encode(F.col("text"), "utf-8")) == F.length("text"))
+            & (F.length("text") >= bpr)
+        )
+        .withColumn("h", F.expr(f"CAST(length(text) div {bpr} AS INT)"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.encode(
+                    F.format_string("P6\n%d %d\n255\n", F.lit(width), F.col("h")),
+                    "utf-8",
+                ),
+                F.encode(F.expr(f"substring(text, 1, {bpr} * h)"), "utf-8"),
+            ).alias("payload"),
+        )
+    )
+
+
+PPM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def decode_ppm_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode over the payload column: every value
+    in the output comes from parsing the binary, never from metadata
+    carried alongside it."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_ppm(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(
+                        [f["width"] for f in feats], dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [f["height"] for f in feats], dtype="int32"
+                    ),
+                    "sum_r": pd.Series(
+                        [f["sum_r"] for f in feats], dtype="int64"
+                    ),
+                    "sum_g": pd.Series(
+                        [f["sum_g"] for f in feats], dtype="int64"
+                    ),
+                    "sum_b": pd.Series(
+                        [f["sum_b"] for f in feats], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, schema=PPM_FEATURE_SCHEMA)

@@ -138,3 +138,76 @@ def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.array_join(F.col("offsets").cast("array<string>"), ",").alias("offsets_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E186 — REAL image decode: P6 PPM payloads synthesized from the text
+# bytes, parsed byte-for-byte by the stdlib decoder (header tokenizer
+# + raster channel sums), features extracted in an Arrow-batched
+# mapInPandas.  The oracle recomputes every decoded value from the
+# text column — so a decode bug (header arithmetic, channel phase,
+# truncation) fails the hash gate, which a metadata-passthrough stub
+# never could.
+# ---------------------------------------------------------------------------
+
+_PPM_DECODE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(length(text) // 24 AS BIGINT) AS h
+  FROM documents
+  WHERE strlen(text) = length(text) AND length(text) >= 24
+),
+px AS (
+  SELECT doc_id, h, p,
+         ascii(substr(text, CAST(p AS INTEGER), 1)) AS v
+  FROM (
+    SELECT doc_id, text, h, unnest(range(1, 24*h + 1)) AS p FROM d
+  )
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(SUM(CASE WHEN (p-1) % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN (p-1) % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN (p-1) % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(SUM(v) AS DOUBLE) / (24 * max(h)) AS mean_byte
+FROM px GROUP BY doc_id
+"""
+
+
+@query("multimodal_image_decode", oracle=_PPM_DECODE_ORACLE)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over a binary column: each ASCII document's
+    bytes become the RGB raster of an 8-wide P6 PPM (a real, if
+    synthetic, image file), and an Arrow-batched ``mapInPandas``
+    stage parses the binary — header tokenizer (width/height/maxval,
+    comments allowed), raster extraction with truncation checks,
+    exact per-channel byte sums.  Width and height in the output come
+    from the DECODED HEADER, never from metadata carried beside the
+    payload, so the oracle's recomputation from the text column
+    verifies the decoder itself (channel phase, header arithmetic)
+    bit-for-bit.  Compressed formats stay import-gated on PIL
+    (operators/multimodal.py decode_image) — the honest boundary in
+    this container.
+
+    Scale shape: synthesis is a zero-shuffle projection; decode is
+    Arrow-batched (bounded memory, no per-row Python call overhead at
+    the batch level); the output is one typed row per image —
+    downstream relational ops never touch the binary again.
+    """
+    from ..operators.multimodal import decode_ppm_features, synth_ppm
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_ppm_features(synth_ppm(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        (
+            (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).cast("double")
+            / (F.lit(3) * F.col("width") * F.col("height")).cast("double")
+        ).alias("mean_byte"),
+    )

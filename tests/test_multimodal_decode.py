@@ -1,0 +1,54 @@
+"""The REAL P6 decoder (operators/multimodal.py): header grammar,
+channel phase, and failure modes — unit-level, no Spark needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from aiesec_guc_spark.operators.multimodal import decode_image, decode_ppm
+
+
+def _ppm(w: int, h: int, raster: bytes, header: bytes | None = None) -> bytes:
+    head = header if header is not None else f"P6\n{w} {h}\n255\n".encode()
+    return head + raster
+
+
+def test_decode_ppm_channel_sums_and_header():
+    raster = bytes(range(48))  # 8x2 pixels
+    d = decode_ppm(_ppm(8, 2, raster))
+    assert (d["width"], d["height"], d["maxval"]) == (8, 2, 255)
+    assert d["sum_r"] == sum(raster[0::3])
+    assert d["sum_g"] == sum(raster[1::3])
+    assert d["sum_b"] == sum(raster[2::3])
+
+
+def test_decode_ppm_allows_header_comments():
+    raster = bytes(48)
+    buf = _ppm(8, 2, raster, header=b"P6\n# made by a test\n8 2\n# c2\n255\n")
+    d = decode_ppm(buf)
+    assert (d["width"], d["height"]) == (8, 2)
+
+
+def test_decode_ppm_raster_may_contain_newlines_and_hashes():
+    # raster bytes are raw — '\n' and '#' inside must NOT confuse the
+    # parser, which switches out of token mode after maxval
+    raster = (b"\n#" * 24)[:48]
+    d = decode_ppm(_ppm(8, 2, raster))
+    assert d["sum_r"] == sum(raster[0::3])
+
+
+def test_decode_ppm_truncated_raster_fails_loudly():
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(_ppm(8, 2, bytes(47)))
+
+
+def test_decode_ppm_rejects_other_magic():
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n8 2\n255\n" + bytes(16))
+
+
+def test_decode_image_gates_compressed_formats():
+    # JPEG magic: with no PIL in this container the dispatch must
+    # raise NotImplementedError, never silently fake features
+    with pytest.raises((NotImplementedError, Exception)):
+        decode_image(b"\xff\xd8\xff\xe0" + bytes(16))
