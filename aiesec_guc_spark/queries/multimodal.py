@@ -211,3 +211,72 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(3) * F.col("width") * F.col("height")).cast("double")
         ).alias("mean_byte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E187 — REAL audio decode: RIFF/WAV PCM payloads synthesized
+# JVM-side (little-endian sizes via hex byte-swap — zero Python in
+# synthesis), chunk-walked by the stdlib decoder.  A second genuinely
+# parsed binary grammar after E186's PPM: sized LE chunks with
+# word-alignment instead of a text header.
+# ---------------------------------------------------------------------------
+
+_WAV_DECODE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+  FROM documents
+  WHERE strlen(text) = length(text) AND length(text) >= 1
+),
+px AS (
+  SELECT doc_id, n, ascii(substr(text, CAST(p AS INTEGER), 1)) AS v
+  FROM (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS p FROM d)
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_samples,
+       CAST(MAX(v) AS INTEGER) AS max_sample,
+       CAST(max(n) * 125 AS BIGINT) AS duration_us,
+       CAST(SUM(v) AS DOUBLE) / max(n) AS mean_amplitude
+FROM px GROUP BY doc_id
+"""
+
+
+@query("multimodal_audio_decode", oracle=_WAV_DECODE_ORACLE)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over a binary column: each ASCII document's
+    bytes become the 8-bit PCM stream of an 8 kHz mono RIFF/WAV file
+    (synthesized entirely JVM-side, little-endian chunk sizes via a
+    hex byte-swap), and an Arrow-batched ``mapInPandas`` stage walks
+    the chunk list for real — unknown chunks skipped by declared
+    size with word alignment, fmt fields taken from the DECODED fmt
+    chunk, samples from the data chunk.  duration_us = n·10⁶/rate is
+    exact (125 µs per sample at 8 kHz); mean amplitude is the one
+    double division.  The oracle recomputes everything from the text
+    bytes, so chunk-walk or fmt-parse bugs fail the hash gate.
+
+    Scale shape: synthesis is a zero-shuffle, zero-Python projection;
+    decode is Arrow-batched with bounded memory; output is one typed
+    row per clip.
+    """
+    from ..operators.multimodal import (
+        WAV_SAMPLE_RATE,
+        decode_wav_features,
+        synth_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_wav_features(synth_wav(docs))
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "sum_samples",
+        "max_sample",
+        F.expr(f"CAST(n_samples * 1000000 div {WAV_SAMPLE_RATE} AS BIGINT)").alias(
+            "duration_us"
+        ),
+        (F.col("sum_samples").cast("double") / F.col("n_samples").cast("double")).alias(
+            "mean_amplitude"
+        ),
+    )

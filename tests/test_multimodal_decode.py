@@ -52,3 +52,48 @@ def test_decode_image_gates_compressed_formats():
     # raise NotImplementedError, never silently fake features
     with pytest.raises((NotImplementedError, Exception)):
         decode_image(b"\xff\xd8\xff\xe0" + bytes(16))
+
+
+# --- RIFF/WAV -------------------------------------------------------------
+
+from aiesec_guc_spark.operators.multimodal import _WAV_FMT_CHUNK, decode_wav
+
+
+def _wav(samples: bytes, extra: bytes = b"") -> bytes:
+    body = _WAV_FMT_CHUNK + extra + b"data" + len(samples).to_bytes(4, "little") + samples
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def test_decode_wav_fields_from_decoded_fmt_chunk():
+    d = decode_wav(_wav(bytes([0, 128, 255])))
+    assert d == {
+        "sample_rate": 8000,
+        "n_samples": 3,
+        "sum_samples": 383,
+        "max_sample": 255,
+    }
+
+
+def test_decode_wav_skips_unknown_chunks_with_word_alignment():
+    # odd-sized LIST chunk before data: the walker must skip its pad byte
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    d = decode_wav(_wav(bytes(range(7)), extra=extra))
+    assert d["n_samples"] == 7 and d["sum_samples"] == 21
+
+
+def test_decode_wav_rejects_bad_riff_size():
+    buf = _wav(bytes(4))
+    broken = buf[:4] + (99).to_bytes(4, "little") + buf[8:]
+    with pytest.raises(ValueError, match="RIFF size"):
+        decode_wav(broken)
+
+
+def test_decode_wav_rejects_truncated_chunk():
+    buf = _wav(bytes(8))[:-3]
+    with pytest.raises(ValueError):
+        decode_wav(buf)
+
+
+def test_decode_wav_rejects_non_wave():
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS" + bytes(20))
