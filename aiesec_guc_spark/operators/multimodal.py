@@ -475,3 +475,136 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=WAV_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode — YUV4MPEG2 (Y4M), mono chroma, stdlib-parsed.
+# The third binary grammar of the multimodal family: an ASCII
+# parameter header, then per-frame FRAME markers (with optional
+# parameters) delimiting fixed-size raster planes.  Frame sampling
+# operates on DECODED frame boundaries, not byte offsets.
+# ---------------------------------------------------------------------------
+
+Y4M_WIDTH = 8
+Y4M_HEIGHT = 2  # frame = 16 luma bytes at Cmono
+
+
+def decode_y4m(buf: bytes, sample_stride: int = 2) -> dict:
+    """Decode a Cmono Y4M stream: parse the parameter header (W/H/F
+    tags), then walk FRAME markers extracting w·h-byte luma planes.
+    Returns frame geometry/rate from the DECODED header, the exact
+    luma sum over all frames, and the sum over every
+    ``sample_stride``-th frame (frame sampling on real boundaries)."""
+    nl = buf.find(b"\n")
+    if nl < 0 or not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps_num = fps_den = None
+    for tok in buf[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == b"C" and val != b"mono":
+            raise ValueError(f"unsupported chroma {val!r} (Cmono only)")
+    if w is None or h is None:
+        raise ValueError("header missing W or H")
+    frame_bytes = w * h  # Cmono: luma plane only
+    pos, n_frames, total, sampled = nl + 1, 0, 0, 0
+    while pos < len(buf):
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        end = buf.find(b"\n", pos)
+        if end < 0:
+            raise ValueError("unterminated FRAME marker")
+        plane = buf[end + 1 : end + 1 + frame_bytes]
+        if len(plane) != frame_bytes:
+            raise ValueError(
+                f"frame {n_frames} truncated: {len(plane)} of {frame_bytes}"
+            )
+        s = sum(plane)
+        total += s
+        if n_frames % sample_stride == 0:
+            sampled += s
+        n_frames += 1
+        pos = end + 1 + frame_bytes
+    return {
+        "width": w,
+        "height": h,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "n_frames": n_frames,
+        "sum_luma": total,
+        "sum_luma_sampled": sampled,
+    }
+
+
+def synth_y4m(docs: DataFrame, width: int = Y4M_WIDTH, height: int = Y4M_HEIGHT) -> DataFrame:
+    """Deterministic Y4M payloads: each ASCII document's bytes become
+    consecutive Cmono luma frames (whole frames only).  Synthesis is
+    a zero-shuffle JVM projection — the frame stream is assembled
+    with transform+concat over the char domain."""
+    fb = width * height
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Cmono\n"
+    return (
+        docs.filter(
+            (F.octet_length(F.encode(F.col("text"), "utf-8")) == F.length("text"))
+            & (F.length("text") >= fb)
+        )
+        .withColumn("nf", F.expr(f"CAST(length(text) div {fb} AS INT)"))
+        .select(
+            "doc_id",
+            F.encode(
+                F.concat(
+                    F.lit(header),
+                    F.expr(
+                        "concat_ws('', transform(sequence(1, nf),"
+                        f" i -> concat('FRAME\\n', substring(text, (i-1)*{fb}+1, {fb}))))"
+                    ),
+                ),
+                "utf-8",
+            ).alias("payload"),
+        )
+    )
+
+
+Y4M_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps_num", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sum_luma", T.LongType(), True),
+        T.StructField("sum_luma_sampled", T.LongType(), True),
+    ]
+)
+
+
+def decode_y4m_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL Y4M decode over the payload column."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_y4m(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([f["width"] for f in feats], dtype="int32"),
+                    "height": pd.Series([f["height"] for f in feats], dtype="int32"),
+                    "fps_num": pd.Series([f["fps_num"] for f in feats], dtype="int32"),
+                    "n_frames": pd.Series([f["n_frames"] for f in feats], dtype="int64"),
+                    "sum_luma": pd.Series([f["sum_luma"] for f in feats], dtype="int64"),
+                    "sum_luma_sampled": pd.Series(
+                        [f["sum_luma_sampled"] for f in feats], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, schema=Y4M_FEATURE_SCHEMA)

@@ -83,6 +83,7 @@ _EVIDENCE_PRIORITY = [
     # --- changed in round 8 (code or oracle) — driver re-verification wanted first ---
     "multimodal_image_decode",  # new: REAL P6 decode, oracle-verified
     "multimodal_audio_decode",  # new: REAL RIFF/WAV chunk-walk decode
+    "multimodal_video_decode",  # new: REAL Y4M frame-walk decode
     "corpus_split_leakage_safe",  # new: cluster-grain split + leak audit
     "dedup_substring_windows",  # new: ExactSubstr-style window screen
     "corpus_temperature_mixture",  # new: τ=0.5 language balancing

@@ -280,3 +280,70 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_amplitude"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# E188 — REAL video decode: Cmono Y4M streams synthesized JVM-side,
+# frame-walked by the stdlib decoder; frame sampling (every 2nd
+# frame) happens on DECODED frame boundaries, not byte offsets —
+# completing the image (E186) / audio (E187) / video triad.
+# ---------------------------------------------------------------------------
+
+_Y4M_DECODE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) // 16 AS BIGINT) AS nf
+  FROM documents
+  WHERE strlen(text) = length(text) AND length(text) >= 16
+),
+px AS (
+  SELECT doc_id, nf, p,
+         (CAST(p - 1 AS BIGINT) // 16) AS frame,
+         ascii(substr(text, CAST(p AS INTEGER), 1)) AS v
+  FROM (SELECT doc_id, text, nf, unnest(range(1, 16*nf + 1)) AS p FROM d)
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(2 AS INTEGER) AS height,
+       CAST(25 AS INTEGER) AS fps_num,
+       CAST(max(nf) AS BIGINT) AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS sum_luma,
+       CAST(SUM(CASE WHEN frame % 2 = 0 THEN v END) AS BIGINT)
+         AS sum_luma_sampled,
+       CAST(max(nf) * 40000 AS BIGINT) AS duration_us
+FROM px GROUP BY doc_id
+"""
+
+
+@query("multimodal_video_decode", oracle=_Y4M_DECODE_ORACLE)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode over a binary column: each ASCII document's
+    bytes become consecutive 8×2 Cmono luma frames of a YUV4MPEG2
+    stream (JVM-side synthesis), and an Arrow-batched ``mapInPandas``
+    stage parses it for real — ASCII parameter header (W/H/F/C tags),
+    per-frame FRAME markers with optional parameters, fixed-size
+    plane extraction with truncation checks.  Geometry and frame rate
+    come from the DECODED header; frame sampling (every 2nd frame)
+    operates on decoded frame boundaries, the thing byte-offset
+    striding cannot do once markers vary in length.  duration_us =
+    frames·40000 exactly at 25 fps.  The oracle recomputes everything
+    from the text bytes, so header, marker-walk, or sampling-phase
+    bugs fail the hash gate.
+
+    Scale shape: synthesis and decode as in E186/E187 — zero-shuffle
+    projection in, Arrow-batched bounded-memory decode, one typed row
+    per clip out.
+    """
+    from ..operators.multimodal import decode_y4m_features, synth_y4m
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_y4m_features(synth_y4m(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "fps_num",
+        "n_frames",
+        "sum_luma",
+        "sum_luma_sampled",
+        F.expr("CAST(n_frames * 1000000 div 25 AS BIGINT)").alias("duration_us"),
+    )

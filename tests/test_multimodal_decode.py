@@ -97,3 +97,45 @@ def test_decode_wav_rejects_truncated_chunk():
 def test_decode_wav_rejects_non_wave():
     with pytest.raises(ValueError, match="not a RIFF"):
         decode_wav(b"OggS" + bytes(20))
+
+
+# --- Y4M ------------------------------------------------------------------
+
+from aiesec_guc_spark.operators.multimodal import decode_y4m
+
+
+def _y4m(*frames: bytes, header: bytes = b"YUV4MPEG2 W8 H2 F25:1 Cmono\n") -> bytes:
+    return header + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def test_decode_y4m_header_and_frame_walk():
+    f0, f1 = bytes(range(16)), bytes(range(16, 32))
+    d = decode_y4m(_y4m(f0, f1))
+    assert (d["width"], d["height"], d["fps_num"], d["fps_den"]) == (8, 2, 25, 1)
+    assert d["n_frames"] == 2 and d["sum_luma"] == sum(range(32))
+
+
+def test_decode_y4m_frame_markers_may_carry_parameters():
+    f0, f1, f2 = bytes(16), bytes([1] * 16), bytes([2] * 16)
+    buf = (b"YUV4MPEG2 W8 H2 F25:1 Cmono\n"
+           + b"FRAME\n" + f0 + b"FRAMEXparam\n" + f1 + b"FRAME\n" + f2)
+    d = decode_y4m(buf)
+    assert d["n_frames"] == 3
+    # sampling every 2nd frame = frames 0 and 2 on DECODED boundaries
+    assert d["sum_luma_sampled"] == sum(f0) + sum(f2)
+
+
+def test_decode_y4m_rejects_truncated_frame():
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(_y4m(bytes(15)))
+
+
+def test_decode_y4m_rejects_unsupported_chroma():
+    with pytest.raises(ValueError, match="chroma"):
+        decode_y4m(b"YUV4MPEG2 W8 H2 F25:1 C420\n" + b"FRAME\n" + bytes(24))
+
+
+def test_decode_y4m_rejects_garbage_between_frames():
+    buf = _y4m(bytes(16)) + b"JUNK" + bytes(16)
+    with pytest.raises(ValueError, match="FRAME marker"):
+        decode_y4m(buf)
