@@ -84,8 +84,16 @@ def merge_upsert(
     )
 
     if not exists:
+        # creation via the same swap-sibling rename as the merge path:
+        # a crash mid-initial-write must never leave a partial table
+        # that the next run's exists probe treats as authoritative,
+        # and a concurrent reader must never see a half-written table
         os.makedirs(os.path.dirname(target_path.rstrip("/")) or ".", exist_ok=True)
-        merged.write.mode("overwrite").parquet(target_path)
+        tmp = swap_sibling(target_path, "merge")
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_path):
+            shutil.rmtree(target_path)  # empty dir probed above
+        os.rename(tmp, target_path)
         return {
             "n_before": 0,
             "n_updates": updates.count(),

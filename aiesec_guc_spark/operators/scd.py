@@ -55,6 +55,7 @@ def scd2_apply(
     key: str,
     value_cols: list[str],
     ts_col: str = "ts",
+    applied_marker: str | None = None,
 ) -> dict:
     """Incrementally apply a batch of observations to an SCD2
     dimension table on plain parquet — the type-2 twin of
@@ -88,6 +89,16 @@ def scd2_apply(
     (operators/maintenance.py), so readers never observe a
     half-applied table.  Applying batches b1 then b2 equals applying
     b1∪b2 at once — differential-tested in tests/test_scd2_apply.py.
+
+    ``applied_marker``: a dot-prefixed filename dropped INSIDE the
+    table directory before the rename, making "this batch was
+    applied" visible atomically with the data swap — the transactional
+    handshake ``run_streaming_scd2`` uses so a crash can never land
+    between apply and marker (a marker written as a separate step
+    afterwards would wedge recovery: the redelivered batch would trip
+    the late-data guard with no marker saying it already applied).
+    Spark listings skip dot-files, so the marker is invisible to
+    readers.
     """
     import os
     import shutil
@@ -152,12 +163,19 @@ def scd2_apply(
     )
     result = segments if closed is None else closed.select(*out_cols).unionByName(segments)
 
+    def _mark(tmp_dir: str) -> None:
+        # inside the pre-rename sibling: marker + data become visible
+        # in ONE rename — no crash window between apply and marker
+        if applied_marker is not None:
+            open(os.path.join(tmp_dir, applied_marker), "w").close()
+
     if not exists:
         # same write-then-rename as the merge path: a concurrent
         # reader must never observe a half-written initial table
         os.makedirs(os.path.dirname(target_path.rstrip("/")) or ".", exist_ok=True)
         tmp = swap_sibling(target_path, "merge")
         result.write.mode("overwrite").parquet(tmp)
+        _mark(tmp)
         if os.path.isdir(target_path):
             shutil.rmtree(target_path)  # empty dir probed above
         os.rename(tmp, target_path)
@@ -165,6 +183,7 @@ def scd2_apply(
         tmp = swap_sibling(target_path, "merge")
         old = swap_sibling(target_path, "old")
         result.write.mode("overwrite").parquet(tmp)
+        _mark(tmp)
         os.rename(target_path, old)
         os.rename(tmp, target_path)
         shutil.rmtree(old)

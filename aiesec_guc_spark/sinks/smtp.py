@@ -95,12 +95,17 @@ class SMTPTransport:
         user = os.environ.get(SMTP_USER_ENV)
         password = os.environ.get(SMTP_PASSWORD_ENV)
         kwargs: dict = {"timeout": self.timeout}
+        # In "ssl" mode the context applies whichever factory builds
+        # the connection — dropping it for an injected factory would
+        # silently fall back to the default SSL context (failing a
+        # pinned loopback cert, or validating against the system
+        # store when the caller pinned one on purpose).
+        if mode == "ssl" and self.ssl_context is not None:
+            kwargs["context"] = self.ssl_context
         if self.smtp_factory is not None:
             factory = self.smtp_factory
         elif mode == "ssl":
             factory = smtplib.SMTP_SSL
-            if self.ssl_context is not None:
-                kwargs["context"] = self.ssl_context
         else:
             factory = smtplib.SMTP
         with factory(self.host, self.port, **kwargs) as conn:

@@ -261,6 +261,8 @@ def run_streaming_upsert_latest(
     )
     empty.createOrReplaceGlobalTempView(state_name)
 
+    prev_state: list[DataFrame] = []
+
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         arriving = batch_df.select(
             "user_id",
@@ -268,9 +270,9 @@ def run_streaming_upsert_latest(
             "event_id",
             "value",
         )
+        state = spark.table(f"global_temp.{state_name}")
         merged = (
-            spark.table(f"global_temp.{state_name}")
-            .unionByName(arriving)
+            state.unionByName(arriving)
             .groupBy("user_id")
             .agg(F.max(F.struct("ts_us", "event_id", "value")).alias("m"))
             .select("user_id", "m.ts_us", "m.event_id", "m.value")
@@ -278,7 +280,15 @@ def run_streaming_upsert_latest(
         # Materialize (distributed, lineage cut) before swapping the
         # view it reads from — never a driver-side collect; on a real
         # cluster this is the partitioned-table overwrite.
-        merged.localCheckpoint(eager=True).createOrReplaceGlobalTempView(state_name)
+        new_state = merged.localCheckpoint(eager=True)
+        new_state.createOrReplaceGlobalTempView(state_name)
+        # Release the PREVIOUS batch's checkpointed blocks explicitly:
+        # without this, executor storage holds every superseded state
+        # copy until JVM GC happens to collect the dereferenced plan —
+        # O(batches) copies on a long-running stream instead of two.
+        if prev_state:
+            prev_state.pop().unpersist()
+        prev_state.append(new_state)
 
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         q = (
@@ -482,20 +492,28 @@ def run_streaming_scd2(
       against the same target resumes source progress — epoch ids
       never restart at 0 and already-read files are never re-formed
       into batches that a marker check could wrongly drop.
-    - Applied-batch markers under the hidden sibling
-      ``.{name}__epochs/`` are keyed by batch CONTENT (row count +
-      order-insensitive md5 row-hash sum), not by bare epoch id: a
-      post-crash redelivery (at-least-once) of the same observations
-      matches its marker and is skipped, while NEW data that happens
-      to land as the same epoch id (e.g. after an operator rebuilt
-      the checkpoint) can never silently match.  Both siblings are
-      dot-prefixed, outside the table directory (which the swap
-      renames away each apply), so Spark listings never see them.
+    - Applied-batch markers are keyed by batch CONTENT (row count +
+      order-insensitive md5 row-hash sum), never by bare epoch id,
+      at TWO levels with distinct jobs:
 
-    Without a marker a replay would not corrupt history either —
-    ``scd2_apply`` fail-stops on observations at-or-before the open
-    version — but skip-on-marker lets recovery PROCEED past the
-    replayed batch.
+      * the ATOMIC marker lives INSIDE the table directory, written
+        into the pre-rename swap sibling by
+        ``scd2_apply(applied_marker=...)`` — "data applied" and
+        "marker present" become visible in ONE rename.  This closes
+        the crash window a separate marker write would leave: apply
+        lands, process dies before the marker, the checkpointed
+        source redelivers, the late-data guard fail-stops, and every
+        restart re-raises — recovery permanently wedged.  Each swap
+        carries only its own batch's marker, which is exactly the
+        redelivery window foreachBatch has (offsets commit per
+        epoch).
+      * the HISTORY markers in the hidden sibling ``.{name}__epochs/``
+        record every applied batch, so a FULL replay (fresh
+        checkpoint over the same source) skips all of them, not just
+        the latest.  They are written after the apply — non-atomic,
+        which is safe because the in-table marker covers the crash
+        window, and a skip via the in-table marker backfills the
+        missing history marker (self-healing).
 
     Batch prep pre-reduces to one observation per (user, instant)
     (max event_type — deterministic) to satisfy scd2_apply's
@@ -535,12 +553,28 @@ def run_streaming_scd2(
         ).collect()[0]
         if fp["n"] == 0:
             return
-        marker = os.path.join(marker_dir, f"{fp['n']}_{fp['h']}")
-        if os.path.exists(marker):
+        key = f"{fp['n']}_{fp['h']}"
+        history = os.path.join(marker_dir, key)
+        if os.path.exists(history):
+            return  # full replay of an already-applied batch
+        atomic = f"._applied_{key}"
+        if os.path.exists(os.path.join(target_path, atomic)):
+            # post-crash redelivery: the apply landed but the process
+            # died before the history marker — backfill it and skip
+            os.makedirs(marker_dir, exist_ok=True)
+            open(history, "w").close()
             return
-        scd2_apply(spark, target_path, changes, "user_id", ["status"], "ts_us")
+        scd2_apply(
+            spark,
+            target_path,
+            changes,
+            "user_id",
+            ["status"],
+            "ts_us",
+            applied_marker=atomic,
+        )
         os.makedirs(marker_dir, exist_ok=True)
-        open(marker, "w").close()
+        open(history, "w").close()
 
     q = (
         src.writeStream.foreachBatch(apply_batch)

@@ -100,3 +100,51 @@ def test_streaming_scd2_matches_oneshot_and_skips_replay(spark, tmp_path):
     )
     assert u3 == [("click", False), ("purchase", True)]
     assert len(os.listdir(marker_dir)) == 3
+
+
+def test_crash_between_apply_and_history_marker_recovers(spark, tmp_path):
+    """The wedge scenario: a batch APPLIES (table swapped, atomic
+    in-table marker present) but the process dies before the history
+    marker lands.  Redelivery must SKIP the batch (not trip the
+    late-data guard) and backfill the history marker — recovery
+    proceeds with no manual surgery."""
+    import datetime as dt
+    import glob
+
+    src_dir = str(tmp_path / "obs")
+    target = str(tmp_path / "dim")
+    t0 = dt.datetime(2026, 3, 1, 9, 0, 0)
+    _write(spark, src_dir, [(1, t0, "click"), (1, t0 + dt.timedelta(hours=1), "purchase")])
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    run_streaming_scd2(
+        spark, sf_dir="", target_path=target, src=stream(),
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    before = _scd_rows(spark, target)
+    # the swap left the batch's atomic marker inside the table dir
+    atomic = glob.glob(os.path.join(target, "._applied_*"))
+    assert atomic, "atomic in-table marker missing after apply"
+
+    # simulate the crash window: history marker gone, apply landed
+    marker_dir = str(tmp_path / ".dim__epochs")
+    for m in os.listdir(marker_dir):
+        os.remove(os.path.join(marker_dir, m))
+
+    # fresh checkpoint redelivers the batch; without the atomic
+    # marker this would raise scd2_apply's closed-history ValueError
+    run_streaming_scd2(
+        spark, sf_dir="", target_path=target, src=stream(),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert _scd_rows(spark, target) == before
+    # ...and the history marker was backfilled (self-healing)
+    assert len(os.listdir(marker_dir)) >= 1
