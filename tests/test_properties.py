@@ -478,3 +478,30 @@ def test_zorder_key_matches_python_interleave(spark):
     )
     for row in df.collect():
         assert row["z"] == ref(row["x"], row["y"]), (row["x"], row["y"])
+
+
+def test_decimal_div_is_exact_floor_division(spark):
+    """The DECIMAL(38,0) widening contract several queries rely on
+    (supplier HHI, temperature mixture, BM25 products): Spark's `div`
+    on decimal operands must be EXACT floor division at magnitudes
+    where bigint multiply would overflow — products near 10^25,
+    verified against Python's arbitrary-precision //."""
+    from decimal import Decimal
+
+    rng = random.Random(11)
+    rows = [
+        (
+            Decimal(rng.randrange(10**18, 10**19)),
+            Decimal(rng.randrange(1, 10**12)),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "a decimal(38,0), b decimal(38,0)")
+    got = df.select(
+        F.expr("cast((a * 1000000) div b as string)").alias("q"), "a", "b"
+    ).collect()
+    for r in got:
+        assert int(r["q"]) == (int(r["a"]) * 1_000_000) // int(r["b"]), (
+            r["a"],
+            r["b"],
+        )
