@@ -120,6 +120,7 @@ def compact_table(
             "not self-describing, and re-inferring would corrupt the table "
             "(header rows as data, widened types, lost timestamps)"
         )
+    recover_interrupted_swap(path)
     before = file_stats(path)
     n_target = plan_target_files(before["total_bytes"], target_bytes)
     if before["n_files"] <= n_target:
@@ -147,6 +148,50 @@ _SWAP_MARKERS = (
 )
 
 
+#: The "old" half of a two-rename swap — restorable when the second
+#: rename never happened (see recover_interrupted_swap).
+_OLD_MARKERS = ("__old_", "__zorder_old_")
+
+
+def recover_interrupted_swap(path: str) -> str | None:
+    """Heal a table whose two-rename swap crashed BETWEEN the renames:
+    the target was renamed away to its ``__old_`` sibling but the new
+    sibling never renamed in, so the table path is missing and the
+    ``__old_`` sibling is the only full copy.  Restoring it (one
+    rename back) returns the table to its exact pre-swap state; the
+    abandoned temp sibling is left for ``vacuum_siblings``.
+
+    Every swap-writing operator (scd2_apply, merge_upsert,
+    zorder_rewrite, compact_table callers) invokes this at entry —
+    without it, the next apply's exists-probe would take the CREATION
+    path and silently reinitialize the table from the current batch
+    alone, losing all history.
+
+    Returns the restored sibling path, or None if nothing needed
+    healing.  No-op when the target exists (a crash after the second
+    rename leaves only removable orphans).
+    """
+    if os.path.isdir(path.rstrip("/")):
+        return None
+    parent, name = os.path.split(path.rstrip("/"))
+    olds = sorted(
+        f
+        for f in (os.listdir(parent) if os.path.isdir(parent or ".") else [])
+        for m in _OLD_MARKERS
+        if f.startswith((f".{name}{m}", f"{name}{m}"))
+    )
+    if not olds:
+        return None
+    if len(olds) > 1:
+        raise RuntimeError(
+            f"multiple __old_ siblings for missing table {path!r}: {olds} "
+            "— manual inspection required (never auto-pick one)"
+        )
+    src = os.path.join(parent, olds[0])
+    os.rename(src, path.rstrip("/"))
+    return src
+
+
 def vacuum_siblings(path: str, dry_run: bool = False) -> list[str]:
     """Remove orphaned swap siblings (``tbl__compact_*`` /
     ``tbl__merge_*`` / ``tbl__old_*`` / ``tbl__zorder_tmp_*`` /
@@ -156,12 +201,28 @@ def vacuum_siblings(path: str, dry_run: bool = False) -> list[str]:
     The swap protocol guarantees the LIVE table is never the damaged
     party — a crash abandons only temp/old siblings — so vacuuming is
     always safe on a quiesced table: nothing references these
-    directories once the table path itself exists.  (On a table
-    actively being compacted, run vacuum before/after the job, not
-    during — exactly like lakehouse VACUUM retention rules.)
+    directories once the table path itself exists.  Safety interlock:
+    when the table path is MISSING and an ``__old_`` sibling exists
+    (a swap crashed between its two renames, so the sibling is the
+    only full copy), this refuses to run — call
+    ``recover_interrupted_swap`` first.
 
     Returns the removed (or, with ``dry_run``, matched) paths.
     """
+    if not os.path.isdir(path.rstrip("/")):
+        parent_, name_ = os.path.split(path.rstrip("/"))
+        if os.path.isdir(parent_ or "."):
+            stranded = [
+                f
+                for f in os.listdir(parent_ or ".")
+                for m in _OLD_MARKERS
+                if f.startswith((f".{name_}{m}", f"{name_}{m}"))
+            ]
+            if stranded:
+                raise RuntimeError(
+                    f"table {path!r} is missing and {stranded} may be its "
+                    "only copy — run recover_interrupted_swap first"
+                )
     parent, name = os.path.split(path.rstrip("/"))
     # both the current hidden form (.name__tag_) and the legacy
     # visible form (name__tag_) from older runs
@@ -289,6 +350,7 @@ def zorder_rewrite(
     """
     z = zorder_key_expr(x_col, y_col, bits)
     spark = df.sparkSession
+    recover_interrupted_swap(path)
     tmp = swap_sibling(path, "zorder_tmp")
     (
         df.withColumn("_zkey", F.expr(z))

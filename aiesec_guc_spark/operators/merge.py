@@ -35,7 +35,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .maintenance import swap_sibling
+from .maintenance import recover_interrupted_swap, swap_sibling
 
 
 def merge_upsert(
@@ -52,6 +52,10 @@ def merge_upsert(
     at-least-once redelivery case).  Returns
     ``{"n_before", "n_updates", "n_after"}``.
     """
+    # heal a two-rename swap that crashed between its renames — the
+    # exists probe below must never mistake the crash window for a
+    # fresh table (which would silently drop every pre-merge row)
+    recover_interrupted_swap(target_path)
     exists = os.path.isdir(target_path) and any(
         f.endswith(".parquet") for f in os.listdir(target_path)
     )

@@ -103,7 +103,13 @@ def scd2_apply(
     import os
     import shutil
 
-    from .maintenance import swap_sibling
+    from .maintenance import recover_interrupted_swap, swap_sibling
+
+    # Heal a swap that crashed between its two renames BEFORE probing
+    # existence: with the table renamed away and nothing renamed in,
+    # the probe would take the creation path and silently reinitialize
+    # the dimension from this batch alone — losing all closed history.
+    recover_interrupted_swap(target_path)
 
     out_cols = [key, *value_cols, "valid_from", "valid_to"]
 

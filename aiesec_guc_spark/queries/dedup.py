@@ -1818,21 +1818,12 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = None
     for b, r in LSH_SWEEP:
-        bands = lsh_band_keys(sigs, "doc_id", n_bands=b, n_rows=r)
-        a = bands.alias("a")
-        bb = bands.alias("b")
-        cand = (
-            a.join(
-                bb,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+        # the production candidate join, parameterized per config —
+        # single-sourced (and it eagerly materializes the band rows,
+        # which the hand-rolled self-join here used to recompute on
+        # both join sides)
+        cand = lsh_candidate_pairs(
+            lsh_band_keys(sigs, "doc_id", n_bands=b, n_rows=r), "doc_id"
         )
         ver = jaccard_verify(cand, shd, "doc_id", pre_distinct=True)
         is_dup = (F.col("jaccard") >= SWEEP_DUP_J).cast("int")

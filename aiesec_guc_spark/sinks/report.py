@@ -149,7 +149,7 @@ def read_snapshot_xlsx(spark, path: str, sheet_name: str = "Sheet1") -> DataFram
         except ImportError:  # pandas needs openpyxl for xlsx
             from . import xlsxlite
 
-            cols, rows = xlsxlite.read_xlsx(path)
+            cols, rows = xlsxlite.read_xlsx(path, sheet_name=sheet_name)
             # Empty cells must read back as "" exactly like the
             # openpyxl path (keep_default_na=False) — astype(str)
             # alone would stringify None into the literal "None" and

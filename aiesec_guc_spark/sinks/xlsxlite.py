@@ -183,8 +183,59 @@ def _col_index(ref: str) -> int:
     return i - 1
 
 
-def read_xlsx(path: str) -> tuple[list[str], list[list[str | None]]]:
-    """Parse a workbook's first sheet → (columns, rows of str|None).
+_REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_PKG_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _sheet_part(z: "zipfile.ZipFile", sheet_name: str | None) -> str:
+    """Resolve a sheet's worksheet part via xl/workbook.xml +
+    xl/_rels/workbook.xml.rels — workbook ORDER and NAMES are defined
+    there, not by part filenames (after sheet deletion or reorder the
+    first visible sheet can be stored as sheet2.xml, and sheet10.xml
+    sorts before sheet2.xml).  ``sheet_name=None`` means the first
+    sheet in workbook order."""
+    names = set(z.namelist())
+    if "xl/workbook.xml" in names and "xl/_rels/workbook.xml.rels" in names:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_target = {
+            r.get("Id"): r.get("Target")
+            for r in rels.iter(f"{_PKG_REL_NS}Relationship")
+        }
+        sheets = [
+            (s.get("name"), s.get(f"{_REL_NS}id"))
+            for s in wb.iter(f"{_NS}sheet")
+        ]
+        if sheets:
+            if sheet_name is None:
+                rid = sheets[0][1]
+            else:
+                match = [rid for nm, rid in sheets if nm == sheet_name]
+                if not match:
+                    raise ValueError(
+                        f"sheet {sheet_name!r} not in workbook "
+                        f"(has {[nm for nm, _ in sheets]})"
+                    )
+                rid = match[0]
+            target = rel_target.get(rid, "")
+            part = target if target.startswith("xl/") else f"xl/{target}"
+            if part in names:
+                return part
+    # fallback for minimal workbooks without a rels part
+    parts = sorted(
+        n for n in names if n.startswith("xl/worksheets/") and n.endswith(".xml")
+    )
+    if not parts:
+        raise ValueError("no worksheet part in workbook")
+    return parts[0]
+
+
+def read_xlsx(
+    path: str, sheet_name: str | None = None
+) -> tuple[list[str], list[list[str | None]]]:
+    """Parse a workbook sheet → (columns, rows of str|None) —
+    ``sheet_name=None`` reads the first sheet in WORKBOOK order
+    (resolved via workbook.xml + its rels, never part-name order).
     Handles inlineStr (this writer), sharedStrings (openpyxl/pandas
     writers), and bare numeric cells."""
     with zipfile.ZipFile(path) as z:
@@ -195,18 +246,7 @@ def read_xlsx(path: str) -> tuple[list[str], list[list[str | None]]]:
                 "".join(t.text or "" for t in si.iter(f"{_NS}t"))
                 for si in root.iter(f"{_NS}si")
             ]
-        # First sheet part by name order — writers are free to call it
-        # something other than sheet1.xml (LibreOffice, multi-sheet
-        # pandas), so never hard-code; fail with a clear error when a
-        # workbook has no worksheet part at all.
-        sheets = sorted(
-            n
-            for n in z.namelist()
-            if n.startswith("xl/worksheets/") and n.endswith(".xml")
-        )
-        if not sheets:
-            raise ValueError(f"no worksheet part in {path!r}")
-        root = ET.fromstring(z.read(sheets[0]))
+        root = ET.fromstring(z.read(_sheet_part(z, sheet_name)))
     out: list[list[str | None]] = []
     for row in root.iter(f"{_NS}row"):
         cells: list[str | None] = []

@@ -261,7 +261,16 @@ def run_streaming_upsert_latest(
     )
     empty.createOrReplaceGlobalTempView(state_name)
 
-    prev_state: list[DataFrame] = []
+    sc = spark.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        jmap = sc._jsc.sc().getPersistentRDDs()
+        it, ids = jmap.iterator(), set()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    prev_ids: set[int] = set()
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         arriving = batch_df.select(
@@ -280,15 +289,29 @@ def run_streaming_upsert_latest(
         # Materialize (distributed, lineage cut) before swapping the
         # view it reads from — never a driver-side collect; on a real
         # cluster this is the partitioned-table overwrite.
+        before = _persistent_ids()
         new_state = merged.localCheckpoint(eager=True)
+        created = _persistent_ids() - before
         new_state.createOrReplaceGlobalTempView(state_name)
-        # Release the PREVIOUS batch's checkpointed blocks explicitly:
-        # without this, executor storage holds every superseded state
-        # copy until JVM GC happens to collect the dereferenced plan —
-        # O(batches) copies on a long-running stream instead of two.
-        if prev_state:
-            prev_state.pop().unpersist()
-        prev_state.append(new_state)
+        # Release the PREVIOUS batch's checkpointed blocks explicitly.
+        # DataFrame.unpersist() is a documented NO-OP here (it talks
+        # to the CacheManager, which never registered a localCheckpoint
+        # — verified on this Spark), so the superseded state must be
+        # dropped at the RDD level by the ids the checkpoint created;
+        # otherwise executor storage holds O(batches) state copies
+        # until JVM GC gets around to the dereferenced plans.  The
+        # before/after id diff assumes no CONCURRENT job in this
+        # session checkpoints between the two snapshots (foreachBatch
+        # is sequential; the engine's query surface is driver-run one
+        # at a time) — a concurrent checkpointer would need tagged
+        # RDD names instead.
+        jmap = sc._jsc.sc().getPersistentRDDs()
+        for rid in prev_ids:
+            opt = jmap.get(rid)
+            if opt.isDefined():
+                opt.get().unpersist(False)
+        prev_ids.clear()
+        prev_ids.update(created)
 
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         q = (

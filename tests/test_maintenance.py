@@ -216,3 +216,51 @@ def test_expire_partitions_keeps_newest(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         expire_partitions(base, "run_date", keep_last=0)
+
+
+def test_recover_interrupted_swap_restores_renamed_away_table(spark, sf_dir, tmp_path):
+    """The swap's worst crash window: target renamed to its __old_
+    sibling, new dir never renamed in.  Every swap-writing operator
+    must heal this at entry — otherwise the exists probe takes the
+    creation path and silently reinitializes the table."""
+    import shutil
+
+    from aiesec_guc_spark.operators.maintenance import (
+        recover_interrupted_swap,
+        vacuum_siblings,
+    )
+    from aiesec_guc_spark.operators.merge import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    df = load_table(spark, sf_dir, "nation")
+    df.write.parquet(path)
+    n_rows = df.count()
+
+    # simulate the crash: target renamed away, tmp abandoned
+    os.rename(path, str(tmp_path / ".tbl__old_dead1"))
+    os.makedirs(tmp_path / ".tbl__merge_dead2")
+
+    # vacuum must REFUSE while the only copy is the __old_ sibling
+    import pytest
+
+    with pytest.raises(RuntimeError, match="only copy"):
+        vacuum_siblings(path)
+
+    restored = recover_interrupted_swap(path)
+    assert restored and restored.endswith(".tbl__old_dead1")
+    assert spark.read.parquet(path).count() == n_rows
+    # second call is a no-op
+    assert recover_interrupted_swap(path) is None
+    # now vacuum may clean the abandoned tmp
+    assert len(vacuum_siblings(path)) == 1
+
+    # the healing is wired into the operators: merge into a
+    # crash-windowed table must see all pre-merge rows
+    from pyspark.sql import functions as F
+
+    os.rename(path, str(tmp_path / ".tbl__old_dead3"))
+    upd = df.limit(2).withColumn("n_name", F.lit("PATCHED"))
+    stats = merge_upsert(
+        spark, path, upd, keys=["n_nationkey"], order_col="n_nationkey"
+    )
+    assert stats["n_before"] == n_rows  # NOT 0 — history survived

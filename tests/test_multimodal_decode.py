@@ -49,8 +49,10 @@ def test_decode_ppm_rejects_other_magic():
 
 def test_decode_image_gates_compressed_formats():
     # JPEG magic: with no PIL in this container the dispatch must
-    # raise NotImplementedError, never silently fake features
-    with pytest.raises((NotImplementedError, Exception)):
+    # raise NotImplementedError SPECIFICALLY (a TypeError/AttributeError
+    # regression would mean broken dispatch, not an honest gate) —
+    # and never silently fake features
+    with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0" + bytes(16))
 
 

@@ -48,3 +48,39 @@ def test_upsert_merges_across_micro_batches(spark, tmp_path):
         2: (301, 4.0),  # same-ts tie resolved by higher event_id
         3: (201, 3.0),
     }
+
+
+def test_superseded_state_blocks_are_released(spark, tmp_path):
+    """Each micro-batch localCheckpoints a fresh state copy; the
+    superseded copy must be dropped at the RDD level (DataFrame
+    .unpersist() is a no-op for localCheckpoints — it talks to the
+    CacheManager, which never registered them).  Persistent-RDD count
+    must stay bounded at the ONE live state, not grow O(batches)."""
+    src_dir = str(tmp_path / "obs")
+    rows = [
+        (i % 7, dt.datetime(2026, 1, 1, 9, 0, i), i, float(i))
+        for i in range(40)
+    ]
+    for k in range(8):  # 8 files -> 8 micro-batches
+        spark.createDataFrame(
+            rows[k * 5 : (k + 1) * 5],
+            "user_id long, ts timestamp, event_id long, value double",
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    sc = spark.sparkContext
+    n0 = sc._jsc.sc().getPersistentRDDs().size()
+    src = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = run_streaming_upsert_latest(
+        spark, sf_dir="", query_name="upsert_gc_test", src=src
+    )
+    assert out.count() == 7
+    n_after = sc._jsc.sc().getPersistentRDDs().size()
+    assert n_after - n0 <= 1, (
+        f"superseded state copies leaked: {n0} -> {n_after} persistent RDDs"
+    )
