@@ -71,84 +71,25 @@ _QUERY_MODULES = [
 # Module order alone can no longer pin every evidence-starved query
 # within the checked window (a new query appended to a late module
 # lands past it), so the registry is additionally reordered by this
-# explicit priority list.  Rotation policy (round 8, per VERDICT r7
-# item 1): queries CHANGED this round lead (their driver rows must
-# re-verify the new code), then the 60 queries with ZERO driver-or-
-# judge evidence across r1-r7 — the driver checks the first ~50, so
-# r08 covers the changed set + 41 of these, and r09's rotation takes
-# the remainder plus the judge-verified tier.  Typos fail loudly in
+# explicit priority list.  Rotation policy (round 9, per VERDICT r8
+# item 1): the 77 queries with no driver row across r1-r8 lead — the
+# driver's ~50-slot window consumes tier 1 (58 weakest-evidence) plus
+# the head of tier 2, and r10's window closes the remainder, giving
+# every registered query ≥1 green driver row.  Typos fail loudly in
 # registry().  tools/gen_coverage.py renders COVERAGE.md (query →
 # last driver round) from CORRECTNESS_r*.json so the gap is auditable.
 _EVIDENCE_PRIORITY = [
-    # --- changed in round 8 (code or oracle) — driver re-verification wanted first ---
-    "multimodal_image_decode",  # new: REAL P6 decode, oracle-verified
-    "multimodal_audio_decode",  # new: REAL RIFF/WAV chunk-walk decode
-    "multimodal_video_decode",  # new: REAL Y4M frame-walk decode
-    "corpus_split_leakage_safe",  # new: cluster-grain split + leak audit
-    "dedup_substring_windows",  # new: ExactSubstr-style window screen
-    "corpus_temperature_mixture",  # new: τ=0.5 language balancing
-    "supplier_hhi_by_region",  # DECIMAL(38,0) overflow widening, both engines
-    "sample_negative_pairs",
-    "funnel_conversion_latency",
-    "pareto_revenue_concentration",
-    "revenue_gini",
-    "repurchase_interval_median",
-    "corpus_mixture_rebalance",
-    "corpus_repeat_factors",
-    "bpe_apply_tokenize",
-    "bpe_learn_merges",
-    # --- zero-evidence: never driver-sampled in r1-r7 AND not judge-run in r7 ---
-    "cheapest_offer_per_part",
-    "latest_event_per_user",
-    "cohort_retention",
-    "weekly_active_users",
-    "median_acctbal_by_segment",
-    "orders_price_histogram",
-    "events_key_skew_profile",
-    "user_event_type_profile",
-    "part_name_fuzzy_pairs",
-    "sql_frontdoor_lateral_topn",
-    "dau_mau_stickiness",
-    "bpe_first_merge_pairs",
-    "text_oov_fraction",
-    "events_daily_ops_mart",
-    "nation_segment_matrix",
-    "entity_resolution_parts",
-    "events_transition_matrix",
-    "forecast_revenue_change",
-    "returned_item_customers",
-    "disjunctive_brand_revenue",
-    "events_hourly_anomalies",
-    "discount_quantity_correlation",
-    "sample_weighted_docs",
-    "session_path_mining",
-    "events_multigrain_rollup",
-    "user_ltv_deciles",
-    "purchase_click_attribution",
-    "pit_purchase_status",
-    "basket_pair_lift",
-    "basket_brand_triangles",
-    "dedup_incremental_index",
-    "join_size_estimate",
-    "inverted_index_postings",
-    "embedding_int8_quantize",
-    "session_bounce_rate",
-    "customer_order_distribution",
+    # --- round-9 rotation (VERDICT r8 item 1): the 77 queries with no
+    # driver row across r1-r8 lead.  Tier 1 = the 58 whose only evidence
+    # is builder/judge pytest-oracle at sf0.001 (weakest — the driver's
+    # ~50-slot window must reach these first); tier 2 = the 19 the r8
+    # judge re-ran at sf0.01 (stronger, can wait for r10's window).
     "shipping_lateness_priority",
-    "top_supplier_revenue",
     "important_stock_parts",
     "product_profit_by_nation_year",
     "part_supplier_diversity",
-    "dominant_part_suppliers",
-    "suppliers_kept_orders_waiting",
-    "corpus_filter_cascade",
-    "events_seasonality_heatmap",
     "value_percentile_bands",
-    "revenue_max_drawdown",
-    "ab_test_proportions",
     "label_centroid_separation",
-    "open_orders_backlog",
-    "dedup_containment_pairs",
     "dedup_source_attribution",
     "customers_bought_all_brands",
     "conversion_latency_cdf",
@@ -158,7 +99,6 @@ _EVIDENCE_PRIORITY = [
     "cap_docs_per_source",
     "basket_brand_triangles_degree",
     "dedup_minhash_estimate_error",
-    # --- never driver-sampled but judge-run green in r7 ---
     "sql_frontdoor_recursive_spine",
     "streaming_wau_approx",
     "brand_pagerank",
@@ -169,20 +109,15 @@ _EVIDENCE_PRIORITY = [
     "similarity_int8_topk_recall",
     "dedup_exact_keep_best",
     "dedup_ngram_jaccard_prefix",
-    # --- new in round 8 (E140-E143) — r09 rotation picks these up
-    #     with the rest of the zero-evidence tier ---
     "events_heavy_hitters_cms",
     "table_drift_tvd",
-    "embedding_norm_outliers",
     "similarity_maxsim",
     "streaming_heavy_hitters_cms",
     "incremental_agg_maintenance",
-    "weighted_median_price",
     "decontaminate_bloom",
     "similarity_rrf_fusion",
     "corpus_split_assign",
     "boilerplate_bigram_df",
-    "pareto_frontier_customers",
     "events_twap_by_user",
     "text_bm25_retrieval",
     "order_interval_overlaps",
@@ -198,21 +133,36 @@ _EVIDENCE_PRIORITY = [
     "order_installment_schedule",
     "orders_benford_first_digit",
     "events_arrival_dispersion",
-    "dedup_lsh_band_sweep",
     "shipping_leadtime_percentiles",
     "corpus_vocab_growth",
     "user_behavior_diversity",
     "source_quality_shrunk",
     "dedup_cluster_size_histogram",
-    "text_bigram_lm_quality",
     "text_zipf_octave_slope",
-    "sample_hard_negatives",
     "embedding_dim_variance",
-    "orders_dow_seasonality",
     "dedup_shingle_hotspot_audit",
     "session_duration_histogram",
+    # --- tier 2: never driver-sampled, judge-run sf0.01 green in r8 ---
+    "session_bounce_rate",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "dominant_part_suppliers",
+    "suppliers_kept_orders_waiting",
+    "corpus_filter_cascade",
+    "events_seasonality_heatmap",
+    "revenue_max_drawdown",
+    "ab_test_proportions",
+    "open_orders_backlog",
+    "dedup_containment_pairs",
+    "embedding_norm_outliers",
+    "weighted_median_price",
+    "pareto_frontier_customers",
+    "dedup_lsh_band_sweep",
+    "text_bigram_lm_quality",
+    "sample_hard_negatives",
+    "orders_dow_seasonality",
     "similarity_pq_adc",
-    # --- driver evidence exists — stalest first ---
+    # --- driver evidence exists — stalest round first ---
     "approx_distinct_customers",
     "approx_quantile_orders",
     "asof_click_error",
@@ -311,6 +261,56 @@ _EVIDENCE_PRIORITY = [
     "text_discriminative_terms",
     "text_repetition_signals",
     "wealthy_inactive_customers",
+    "basket_brand_triangles",
+    "basket_pair_lift",
+    "bpe_apply_tokenize",
+    "bpe_first_merge_pairs",
+    "bpe_learn_merges",
+    "cheapest_offer_per_part",
+    "cohort_retention",
+    "corpus_mixture_rebalance",
+    "corpus_repeat_factors",
+    "corpus_split_leakage_safe",
+    "corpus_temperature_mixture",
+    "dau_mau_stickiness",
+    "dedup_incremental_index",
+    "dedup_substring_windows",
+    "discount_quantity_correlation",
+    "disjunctive_brand_revenue",
+    "embedding_int8_quantize",
+    "entity_resolution_parts",
+    "events_daily_ops_mart",
+    "events_hourly_anomalies",
+    "events_key_skew_profile",
+    "events_multigrain_rollup",
+    "events_transition_matrix",
+    "forecast_revenue_change",
+    "funnel_conversion_latency",
+    "inverted_index_postings",
+    "join_size_estimate",
+    "latest_event_per_user",
+    "median_acctbal_by_segment",
+    "multimodal_audio_decode",
+    "multimodal_image_decode",
+    "multimodal_video_decode",
+    "nation_segment_matrix",
+    "orders_price_histogram",
+    "pareto_revenue_concentration",
+    "part_name_fuzzy_pairs",
+    "pit_purchase_status",
+    "purchase_click_attribution",
+    "repurchase_interval_median",
+    "returned_item_customers",
+    "revenue_gini",
+    "sample_negative_pairs",
+    "sample_weighted_docs",
+    "session_path_mining",
+    "sql_frontdoor_lateral_topn",
+    "supplier_hhi_by_region",
+    "text_oov_fraction",
+    "user_event_type_profile",
+    "user_ltv_deciles",
+    "weekly_active_users",
 ]
 
 
