@@ -65,6 +65,43 @@ def swap_sibling(path: str, tag: str) -> str:
     return os.path.join(parent, f".{name}__{tag}_{uuid.uuid4().hex[:8]}")
 
 
+def parquet_table_exists(path: str) -> bool:
+    """True iff ``path`` holds parquet data ANYWHERE under it.
+
+    The probe is recursive on purpose: a partitioned table keeps its
+    .parquet files in ``col=value/`` subdirectories with none at the
+    top level, and a shallow top-level listing would classify such a
+    table as "not existing" — which the creation paths follow with an
+    rmtree, silently replacing a real table with updates-only data."""
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def clear_table_dir(path: str) -> None:
+    """Remove a directory the table-creation path is about to replace.
+
+    Only marker/metadata content may be deleted: by the time this
+    runs, ``parquet_table_exists`` has said there is no data anywhere
+    under ``path``, so anything left is _SUCCESS/_committed markers or
+    hidden files.  A visible non-marker file means the directory is
+    NOT an abandoned table skeleton — refuse rather than destroy
+    someone else's content."""
+    if not os.path.isdir(path):
+        return
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not (f.startswith(("_", "."))):
+                raise ValueError(
+                    f"refusing to clear {path!r}: contains non-table file "
+                    f"{os.path.join(root, f)!r}"
+                )
+    shutil.rmtree(path)
+
+
 def file_stats(path: str) -> dict:
     """Data-file census for a table directory: count, total bytes,
     min/max/mean file size.  Metadata only — nothing is read."""

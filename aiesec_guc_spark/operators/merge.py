@@ -35,7 +35,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .maintenance import recover_interrupted_swap, swap_sibling
+from .maintenance import (
+    clear_table_dir,
+    parquet_table_exists,
+    recover_interrupted_swap,
+    swap_sibling,
+)
 
 
 def merge_upsert(
@@ -56,9 +61,9 @@ def merge_upsert(
     # exists probe below must never mistake the crash window for a
     # fresh table (which would silently drop every pre-merge row)
     recover_interrupted_swap(target_path)
-    exists = os.path.isdir(target_path) and any(
-        f.endswith(".parquet") for f in os.listdir(target_path)
-    )
+    # recursive: partitioned tables keep parquet only in subdirs — a
+    # top-level listing would misclassify them as fresh and rmtree them
+    exists = parquet_table_exists(target_path)
     if exists:
         target = spark.read.parquet(target_path)
         missing = set(target.columns) ^ set(updates.columns)
@@ -95,8 +100,8 @@ def merge_upsert(
         os.makedirs(os.path.dirname(target_path.rstrip("/")) or ".", exist_ok=True)
         tmp = swap_sibling(target_path, "merge")
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(target_path):
-            shutil.rmtree(target_path)  # empty dir probed above
+        # data-free per the recursive probe; refuses non-marker content
+        clear_table_dir(target_path)
         os.rename(tmp, target_path)
         return {
             "n_before": 0,

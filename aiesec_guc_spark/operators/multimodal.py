@@ -515,6 +515,11 @@ def decode_y4m(buf: bytes, sample_stride: int = 2) -> dict:
             raise ValueError(f"unsupported chroma {val!r} (Cmono only)")
     if w is None or h is None:
         raise ValueError("header missing W or H")
+    if fps_num is None:
+        # F is mandatory per the y4m spec; without this check a
+        # missing tag surfaces later as an opaque pandas int32
+        # conversion error instead of a decode diagnostic.
+        raise ValueError("header missing F")
     frame_bytes = w * h  # Cmono: luma plane only
     pos, n_frames, total, sampled = nl + 1, 0, 0, 0
     while pos < len(buf):

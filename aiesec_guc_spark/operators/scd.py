@@ -103,7 +103,12 @@ def scd2_apply(
     import os
     import shutil
 
-    from .maintenance import recover_interrupted_swap, swap_sibling
+    from .maintenance import (
+        clear_table_dir,
+        parquet_table_exists,
+        recover_interrupted_swap,
+        swap_sibling,
+    )
 
     # Heal a swap that crashed between its two renames BEFORE probing
     # existence: with the table renamed away and nothing renamed in,
@@ -122,9 +127,9 @@ def scd2_apply(
             "one observation per key-instant — pre-reduce the batch"
         )
 
-    exists = os.path.isdir(target_path) and any(
-        f.endswith(".parquet") for f in os.listdir(target_path)
-    )
+    # recursive: partitioned tables keep parquet only in subdirs — a
+    # top-level listing would misclassify them as fresh and rmtree them
+    exists = parquet_table_exists(target_path)
     if exists:
         target = spark.read.parquet(target_path)
         open_rows = target.filter(F.col("valid_to").isNull())
@@ -182,8 +187,8 @@ def scd2_apply(
         tmp = swap_sibling(target_path, "merge")
         result.write.mode("overwrite").parquet(tmp)
         _mark(tmp)
-        if os.path.isdir(target_path):
-            shutil.rmtree(target_path)  # empty dir probed above
+        # data-free per the recursive probe; refuses non-marker content
+        clear_table_dir(target_path)
         os.rename(tmp, target_path)
     else:
         tmp = swap_sibling(target_path, "merge")

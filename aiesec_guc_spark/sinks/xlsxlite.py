@@ -262,7 +262,12 @@ def read_xlsx(
     if not out:
         return [], []
     header = [v if v is not None else "" for v in out[0]]
-    width = len(header)
+    # Normalize symmetrically: a data row may be WIDER than the header
+    # (trailing unnamed cells — legal xlsx); pad the header with
+    # positional names so DataFrame construction never sees a ragged
+    # matrix ([None] * negative would silently leave the row over-long).
+    width = max(len(header), max((len(r) for r in out[1:]), default=0))
+    header += [f"_c{i}" for i in range(len(header), width)]
     rows = [r + [None] * (width - len(r)) for r in out[1:]]
     return header, rows
 

@@ -599,6 +599,29 @@ def run_streaming_scd2(
         os.makedirs(marker_dir, exist_ok=True)
         open(history, "w").close()
 
+    # Orphaned-checkpoint guard: the durable checkpoint (and the
+    # history markers) outlive the table by design — but if the TABLE
+    # was deleted while they were kept, a rerun would resume source
+    # offsets (never re-forming the consumed batches) and/or skip
+    # redelivered ones via markers, silently rebuilding an empty or
+    # partial dimension.  Heal a crashed swap first (the table may
+    # only be renamed-away, not gone), then fail loudly rather than
+    # resume into a hole; the operator must delete the checkpoint +
+    # marker dirs together with the table to start fresh.
+    from ..operators.maintenance import parquet_table_exists, recover_interrupted_swap
+
+    recover_interrupted_swap(target_path)
+    consumed_offsets = os.path.isdir(os.path.join(ckpt, "offsets")) and any(
+        os.scandir(os.path.join(ckpt, "offsets"))
+    )
+    if consumed_offsets and not parquet_table_exists(target_path):
+        raise RuntimeError(
+            f"streaming SCD2 checkpoint {ckpt!r} has consumed source offsets "
+            f"but target table {target_path!r} is missing — resuming would "
+            "rebuild a partial dimension; delete the checkpoint and "
+            f"{marker_dir!r} together with the table to reprocess from scratch"
+        )
+
     q = (
         src.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", ckpt)

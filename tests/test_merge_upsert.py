@@ -65,3 +65,31 @@ def test_merge_rejects_schema_drift(spark, tmp_path):
     bad = spark.createDataFrame([(1, 20)], "k int, ts long")
     with pytest.raises(ValueError, match="differing columns"):
         merge_upsert(spark, path, bad, ["k"], "ts")
+
+
+def test_merge_recognizes_partitioned_target(spark, tmp_path):
+    # A partitioned table keeps its .parquet files only in col=value/
+    # subdirectories; the exists probe must be recursive or the
+    # creation path rmtrees a real table and replaces it with
+    # updates-only data.
+    path = str(tmp_path / "ptbl")
+    base = _df(spark, [(1, 10, "a"), (2, 10, "b")])
+    base.write.partitionBy("k").parquet(path)
+    out = merge_upsert(
+        spark, path, _df(spark, [(3, 11, "c")]), keys=["k"], order_col="ts"
+    )
+    assert out["n_before"] == 2 and out["n_after"] == 3
+    assert _snapshot(spark, path)[1] == (10, "a")
+
+
+def test_merge_refuses_to_clear_foreign_directory(spark, tmp_path):
+    # A data-free directory holding a visible non-marker file is NOT
+    # an abandoned table skeleton — creation must refuse, not rmtree.
+    path = tmp_path / "not_a_table"
+    path.mkdir()
+    (path / "notes.txt").write_text("keep me")
+    with pytest.raises(ValueError, match="refusing to clear"):
+        merge_upsert(
+            spark, str(path), _df(spark, [(1, 10, "a")]), keys=["k"], order_col="ts"
+        )
+    assert (path / "notes.txt").read_text() == "keep me"

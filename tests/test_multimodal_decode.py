@@ -141,3 +141,10 @@ def test_decode_y4m_rejects_garbage_between_frames():
     buf = _y4m(bytes(16)) + b"JUNK" + bytes(16)
     with pytest.raises(ValueError, match="FRAME marker"):
         decode_y4m(buf)
+
+
+def test_decode_y4m_rejects_missing_frame_rate():
+    # F is mandatory per the y4m spec; without the early check a
+    # missing tag surfaced later as an opaque pandas int32 error.
+    with pytest.raises(ValueError, match="missing F"):
+        decode_y4m(_y4m(bytes(16), header=b"YUV4MPEG2 W8 H2 Cmono\n"))

@@ -148,3 +148,32 @@ def test_crash_between_apply_and_history_marker_recovers(spark, tmp_path):
     assert _scd_rows(spark, target) == before
     # ...and the history marker was backfilled (self-healing)
     assert len(os.listdir(marker_dir)) >= 1
+
+
+def test_orphaned_checkpoint_without_table_fails_loudly(spark, tmp_path):
+    # The durable checkpoint outlives the table by design; but if the
+    # TABLE is deleted while the checkpoint is kept, a rerun would
+    # resume source offsets and silently rebuild an empty/partial
+    # dimension.  The guard must fail loudly instead.
+    import shutil
+
+    import pytest
+
+    src_dir = str(tmp_path / "obs")
+    t0 = dt.datetime(2026, 2, 1, 9, 0, 0)
+    _write(spark, src_dir, [(1, t0, "click"), (2, t0, "view")])
+
+    def stream():
+        return (
+            spark.readStream.schema("user_id long, ts timestamp, event_type string")
+            .parquet(src_dir)
+        )
+
+    target = str(tmp_path / "dim")
+    run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream())
+    assert os.path.isdir(target)
+
+    # table deleted, checkpoint (with consumed offsets) kept
+    shutil.rmtree(target)
+    with pytest.raises(RuntimeError, match="consumed source offsets"):
+        run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream())

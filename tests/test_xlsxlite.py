@@ -123,3 +123,14 @@ def test_report_sink_writes_real_xlsx_and_reads_back(spark, tmp_path):
     back = read_snapshot_xlsx(spark, path)
     assert back.columns == df.columns
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_row_wider_than_header_pads_header(tmp_path):
+    # A data row with trailing unnamed cells is legal xlsx; the reader
+    # must widen the header (positional names) instead of returning a
+    # ragged matrix that breaks DataFrame construction downstream.
+    p = str(tmp_path / "wide.xlsx")
+    xlsxlite.write_xlsx(p, ["a", "b"], [["1", "2", "extra"], ["3", "4", None]])
+    cols, rows = xlsxlite.read_xlsx(p)
+    assert cols == ["a", "b", "_c2"]
+    assert rows == [["1", "2", "extra"], ["3", "4", None]]
