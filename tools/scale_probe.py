@@ -9,9 +9,11 @@ Defaults: N=10 (≈ sf1: 6 M lineitem rows), scratch under /tmp.  The
 derived corpus shifts fact keys per replica (orderkey/event_id) so
 key cardinalities scale with the data; dimension tables are copied
 as-is (their broadcast-ability at fixed size is exactly the 100 TB
-design assumption).  Only fact-driven queries are probed — the
-documents/embeddings tables are fixed-size at every SF, so text/ANN
-queries measure nothing here.
+design assumption).  documents replicate with per-replica WORD
+SALTING (disjoint cross-replica shingles — the near-dup problem
+scales linearly instead of every doc colliding with its N copies) and
+embeddings replicate by id-shift, so the dedup/ANN composites probe
+honestly too.
 
 Prints one line per query: sf0.1 warm, scaled warm, ratio (ideal ≈ N
 for linear operators, < N where fixed overhead still dominates).
@@ -62,6 +64,14 @@ PROBE_QUERIES = [
     "session_duration_histogram",  # sessionize + log2-bucket fold
     "supplier_hhi_by_region",     # broadcast dim chain + Σd² fold
     "orders_dow_seasonality",     # date-grain collapse + date-domain MA
+    # round-9 additions — the >3 s-warm composites now probe on
+    # REPLICATED documents/embeddings (word-salted per replica so the
+    # near-dup problem itself scales linearly: cross-replica shingles
+    # are disjoint, within-replica dup structure is preserved — plain
+    # replication would instead grow every LSH bucket quadratically)
+    "corpus_split_leakage_safe",  # MinHash + star CC + cluster-grain split
+    "similarity_pq_adc",          # PQ train + ADC scan
+    "dedup_minhash_lsh",          # the shared five-stage pipeline itself
 ]
 
 
@@ -101,8 +111,34 @@ def build_scaled(spark, out_dir: str, factor: int) -> None:
     replicate(e, {"event_id": ekey_stride}).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet")
     )
-    for dim in ("region", "nation", "customer", "supplier", "part",
-                "documents", "embeddings"):
+    # documents scale with SALTED text per replica: every word gets a
+    # replica suffix, so cross-replica shingles are disjoint (the
+    # near-dup problem grows linearly — plain replication would make
+    # every doc collide with its N copies and grow LSH buckets
+    # quadratically, a different problem) while within-replica dup
+    # structure is preserved exactly.
+    d = load_table(spark, BASE_SF, "documents")
+    dkey_stride = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    salted = F.array_join(
+        F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda w: F.concat(w, F.lit("q"), rep.cast("string")),
+        ),
+        " ",
+    )
+    d.crossJoin(F.broadcast(spark.range(factor).toDF("rep"))).select(
+        (F.col("doc_id") + rep * F.lit(dkey_stride)).alias("doc_id"),
+        salted.alias("text"),
+        *[c for c in d.columns if c not in ("doc_id", "text")],
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    # embeddings scale by id-shift (vector values reused: ANN/PQ cost
+    # is row-count-driven — train, assign, scan all touch every row)
+    emb = load_table(spark, BASE_SF, "embeddings")
+    vkey_stride = str(emb.agg(F.max("vec_id")).collect()[0][0] + 1)
+    replicate(emb, {"vec_id": vkey_stride}).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    for dim in ("region", "nation", "customer", "supplier", "part"):
         load_table(spark, BASE_SF, dim).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{dim}.parquet")
         )
@@ -144,9 +180,14 @@ def main() -> int:
 
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(os.path.join(scratch, "lineitem.parquet")):
+    # v2 marker: round-9 probes replicate documents/embeddings too —
+    # a scratch built by the round-8 script (which copied them) would
+    # silently measure the unscaled corpus for the dedup/ANN rows.
+    marker = os.path.join(scratch, "_PROBE_CORPUS_V2")
+    if not os.path.exists(marker):
         print(f"# building {factor}x corpus at {scratch}", file=sys.stderr)
         build_scaled(spark, scratch, factor)
+        open(marker, "w").close()
 
     qs = spark_queries()
     print(f"{'query':<34} {'sf0.1':>8} {'x' + str(factor):>8} {'ratio':>7}")
