@@ -784,6 +784,35 @@ _BPE_ROUNDS = 3
 _BPE_SEP = "\x1e"
 
 
+def _apply_merge(frame: DataFrame) -> DataFrame:
+    """Greedy-left application of the broadcast merge pair (_ma, _mb)
+    to every word's token array, via one anchored ``regexp_replace``
+    over the RS-joined token string.
+
+    ``(^|RS)a RS b(?=$|RS)`` matches only WHOLE adjacent tokens (the
+    anchors stop substring hits like pair (t,h) inside "at|ha"), the
+    lookahead leaves the trailing separator unconsumed so the next
+    adjacent occurrence still matches ("x a b a b" merges both), and
+    Java's replaceAll resumes AFTER each replacement so an overlapping
+    pair is never re-merged ("a a a" + (a,a) → [aa, a] — the greedy-
+    left consumption BPE specifies, byte-identical to the DuckDB
+    oracle's list_reduce fold).  Tokens are [a-z]+ fragments, so no
+    regex metacharacters can appear in the pattern.
+
+    Replaced a per-element lambda fold (``F.aggregate`` with O(len²)
+    string accumulation and no codegen) — one compiled regex pass per
+    word is the |vocab|-scan shape the 100 TB trainer wants.
+    """
+    a, b = F.col("_ma"), F.col("_mb")
+    pat = F.concat(
+        F.lit(f"(^|{_BPE_SEP})"), a, F.lit(_BPE_SEP), b, F.lit(f"(?=$|{_BPE_SEP})")
+    )
+    folded = F.regexp_replace(
+        F.concat_ws(_BPE_SEP, "toks"), pat, F.concat(F.lit("$1"), a, b)
+    )
+    return frame.select("term", "wf", F.split(folded, _BPE_SEP).alias("toks"))
+
+
 def _bpe_learn_oracle() -> str:
     def apply_merge(frame: str, m: str) -> str:
         # greedy-left merge of pair (a, b): fold tokens into a
@@ -850,13 +879,13 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge to every word before recounting — ``bpe_first_merge_pairs``
     is this query's round 1.
 
-    The merge application is a greedy-left fold encoded IDENTICALLY in
-    both engines: tokens fold into a RS-separated string accumulator
-    (Spark ``F.aggregate`` ≡ DuckDB ``list_reduce``); the winning pair
-    glues onto the accumulator without a separator, everything else
-    appends with one; splitting on RS recovers the token array.  The
-    string encoding is what makes greedy consumption ("aaa" + (a,a) →
-    [aa, a], never [a, aa]) bit-identical across engines.
+    The merge application is greedy-left in BOTH engines: the oracle
+    folds tokens through DuckDB ``list_reduce`` into an RS-separated
+    string accumulator; Spark applies one anchored ``regexp_replace``
+    over the RS-joined token string (``_apply_merge`` — provably the
+    same consumption: anchors force whole-token matches, replaceAll
+    resumes after each replacement so "aaa" + (a,a) → [aa, a], never
+    [a, aa]).  Splitting on RS recovers the token array either way.
 
     Scale shape: all rounds run over the WORD-FREQUENCY table (one
     corpus scan, map-side-combined count — the same compression real
@@ -880,19 +909,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term", "wf", F.split(F.col("term"), "(?!^)(?=.)").alias("toks")
     )
 
-    sep = F.lit(_BPE_SEP)
-
-    def apply_merge(frame: DataFrame) -> DataFrame:
-        a, b = F.col("_ma"), F.col("_mb")
-        folded = F.aggregate(
-            F.slice(F.col("toks"), 2, F.size("toks") - 1),
-            F.element_at(F.col("toks"), 1),
-            lambda acc, x: F.when(
-                ((acc == a) | acc.endswith(F.concat(sep, a))) & (x == b),
-                F.concat(acc, x),
-            ).otherwise(F.concat(acc, sep, x)),
-        )
-        return frame.select("term", "wf", F.split(folded, _BPE_SEP).alias("toks"))
+    apply_merge = _apply_merge
 
     out_rows = []
     for r in range(1, _BPE_ROUNDS + 1):
@@ -993,19 +1010,7 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = words.select(
         "term", "wf", F.split(F.col("term"), "(?!^)(?=.)").alias("toks")
     )
-    sep = F.lit(_BPE_SEP)
-
-    def apply_merge(frame: DataFrame) -> DataFrame:
-        a, b = F.col("_ma"), F.col("_mb")
-        folded = F.aggregate(
-            F.slice(F.col("toks"), 2, F.size("toks") - 1),
-            F.element_at(F.col("toks"), 1),
-            lambda acc, x: F.when(
-                ((acc == a) | acc.endswith(F.concat(sep, a))) & (x == b),
-                F.concat(acc, x),
-            ).otherwise(F.concat(acc, sep, x)),
-        )
-        return frame.select("term", "wf", F.split(folded, _BPE_SEP).alias("toks"))
+    apply_merge = _apply_merge
 
     for _ in range(_BPE_ROUNDS):
         pairs = (

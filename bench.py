@@ -239,11 +239,14 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
+    # Aggregate by defining MODULE (14 groups), not name prefix (~80
+    # singleton groups at 225 queries — that alone pushed the "compact"
+    # line past 4 kB, back into truncation territory).
     families: dict[str, dict[str, float | int]] = {}
     for name, d in detail.items():
         if "cold" not in d:
             continue
-        fam = name.split("_", 1)[0]
+        fam = qs[name].__module__.rsplit(".", 1)[-1]
         row = families.setdefault(fam, {"n": 0, "cold": 0.0, "warm": 0.0})
         row["n"] += 1
         row["cold"] = round(row["cold"] + d["cold"], 3)

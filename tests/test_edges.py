@@ -132,3 +132,49 @@ def test_collapse_runs_single_rows_and_empty(spark):
 
     empty = spark.createDataFrame([], "k int, t int, v string")
     assert collapse_runs(empty, "k", "t", "v").count() == 0
+
+
+def test_bpe_apply_merge_matches_greedy_left_fold(spark):
+    # _apply_merge's anchored regexp_replace must reproduce the greedy-
+    # left fold semantics the DuckDB oracle encodes with list_reduce —
+    # checked on the adversarial shapes: overlapping runs ("aaa"),
+    # repeated adjacency ("abab"), substring-of-token traps ("at ha"
+    # must NOT merge on pair (t, h)), and matches at both ends.
+    from pyspark.sql import functions as F
+
+    from aiesec_guc_spark.queries.text import _apply_merge
+
+    def greedy(toks, a, b):
+        out = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["x", "a", "b", "a", "b"], "a", "b"),
+        (["at", "ha"], "t", "h"),
+        (["t", "h", "e"], "t", "h"),
+        (["b", "a", "b"], "a", "b"),
+        (["ab", "a", "b"], "a", "b"),
+        (["a"], "a", "a"),
+        (["er", "r", "er", "r"], "er", "r"),
+    ]
+    rows = [(i, toks, a, b) for i, (toks, a, b) in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "term int, toks array<string>, _ma string, _mb string"
+    ).withColumn("wf", F.lit(1))
+    # _apply_merge keys its output on (term, wf, toks)
+    got = {
+        r["term"]: list(r["toks"]) for r in _apply_merge(df).collect()
+    }
+    for i, (toks, a, b) in enumerate(cases):
+        assert got[i] == greedy(toks, a, b), (i, toks, a, b, got[i])
