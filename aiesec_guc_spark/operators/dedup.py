@@ -75,7 +75,7 @@ def materialize(df: DataFrame) -> DataFrame:
 _FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def shared_frame(spark, key: str, build) -> DataFrame:
+def shared_frame(spark, key: str, build, off_materialize: bool = False) -> DataFrame:
     """Bench-level cross-query CSE for deterministic shared frames.
 
     Several gate queries re-derive the same intermediate (the
@@ -93,12 +93,15 @@ def shared_frame(spark, key: str, build) -> DataFrame:
     in a production run.
 
     Off (the default) this is exactly ``build()`` — zero behavior
-    change for correctness surfaces.  The cache key includes the Spark
-    applicationId so a cached localCheckpoint is never served across
-    JVM restarts.
+    change for correctness surfaces — unless the call site fed the
+    frame to multiple consumers BEFORE this refactor and therefore
+    already materialized it: those pass ``off_materialize=True`` so
+    the off-path keeps its cache-race protection (see ``materialize``)
+    unchanged.  The cache key includes the Spark applicationId so a
+    cached localCheckpoint is never served across JVM restarts.
     """
     if os.environ.get("SPARK_GRAFT_SHARED_FRAMES") != "1":
-        return build()
+        return materialize(build()) if off_materialize else build()
     cache_key = (spark.sparkContext.applicationId, key)
     df = _FRAME_CACHE.get(cache_key)
     if df is None:

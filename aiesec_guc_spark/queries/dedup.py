@@ -183,6 +183,33 @@ JOIN sizes sb ON sb.doc_id = c.doc_b
 """
 
 
+def _eligible_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) rows satisfying the shingle precondition — the
+    input every production-banding MinHash query starts from."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
+    ).select("doc_id", "text")
+
+
+def _shared_sigs(
+    spark: SparkSession, sf_dir: str, off_materialize: bool = False
+) -> DataFrame:
+    """The production-banding signature table over the eligible docs —
+    the single most-recomputed frame in the registry (the shingle
+    explode + k-min fold behind minhash_lsh, both CC variants,
+    estimate_error, containment, the incremental index, hard-negative
+    mining and the leakage-safe split)."""
+    return shared_frame(
+        spark,
+        f"minhash_sigs:{sf_dir}",
+        lambda: minhash_signatures(
+            _eligible_docs(spark, sf_dir), "doc_id", "text"
+        ),
+        off_materialize=off_materialize,
+    )
+
+
 def _minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared five-stage MinHash pipeline: eligible docs →
     signatures → banded keys → bucket-join candidates → exact-Jaccard
@@ -194,11 +221,8 @@ def _minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused across those consumers (see ``shared_frame``)."""
 
     def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents")
-        docs = d.filter(
-            F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
-        ).select("doc_id", "text")
-        sigs = minhash_signatures(docs, "doc_id", "text")
+        docs = _eligible_docs(spark, sf_dir)
+        sigs = _shared_sigs(spark, sf_dir)
         pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
         sh = shingle_rows(docs, "doc_id", "text")
         return jaccard_verify(pairs, sh, "doc_id")
@@ -290,12 +314,10 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin bit-for-bit.
     """
     k = MINHASH_BANDS * MINHASH_ROWS
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
-    ).select("doc_id", "text")
-    # signatures feed band keys AND both estimate-join sides
-    sigs = materialize(minhash_signatures(docs, "doc_id", "text"))
+    docs = _eligible_docs(spark, sf_dir)
+    # signatures feed band keys AND both estimate-join sides —
+    # materialized even with sharing off (cache-race protection)
+    sigs = _shared_sigs(spark, sf_dir, off_materialize=True)
     pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
     exact = jaccard_verify(pairs, shingle_rows(docs, "doc_id", "text"), "doc_id")
 
@@ -1477,16 +1499,15 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission filter a crawl pipeline applies before appending to the
     corpus.
     """
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
-    ).select("doc_id", "text")
+    docs = _eligible_docs(spark, sf_dir)
     is_new = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % INCR_NEW_MOD == 0
     )
     docs = docs.withColumn("_is_new", is_new)
-    sigs = minhash_signatures(docs, "doc_id", "text")
+    # the signature frame ignores _is_new (it projects id/text), so it
+    # is the same shared frame every production-banding query builds
+    sigs = _shared_sigs(spark, sf_dir)
     bands = materialize(
         lsh_band_keys(sigs, "doc_id").join(
             docs.select("doc_id", "_is_new"), on="doc_id"
@@ -1564,11 +1585,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation; the dedicated fix is min-wise hashing on
     the smaller side's shingles only — same band-join shape.)
     """
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_WORDS
-    ).select("doc_id", "text")
-    sigs = minhash_signatures(docs, "doc_id", "text")
+    docs = _eligible_docs(spark, sf_dir)
+    sigs = _shared_sigs(spark, sf_dir)
     cand = materialize(
         lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
     )
