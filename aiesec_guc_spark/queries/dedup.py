@@ -210,6 +210,31 @@ def _shared_sigs(
     )
 
 
+def _shared_char_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc, lang, source, char-4-gram) rows — the verify-side
+    primitive both n-gram Jaccard variants start from (identical frame,
+    both fed it to 3-4 consumers and materialized it pre-refactor)."""
+    from ..operators.dedup import char_ngrams_expr
+
+    def build() -> DataFrame:
+        # fan_out_scan: the single-row-group documents scan serializes
+        # the gram explode+distinct (measured in-suite: 5.5 s → 3.3 s
+        # warm at sf0.1); no-op on a properly split table.
+        d = fan_out_scan(spark, load_table(spark, sf_dir, "documents")).filter(
+            F.length("text") >= 4
+        )
+        return d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(char_ngrams_expr("text")).alias("gram"),
+        ).distinct()
+
+    return shared_frame(
+        spark, f"char4_grams:{sf_dir}", build, off_materialize=True
+    )
+
+
 def _minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared five-stage MinHash pipeline: eligible docs →
     signatures → banded keys → bucket-join candidates → exact-Jaccard
@@ -557,22 +582,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked form runs ~3× slower than the prefix variant with
     identical output.
     """
-    # fan_out_scan: the single-row-group documents scan serializes the
-    # gram explode+distinct (measured in-suite: 5.5 s → 3.3 s warm at
-    # sf0.1); no-op on a properly split table.
-    d = fan_out_scan(spark, load_table(spark, sf_dir, "documents")).filter(
-        F.length("text") >= 4
-    )
-    from ..operators.dedup import char_ngrams_expr
-
-    g = d.select(
-        "doc_id", "lang", "source", F.explode(char_ngrams_expr("text")).alias("gram")
-    )
     # gd feeds four consumers (both join sides + two size lookups) —
-    # eagerly materialized so the explode+distinct runs once, not four
-    # times (a lazy persist hits the cache race; see
-    # operators.dedup.materialize).
-    gd = materialize(g.distinct())
+    # eagerly materialized (inside _shared_char_grams) so the
+    # explode+distinct runs once, not four times (a lazy persist hits
+    # the cache race; see operators.dedup.materialize).
+    gd = _shared_char_grams(spark, sf_dir)
     sizes = gd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = gd.select(
         "lang", "source", F.col("doc_id").alias("doc_a"), "gram"
@@ -636,21 +650,10 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix).
     """
     t = 0.2
-    # fan_out_scan: the single-row-group documents scan serializes the
-    # gram explode+distinct (measured in-suite: 5.5 s → 3.3 s warm at
-    # sf0.1); no-op on a properly split table.
-    d = fan_out_scan(spark, load_table(spark, sf_dir, "documents")).filter(
-        F.length("text") >= 4
-    )
-    from ..operators.dedup import char_ngrams_expr
-
-    g = d.select(
-        "doc_id", "lang", "source", F.explode(char_ngrams_expr("text")).alias("gram")
-    )
     # Feeds the frequency agg, the per-doc ranking, and verification
-    # (both sides) — materialized once, same rationale as the blocked
-    # variant.
-    gd = materialize(g.distinct())
+    # (both sides) — materialized once (inside _shared_char_grams),
+    # same rationale as the blocked variant.
+    gd = _shared_char_grams(spark, sf_dir)
     sizes = gd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = gd.groupBy("lang", "source", "gram").agg(
         F.count(F.lit(1)).alias("gfreq")
