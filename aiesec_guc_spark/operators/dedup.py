@@ -154,35 +154,53 @@ def shingles_from_tokens(toks: Column, n: int = SHINGLE_WORDS) -> Column:
     every array element — Catalyst does no common-subexpression
     elimination inside lambda bodies (measured 17 s vs ~2 s for the
     sf0.1 shingle explode).
+
+    Arrays shorter than ``n`` yield an EMPTY shingle list — matching
+    DuckDB's ascending-only ``generate_series`` in every oracle.
+    Without the guard Spark's ``sequence(1, size-n+1)`` runs BACKWARDS
+    on short inputs and ``element_at`` throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT: a crash (and a cross-engine
+    divergence) on any real corpus containing sub-``n``-token docs,
+    which the synthetic testdata never exposes.  CaseWhen evaluates
+    only the matching branch, so guarded rows never touch the
+    transform.
     """
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.transform(
+    shingles = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + k) for k in range(n)]
         ),
     )
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def word_shingles(text: Column, n: int = SHINGLE_WORDS) -> Column:
-    """Word n-gram shingles of whitespace-tokenized text.
-
-    Requires at least ``n`` tokens (callers filter; Spark's
-    ``sequence`` would run backwards on shorter docs).  Prefer the
-    two-step ``split → shingles_from_tokens`` projection in hot paths
-    (see that function's docstring).
+    """Word n-gram shingles of whitespace-tokenized text; shorter
+    inputs yield an empty list (see ``shingles_from_tokens``).  Prefer
+    the two-step ``split → shingles_from_tokens`` projection in hot
+    paths (see that function's docstring).
     """
     return shingles_from_tokens(F.split(F.trim(text), r"\s+"), n)
 
 
 def char_ngrams_expr(text_col: str, n: int = 4) -> Column:
-    """Character n-gram shingles (requires length >= n).
+    """Character n-gram shingles; texts shorter than ``n`` yield an
+    empty list (matching DuckDB's ascending-only ``generate_series`` —
+    unguarded, Spark's ``sequence`` DESCENDS through 0 and negative
+    indices and ``substring`` silently returns wrong grams, e.g.
+    suffix grams from negative starts, instead of crashing).
 
     Expression form: ``substring`` takes a dynamic start index, which
     is only expressible through the SQL transform lambda.
     """
     return F.expr(
-        f"transform(sequence(1, length({text_col}) - {n - 1}), i -> substring({text_col}, i, {n}))"
+        f"CASE WHEN length({text_col}) >= {n} THEN"
+        f" transform(sequence(1, length({text_col}) - {n - 1}),"
+        f" i -> substring({text_col}, i, {n}))"
+        f" ELSE array() END"
     )
 
 

@@ -114,3 +114,38 @@ def test_materialize_rejects_unknown_mode(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "bogus")
     with pytest.raises(ValueError, match="SPARK_GRAFT_CHECKPOINT"):
         materialize(spark.range(1))
+
+
+def test_shingles_empty_for_sub_n_docs(spark):
+    # Sub-n-token docs must yield EMPTY shingle lists (DuckDB's
+    # ascending-only generate_series semantics).  Unguarded, Spark's
+    # sequence() descends and element_at throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a crash on any real corpus
+    # with short docs, which the synthetic testdata never exposes.
+    from pyspark.sql import functions as F
+
+    from aiesec_guc_spark.operators.dedup import (
+        char_ngrams_expr,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "alpha beta gamma delta"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = shingle_rows(docs, "doc_id", "text").collect()
+    assert {r.doc_id for r in rows} == {2}  # only the >=3-token doc shingles
+    sigs = minhash_signatures(docs, "doc_id", "text").collect()
+    assert {r.doc_id for r in sigs} == {2}  # short docs: no sig rows, no crash
+
+    grams = docs.select(
+        "doc_id", F.explode(char_ngrams_expr("text")).alias("g")
+    ).collect()
+    # "one two" (7 chars) has 4 grams; "x"/"" have none (and no
+    # negative-start suffix grams)
+    by_doc = {}
+    for r in grams:
+        by_doc.setdefault(r.doc_id, []).append(r.g)
+    assert 3 not in by_doc and 4 not in by_doc
+    assert by_doc[1] == ["one ", "ne t", "e tw", " two"]
