@@ -97,7 +97,12 @@ def extract_cards(cards: DataFrame, html_col: str = "html") -> DataFrame:
     spans = F.transform(
         F.regexp_extract_all(h, F.lit(_SPAN_RE), 1), _strip_tags
     )
-    last_span = F.element_at(spans, -1)
+    # try_element_at: a card with an /opportunity/ href but NO span
+    # matches (malformed markup, layout drift) must degrade to the
+    # "N/A" null-sentinel defaulting (F6), not crash the whole scrape
+    # batch — plain element_at throws INVALID_ARRAY_INDEX on the empty
+    # spans array under Spark 4's ANSI default.
+    last_span = F.try_element_at(spans, F.lit(-1))
     duration = F.when(F.trim(last_span) == ".", "N/A").otherwise(F.trim(last_span))
     return (
         cards.filter(href.contains("/opportunity/"))
@@ -105,7 +110,7 @@ def extract_cards(cards: DataFrame, html_col: str = "html") -> DataFrame:
             F.element_at(F.split(href, "/"), -1).alias("opportunity_id"),
             F.concat(F.lit(BASE_URL), href).alias("opportunity_link"),
             _na_if_empty(_strip_tags(F.regexp_extract(h, _H3_RE, 1))).alias("title"),
-            _na_if_empty(F.element_at(spans, 1)).alias("country"),
+            _na_if_empty(F.try_element_at(spans, F.lit(1))).alias("country"),
             F.when(h.contains("Premium"), "Yes").otherwise("No").alias("premium"),
             _na_if_empty(
                 F.regexp_extract(F.lower(h), _APPLICANTS_RE, 1)

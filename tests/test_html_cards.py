@@ -79,3 +79,20 @@ def test_same_type_nesting_truncates_at_first_close_documented_limit(spark):
     # capture stops at the inner </div>: "Outer <div>Inner" -> strip
     # -> "OuterInner"; the " Tail" bs4 would add is NOT collected
     assert r["organization"] == "OuterInner"
+
+
+def test_spanless_card_degrades_to_na_instead_of_crashing(spark):
+    # Malformed markup: an /opportunity/ card with no <span>s at all.
+    # element_at on the empty spans array throws under Spark 4's ANSI
+    # default; the extractor must instead produce the reference's
+    # "N/A" null-sentinel defaults (F6) for country and duration.
+    from aiesec_guc_spark.functions.html_cards import extract_cards
+
+    df = spark.createDataFrame(
+        [('<a href="/opportunity/123">x</a><h3>T</h3>',)], "html string"
+    )
+    [row] = extract_cards(df).collect()
+    assert row.opportunity_id == "123"
+    assert row.country == "N/A"
+    assert row.duration == "N/A"
+    assert row.title == "T"
