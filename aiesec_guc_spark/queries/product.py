@@ -1071,6 +1071,16 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
     )
     ranked, n, s = exact_global_rank(percust, ["rev", "o_custkey"])
+    if n == 0:
+        # Empty corpus (a legitimately empty daily partition): n is a
+        # driver literal, so the (n+1)/n term would constant-fold to a
+        # DIVIDE_BY_ZERO at PLAN time under ANSI mode.  Emit the same
+        # one-row-of-NULLs shape DuckDB's aggregate-over-empty returns.
+        return ranked.agg(
+            F.max(F.lit(None).cast("long")).alias("n_customers"),
+            F.max(F.lit(None).cast("double")).alias("total_revenue"),
+            F.max(F.lit(None).cast("double")).alias("gini"),
+        )
     total = F.sum("rev")
     return ranked.agg(
         F.max(F.lit(n)).cast("long").alias("n_customers"),

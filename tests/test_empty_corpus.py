@@ -1,0 +1,42 @@
+"""Every registered query must run (not crash) on an EMPTY corpus.
+
+At 100 TB an empty input is routine — a holiday's events partition, a
+crawl batch with zero survivors, a fresh table before first ingest —
+and an engine whose queries throw on it wedges the whole scheduled
+pipeline.  This sweep caught two real ANSI-mode traps: descending
+``sequence()`` in the shingle generators (fixed in operators/dedup.py)
+and a plan-time constant-folded DIVIDE_BY_ZERO in revenue_gini's
+driver-literal (n+1)/n term.
+
+Queries are allowed to return zero rows or one row of NULLs (the
+DuckDB aggregate-over-empty convention) — just never raise.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aiesec_guc_spark.catalog import load_table
+from aiesec_guc_spark.queries import registry
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).write.parquet(
+            str(out / f"{t}.parquet")
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
+    q = registry()[name]
+    rows = q.fn(spark, empty_sf_dir).limit(5).collect()
+    assert isinstance(rows, list)  # any row count is fine; no raise is the bar
