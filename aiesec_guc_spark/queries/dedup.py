@@ -2114,9 +2114,11 @@ def dedup_shingle_hotspot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle",
             "df",
             pairs.alias("pair_candidates"),
-            (
-                (F.lit(1000000) * pairs).cast("double")
-                / F.col("total_pairs").cast("double")
+            # try_divide: a corpus with no repeated shingle anywhere
+            # has total_pairs = 0 — NULL (DuckDB's x/0), not a throw
+            F.try_divide(
+                (F.lit(1000000) * pairs).cast("double"),
+                F.col("total_pairs").cast("double"),
             ).alias("ppm_of_total"),
         )
         .orderBy(F.desc("df"), "shingle")

@@ -548,9 +548,12 @@ def table_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_odd",
             "n_buckets",
             "sum_absdiff_scaled",
-            (
-                F.col("sum_absdiff_scaled").cast("double")
-                / (F.lit(2.0) * F.col("n_even") * F.col("n_odd"))
+            # try_divide: a window with only one parity populated
+            # (n_even or n_odd = 0 — legal on a sparse stream) must
+            # yield NULL like DuckDB's x/0, not throw under ANSI
+            F.try_divide(
+                F.col("sum_absdiff_scaled").cast("double"),
+                F.lit(2.0) * F.col("n_even") * F.col("n_odd"),
             ).alias("tvd"),
         )
     )

@@ -1624,9 +1624,13 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sq").cast("double") / F.col("n").cast("double") / F.lit(100000)).alias(
             "mean_val"
         ),
+        # try_divide: the n−1 sample-variance denominator is 0 for a
+        # single-vector corpus — NULL (DuckDB's x/0) beats an ANSI throw
         (
-            (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
-            / (F.col("n") * (F.col("n") - 1)).cast("double")
+            F.try_divide(
+                (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double"),
+                (F.col("n") * (F.col("n") - 1)).cast("double"),
+            )
             / F.lit(10000000000)
         ).alias("variance"),
     )

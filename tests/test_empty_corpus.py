@@ -35,8 +35,33 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
     return str(out)
 
 
+@pytest.fixture(scope="session")
+def one_row_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """One row per table (lowest primary key).  Referential integrity
+    across tables is deliberately broken (joins go empty) and every
+    per-group statistic is a singleton — the corpus that evaluates the
+    n−1 / zero-total / single-parity denominators the empty corpus
+    never reaches (this sweep caught three ANSI DIVIDE_BY_ZEROs:
+    sample variance at n=1, a ppm share with zero candidate pairs, a
+    drift window with one parity)."""
+    out = tmp_path_factory.mktemp("sf_one")
+    for t in TABLES:
+        full = load_table(spark, sf_dir, t)
+        full.orderBy(full.columns[0]).limit(1).write.parquet(
+            str(out / f"{t}.parquet")
+        )
+    return str(out)
+
+
 @pytest.mark.parametrize("name", sorted(registry()))
 def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
     q = registry()[name]
     rows = q.fn(spark, empty_sf_dir).limit(5).collect()
     assert isinstance(rows, list)  # any row count is fine; no raise is the bar
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_query_survives_one_row_corpus(spark, one_row_sf_dir, name):
+    q = registry()[name]
+    rows = q.fn(spark, one_row_sf_dir).limit(5).collect()
+    assert isinstance(rows, list)
