@@ -78,17 +78,22 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payload (failed fetch, missing blob) → NULL features,
+            # one row per input — the oracle's encode(NULL) semantics
             feats = [
-                decode_image_stub(bytes(p), fake=True) for p in pdf["payload"]
+                decode_image_stub(bytes(p), fake=True) if p is not None else None
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": pd.Series(
-                        [f["n_bytes"] for f in feats], dtype="int64"
+                        [f["n_bytes"] if f else None for f in feats],
+                        dtype="Int64",
                     ),
                     "checksum16": pd.Series(
-                        [f["checksum16"] for f in feats], dtype="int64"
+                        [f["checksum16"] if f else None for f in feats],
+                        dtype="Int64",
                     ),
                     "decode_status": "stubbed",
                 }
@@ -126,6 +131,8 @@ def chunk_payload(media: DataFrame, chunk_size: int = 256) -> DataFrame:
             lens: list[int] = []
             firsts: list[int] = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload: no chunks (oracle: n_bytes NULL)
                 b = bytes(payload)
                 for i in range((len(b) + chunk_size - 1) // chunk_size):
                     chunk = b[i * chunk_size : (i + 1) * chunk_size]
@@ -171,6 +178,8 @@ def resize_stub(media: DataFrame) -> DataFrame:
             ids: list[int] = []
             sums: list[int] = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload: no sample row (oracle WHERE n_bytes > 0)
                 b = bytes(payload)
                 if not b:
                     continue

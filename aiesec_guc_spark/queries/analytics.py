@@ -745,12 +745,15 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0", "c0", "n1", "c1",
         r0.alias("rate0"),
         r1.alias("rate1"),
-        (
-            (r0 - r1)
-            / F.sqrt(
+        # try_divide: pooled rate 0 or 1 (zero or universal conversion
+        # — a legal day) zeroes the denominator; DuckDB's x/0 is NULL,
+        # and ANSI Spark would throw instead
+        F.try_divide(
+            r0 - r1,
+            F.sqrt(
                 pool * (F.lit(1) - pool)
                 * (F.lit(1).cast("double") / F.col("n0") + F.lit(1).cast("double") / F.col("n1"))
-            )
+            ),
         ).alias("z_stat"),
     )
 

@@ -104,6 +104,7 @@ WITH base AS (
            - min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS x,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
   FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 ),
 s AS (
   SELECT user_id, count(*) AS n,
@@ -179,7 +180,14 @@ def udaf_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 vs 0.74 s with 32-way spread).  Python-side work is the
     scarce resource in a pandas UDAF, not shuffle bytes — exactly the
     case AQE's byte-based coalescing misjudges."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # NULL ts/value rows are non-observations for a regression —
+    # filtered in BOTH engines (the pandas fold would otherwise cast
+    # NaT/NaN into garbage int64s)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return ev.repartition(n_part, "user_id").groupBy("user_id").applyInPandas(
         _slope_group,

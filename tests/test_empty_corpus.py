@@ -65,3 +65,35 @@ def test_query_survives_one_row_corpus(spark, one_row_sf_dir, name):
     q = registry()[name]
     rows = q.fn(spark, one_row_sf_dir).limit(5).collect()
     assert isinstance(rows, list)
+
+
+@pytest.fixture(scope="session")
+def null_row_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """Three real rows plus one row per table with every non-key
+    column NULL — failed fetches, missing blobs, half-written records.
+    This sweep caught NULL-payload crashes in all three stub-decode
+    mapInPandas ops, NaT/NaN garbage casts in the slope UDAF, and a
+    zero z-stat denominator in ab_test_proportions."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path_factory.mktemp("sf_nulls")
+    for t in TABLES:
+        full = load_table(spark, sf_dir, t)
+        head = full.orderBy(full.columns[0]).limit(3)
+        pk = full.columns[0]
+        types = dict(full.dtypes)
+        nulled = head.limit(1).select(
+            *[
+                F.col(c) if c == pk else F.lit(None).cast(types[c]).alias(c)
+                for c in full.columns
+            ]
+        ).withColumn(pk, F.col(pk) + 1000000)
+        head.unionByName(nulled).write.parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_query_survives_null_rows(spark, null_row_sf_dir, name):
+    q = registry()[name]
+    rows = q.fn(spark, null_row_sf_dir).limit(5).collect()
+    assert isinstance(rows, list)
