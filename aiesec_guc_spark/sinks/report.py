@@ -159,7 +159,16 @@ def read_snapshot_xlsx(spark, path: str, sheet_name: str = "Sheet1") -> DataFram
             ]
             pdf = pd.DataFrame(rows, columns=cols)
     pdf = pdf.astype(str)
-    return spark.createDataFrame(pdf)
+    # Explicit all-strings schema: inference reads it from the DATA,
+    # so a legitimately empty snapshot (count-guarded day with no
+    # delta) raised CANNOT_INFER_EMPTY_SCHEMA instead of returning the
+    # header-typed empty frame.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(str(c), T.StringType(), True) for c in pdf.columns]
+    )
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:

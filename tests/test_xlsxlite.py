@@ -134,3 +134,17 @@ def test_row_wider_than_header_pads_header(tmp_path):
     cols, rows = xlsxlite.read_xlsx(p)
     assert cols == ["a", "b", "_c2"]
     assert rows == [["1", "2", "extra"], ["3", "4", None]]
+
+
+def test_empty_report_roundtrip(spark, tmp_path):
+    # A count-guarded day with no delta still writes a (header-only)
+    # report; reading it back must return an empty string-typed frame
+    # with the header columns, not raise CANNOT_INFER_EMPTY_SCHEMA.
+    p = str(tmp_path / "empty.xlsx")
+    df = spark.createDataFrame(
+        [], "opportunity_id string, title string, premium string"
+    )
+    write_styled_report(df, p)
+    back = read_snapshot_xlsx(spark, p)
+    assert back.count() == 0
+    assert back.columns == ["opportunity_id", "title", "premium"]
