@@ -629,6 +629,13 @@ def run_streaming_scd2(
         .start()
     )
     q.awaitTermination()
+    if not parquet_table_exists(target_path):
+        # The drain applied nothing (empty source, or every batch was
+        # empty after prep) — a legal no-op run.  Return the typed
+        # empty dimension rather than crashing on the missing path.
+        return spark.createDataFrame(
+            [], "user_id long, status string, valid_from long, valid_to long"
+        )
     return spark.read.parquet(target_path)
 
 

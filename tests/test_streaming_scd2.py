@@ -177,3 +177,22 @@ def test_orphaned_checkpoint_without_table_fails_loudly(spark, tmp_path):
     shutil.rmtree(target)
     with pytest.raises(RuntimeError, match="consumed source offsets"):
         run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream())
+
+
+def test_empty_source_is_a_legal_noop(spark, tmp_path):
+    # An availableNow drain over a source with no observations must
+    # return the typed empty dimension, not crash reading the
+    # never-created target path.
+    src_dir = str(tmp_path / "obs")
+    spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    ).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .parquet(src_dir)
+    )
+    target = str(tmp_path / "dim")
+    out = run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream)
+    assert out.count() == 0
+    assert out.columns == ["user_id", "status", "valid_from", "valid_to"]
+    assert not os.path.isdir(target)  # nothing applied, nothing created
