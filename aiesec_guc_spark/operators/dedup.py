@@ -74,6 +74,13 @@ def materialize(df: DataFrame) -> DataFrame:
 
 _FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# (key, build_seconds) appended once per materialized frame — bench.py
+# drains this to tag WHICH query paid a shared build, so per-query cold
+# timings stay comparable across rounds even when a registry reorder
+# moves the payer (ADVICE r9: a cache-order shift must not read as a
+# regression/speedup in tools/compare_bench.py).
+_FRAME_BUILD_LOG: list[tuple[str, float]] = []
+
 
 def shared_frame(spark, key: str, build, off_materialize: bool = False) -> DataFrame:
     """Bench-level cross-query CSE for deterministic shared frames.
@@ -105,7 +112,11 @@ def shared_frame(spark, key: str, build, off_materialize: bool = False) -> DataF
     cache_key = (spark.sparkContext.applicationId, key)
     df = _FRAME_CACHE.get(cache_key)
     if df is None:
+        import time
+
+        t0 = time.time()
         df = materialize(build())
+        _FRAME_BUILD_LOG.append((key, round(time.time() - t0, 3)))
         _FRAME_CACHE[cache_key] = df
     return df
 

@@ -720,7 +720,7 @@ r2 AS (
     FROM r1 LEFT JOIN c2 ON c2.brand = r1.brand
 )
 SELECT r2.brand, r2.d AS degree,
-       r1.r AS rank_iter1, r2.r AS rank_iter2
+       CAST(r1.r AS BIGINT) AS rank_iter1, CAST(r2.r AS BIGINT) AS rank_iter2
 FROM r2 JOIN r1 ON r1.brand = r2.brand
 """
 

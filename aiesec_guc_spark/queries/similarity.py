@@ -1496,7 +1496,7 @@ WITH p AS (
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS orig_norm2
   FROM embeddings
 )
-SELECT vec_id, label, [{plist}] AS proj,
+SELECT vec_id, label, {plist},
        round(({norm2}) / orig_norm2, 9) AS norm2_ratio
 FROM p
 WHERE orig_norm2 > 0
@@ -1505,12 +1505,15 @@ WHERE orig_norm2 > 0
 
 @query("embedding_random_projection", oracle=_rp_oracle())
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, proj[16], norm2_ratio): every embedding mapped
+    """(vec_id, label, p0..p15, norm2_ratio): every embedding mapped
     to 16 dimensions by a fixed ±1 (Achlioptas) sign matrix scaled by
     1/√16 — plus the per-row JL audit, the projected/original squared-
     norm ratio (concentrates near 1 when the projection is healthy;
     surfacing it makes a broken sign matrix a red gate row, not a
-    silent recall drop downstream).
+    silent recall drop downstream).  The 16 coordinates are emitted
+    as SCALAR columns (not an array) so the cross-engine comparison
+    layer never has to canonicalize an array value — the same
+    convention E62 uses for its set-valued output.
 
     Engine-exactness: the sign matrix is md5-derived at build time and
     embedded as literal arrays in both engines; each coordinate is an
@@ -1552,7 +1555,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(F.col("orig_norm2") > 0).select(
         "vec_id",
         "label",
-        F.array(*[F.col(f"p{j}") for j in range(RP_OUT_DIM)]).alias("proj"),
+        *[F.col(f"p{j}") for j in range(RP_OUT_DIM)],
         F.expr(f"round(({norm2}) / orig_norm2, 9)").alias("norm2_ratio"),
     )
 

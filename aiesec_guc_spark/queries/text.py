@@ -92,7 +92,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = stopword_ratio("text")
     return d.select(
         "doc_id",
-        nt.alias("n_tokens"),
+        # bigint, matching the oracle's len() (DuckDB BIGINT) — the
+        # driver hash tolerates int-width skew but the dtype-strict
+        # local gate (tools/oracle_check.py) does not, by design.
+        nt.cast("bigint").alias("n_tokens"),
         (F.col("n_chars").cast("double") / nt).alias("avg_token_len"),
         ratio.alias("stopword_ratio"),
         F.when(
@@ -151,8 +154,8 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(ws_tokens("text")).alias("n_ws_tokens"),
-        bpe_token_count("text").alias("n_bpe_tokens"),
+        F.size(ws_tokens("text")).cast("bigint").alias("n_ws_tokens"),
+        bpe_token_count("text").cast("bigint").alias("n_bpe_tokens"),
     )
 
 

@@ -614,7 +614,14 @@ def run_streaming_scd2(
     consumed_offsets = os.path.isdir(os.path.join(ckpt, "offsets")) and any(
         os.scandir(os.path.join(ckpt, "offsets"))
     )
-    if consumed_offsets and not parquet_table_exists(target_path):
+    # Offsets alone are NOT evidence data was applied: a no-op drain
+    # (source holding only zero-row files) commits offsets without
+    # ever creating the table, and resuming that checkpoint is legal.
+    # History markers are written iff scd2_apply actually ran, so
+    # "applied but table missing" — the real data-loss state — is
+    # offsets + markers + no table.
+    applied_any_batch = os.path.isdir(marker_dir) and any(os.scandir(marker_dir))
+    if consumed_offsets and applied_any_batch and not parquet_table_exists(target_path):
         raise RuntimeError(
             f"streaming SCD2 checkpoint {ckpt!r} has consumed source offsets "
             f"but target table {target_path!r} is missing — resuming would "

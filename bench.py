@@ -141,6 +141,15 @@ def main() -> None:
             else runs_per_query
         )
         runs: list[float] = []
+        # Shared-frame accounting (ADVICE r9): with
+        # SPARK_GRAFT_SHARED_FRAMES=1 the FIRST consumer of a shared
+        # frame pays its build inside its cold run, so cold timings
+        # are order-dependent.  Snapshot the build log around each
+        # query and tag the payer, plus a build-excluded cold, so
+        # tools/compare_bench.py never misreads a cache-order shift.
+        from aiesec_guc_spark.operators import dedup as _dedup_ops
+
+        builds_before = len(_dedup_ops._FRAME_BUILD_LOG)
         # Failure isolation: one raising query must not abort the
         # suite — record the error row and keep benching the rest.
         try:
@@ -184,6 +193,12 @@ def main() -> None:
             "warm_min": min(runs[1:]) if len(runs) > 1 else None,
             "spread": round(max(runs) - min(runs), 3),
         }
+        paid = _dedup_ops._FRAME_BUILD_LOG[builds_before:]
+        if paid:
+            detail[name]["shared_builds"] = {k: s for k, s in paid}
+            detail[name]["cold_ex_shared"] = round(
+                max(0.0, runs[0] - sum(s for _, s in paid)), 3
+            )
         print(
             f"# {name}: cold {runs[0]:.3f}s"
             + (f", warm {min(runs[1:]):.3f}s" if len(runs) > 1 else ""),

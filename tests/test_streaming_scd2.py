@@ -196,3 +196,43 @@ def test_empty_source_is_a_legal_noop(spark, tmp_path):
     assert out.count() == 0
     assert out.columns == ["user_id", "status", "valid_from", "valid_to"]
     assert not os.path.isdir(target)  # nothing applied, nothing created
+
+
+def test_resume_after_noop_drain_applies_new_data(spark, tmp_path):
+    # Quiet-day workflow (ADVICE r9): a no-op drain commits source
+    # offsets without ever creating the table.  That checkpoint state
+    # must NOT trip the orphaned-checkpoint guard — no batch was ever
+    # applied, so nothing was lost — and a later run against the SAME
+    # durable checkpoint must apply newly arrived data normally.
+    src_dir = str(tmp_path / "obs")
+    spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(src_dir)
+
+    def stream():
+        return (
+            spark.readStream.schema("user_id long, ts timestamp, event_type string")
+            .parquet(src_dir)
+        )
+
+    target = str(tmp_path / "dim")
+    out = run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream())
+    assert out.count() == 0 and not os.path.isdir(target)
+
+    # day 2: real observations arrive; same target => same default
+    # durable checkpoint, which now holds the no-op run's offsets
+    t0 = dt.datetime(2026, 2, 2, 9, 0, 0)
+    _write(spark, src_dir, [(1, t0, "click"), (2, t0, "view")])
+    out2 = run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream())
+    assert sorted(r["user_id"] for r in out2.select("user_id").collect()) == [1, 2]
+    assert os.path.isdir(target)
+
+    # and the real-orphan state (markers present, table gone) still
+    # fails loudly — the guard lost no teeth
+    import shutil
+
+    import pytest
+
+    shutil.rmtree(target)
+    with pytest.raises(RuntimeError, match="consumed source offsets"):
+        run_streaming_scd2(spark, sf_dir="", target_path=target, src=stream())

@@ -1,9 +1,33 @@
 """Local replica of the driver's correctness gate.
 
 Runs every registered query on Spark and its oracle SQL on DuckDB at
-the given sf dir, then compares row-count, column names, and an
-order-insensitive value comparison.  Use while iterating so mismatches
-are caught before the driver records CORRECTNESS_r{N}.json.
+the given sf dir, then compares row-count, column names, per-column
+pandas DTYPES, and an order-insensitive value comparison.  Use while
+iterating so mismatches are caught before the driver records
+CORRECTNESS_r{N}.json.
+
+Round-10 hardening (the r9 lesson): the driver's comparator is
+dtype-sensitive (it hashes the pandas frames) and canonicalizes via
+``sort_values`` (which CRASHES on list-valued cells).  The previous
+version of this tool compared values type-insensitively (float==int
+is True in Python; lists were tuple-ized), so two queries that were
+locally "green" failed the driver gate — `brand_pagerank` (DuckDB
+HUGEINT -> float64 vs Spark int64) and `embedding_random_projection`
+(array<double> output column).  This version reproduces both failure
+classes locally:
+
+  1. per-column dtype equality between the Spark and DuckDB pandas
+     frames is part of the gate (with a single sanctioned
+     normalization: datetime64 unit widths, since pyarrow/duckdb
+     disagree on ns vs us while the driver compares date values as
+     strings only when the ORACLE emits strings — our registry
+     convention is to CAST dates to VARCHAR, so any datetime dtype
+     appearing at all is reported);
+  2. any object-dtype column whose values are not str/bytes/None is
+     rejected outright as UNHASHABLE (the driver would crash on it);
+  3. canonicalization goes through ``sort_values`` over all columns,
+     exactly like the driver, so a sort crash here is a sort crash
+     there.
 
 Usage:
     python tools/oracle_check.py [sf_dir] [query ...]
@@ -32,17 +56,75 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
-    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
-        v = v.tolist()
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
     return v
 
 
-def rows_multiset(df_pandas):
+def dtype_report(spark_pd, duck_pd):
+    """Per-column dtype comparison; returns a list of human-readable
+    mismatch strings (empty == dtype-green)."""
+    problems = []
+    for col in sorted(spark_pd.columns):
+        s, d = spark_pd[col].dtype, duck_pd[col].dtype
+        s_str, d_str = str(s), str(d)
+        if s_str == d_str:
+            continue
+        # Sanctioned: both datetime64 but different unit (ns vs us) —
+        # flag it anyway at WARN level since the registry convention
+        # is VARCHAR dates; a new datetime output column is a smell.
+        if s_str.startswith("datetime64") and d_str.startswith("datetime64"):
+            problems.append(f"DTYPE-WARN {col}: {s_str} vs {d_str} (datetime unit)")
+            continue
+        problems.append(f"DTYPE {col}: spark={s_str} duck={d_str}")
+    return problems
+
+
+def unhashable_columns(df_pandas, engine):
+    """Columns whose object-dtype values would crash the driver's
+    sort_values/hash canonicalization (lists, arrays, dicts)."""
+    bad = []
+    for col in df_pandas.columns:
+        if str(df_pandas[col].dtype) != "object":
+            continue
+        for v in df_pandas[col].head(50):
+            if v is None or isinstance(v, (str, bytes)):
+                continue
+            if isinstance(v, float) and math.isnan(v):
+                continue
+            bad.append(f"UNHASHABLE {engine}.{col}: {type(v).__name__} value")
+            break
+    return bad
+
+
+def canon(df_pandas):
+    """Driver-faithful canonicalization: columns sorted by name, rows
+    sorted by all columns (sort_values — crashes on list cells, as the
+    driver does), index dropped."""
     cols = sorted(df_pandas.columns)
-    out = [tuple(norm_cell(v) for v in row) for row in df_pandas[cols].itertuples(index=False, name=None)]
-    return sorted(out, key=repr)
+    return df_pandas[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def frames_equal(a, b):
+    """Exact, dtype-strict value comparison on canonicalized frames.
+    Uses Series.equals per column: NaN==NaN, but int64 != float64 even
+    when integral, and exact float equality — matching the driver's
+    hash semantics."""
+    for col in a.columns:
+        if not a[col].equals(b[col]):
+            return col
+    return None
+
+
+def first_diff(a, b, col):
+    sa, sb = a[col], b[col]
+    for i in range(len(sa)):
+        va, vb = sa.iloc[i], sb.iloc[i]
+        both_nan = (
+            isinstance(va, float) and isinstance(vb, float)
+            and math.isnan(va) and math.isnan(vb)
+        )
+        if not both_nan and va != vb:
+            return i, va, vb
+    return None, None, None
 
 
 def main() -> int:
@@ -63,6 +145,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    warns = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -72,29 +155,49 @@ def main() -> int:
         t_spark = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
-            print(f"  {name:36s} rows={len(spark_pd):7d}  (rows-only, no oracle)  {t_spark:5.1f}s")
+            # rows-only queries still must not expose unhashable columns
+            bad = unhashable_columns(spark_pd, "spark")
+            if bad:
+                failures += 1
+                print(f"✗ {name:36s} {'; '.join(bad)}")
+            else:
+                print(f"  {name:36s} rows={len(spark_pd):7d}  (rows-only, no oracle)  {t_spark:5.1f}s")
             continue
         duck_pd = con.execute(sql).fetchdf()
         status = []
+        status += unhashable_columns(spark_pd, "spark")
+        status += unhashable_columns(duck_pd, "duck")
         if len(spark_pd) != len(duck_pd):
             status.append(f"ROWCOUNT {len(spark_pd)} vs {len(duck_pd)}")
         s_cols, d_cols = sorted(spark_pd.columns), sorted(duck_pd.columns)
         if s_cols != d_cols:
             status.append(f"COLUMNS {s_cols} vs {d_cols}")
         if not status:
-            a, b = rows_multiset(spark_pd), rows_multiset(duck_pd)
-            if a != b:
-                status.append("VALUES")
-                for i, (x, y) in enumerate(zip(a, b)):
-                    if x != y:
-                        status.append(f"first diff row {i}: spark={x!r} duck={y!r}")
-                        break
+            dt = dtype_report(spark_pd, duck_pd)
+            hard = [p for p in dt if not p.startswith("DTYPE-WARN")]
+            soft = [p for p in dt if p.startswith("DTYPE-WARN")]
+            warns += len(soft)
+            for w in soft:
+                print(f"  {name:36s} {w}")
+            status += hard
+        if not status and len(spark_pd) > 0:
+            try:
+                a, b = canon(spark_pd), canon(duck_pd)
+            except TypeError as exc:
+                status.append(f"SORT-CRASH (driver would die): {exc}")
+            else:
+                col = frames_equal(a, b)
+                if col is not None:
+                    i, va, vb = first_diff(a, b, col)
+                    status.append(
+                        f"VALUES col={col} row={i}: spark={va!r} duck={vb!r}"
+                    )
         if status:
             failures += 1
             print(f"✗ {name:36s} {'; '.join(status[:3])}")
         else:
             print(f"✓ {name:36s} rows={len(spark_pd):7d}  {t_spark:5.1f}s")
-    print(f"\n{'FAIL' if failures else 'OK'}: {failures} mismatching queries")
+    print(f"\n{'FAIL' if failures else 'OK'}: {failures} mismatching queries, {warns} dtype warns")
     return 1 if failures else 0
 
 
