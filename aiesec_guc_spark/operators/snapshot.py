@@ -110,6 +110,19 @@ def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
     run_date (cron retry, crash recovery) replace that day instead of
     appending a duplicate copy of every row into it.
     """
+    if df.isEmpty():
+        # partitionBy over ZERO rows writes no partition directory at
+        # all (just _SUCCESS) — the base then fails every later read
+        # with UNABLE_TO_INFER_SCHEMA, wedging the quiet-day publish.
+        # Write the day's hive-style directory explicitly with a
+        # zero-row, schema-bearing part file instead: the run_date
+        # partition column is inferred from the directory name exactly
+        # as for the partitionBy path, and a rerun of the same day
+        # stays idempotent (the overwrite replaces only this dir).
+        df.write.mode("overwrite").parquet(
+            f"{base_path.rstrip('/')}/run_date={run_date}"
+        )
+        return
     prev = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode")
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -127,7 +140,18 @@ def read_snapshot_pair(spark, base_path: str) -> tuple[DataFrame, DataFrame]:
     """(today, yesterday) = the two most recent ``run_date``
     partitions.  Both reads are partition-pruned — at 100 TB this
     touches two days of files, never the table."""
-    snaps = spark.read.parquet(base_path)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        snaps = spark.read.parquet(base_path)
+    except AnalysisException as exc:
+        # missing base, or a partition-less base a pre-fix
+        # write_snapshot left behind (_SUCCESS only) — surface the
+        # same typed not-enough-days error the day-count check raises
+        raise ValueError(
+            f"need at least two run_date partitions at {base_path}, "
+            f"found none readable ({exc.getErrorClass()})"
+        ) from exc
     days = [r[0] for r in snaps.select("run_date").distinct().orderBy(F.desc("run_date")).limit(2).collect()]
     if len(days) < 2:
         raise ValueError(f"need at least two run_date partitions at {base_path}, found {days}")
