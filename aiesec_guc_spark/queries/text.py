@@ -1853,6 +1853,15 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("w1", F.expr("split_part(bg, ' ', 1)"))
     )
+    # Three consumers (two model aggregates on different keys + the
+    # scoring join) would each re-run the tokenize/explode scan — the
+    # regex pass over every document is the dominant cost, so
+    # checkpoint the instance table once (same within-query pattern as
+    # the MinHash pipeline; at 100 TB this is "materialize the bigram
+    # table", the standard LM-training layout anyway).
+    from ..operators.dedup import materialize
+
+    binst = materialize(binst)
     bgc = binst.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
     ctx = binst.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
     v = d.select(F.explode("toks").alias("term")).agg(
