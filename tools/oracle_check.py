@@ -183,7 +183,8 @@ def main() -> int:
         if not status and len(spark_pd) > 0:
             try:
                 a, b = canon(spark_pd), canon(duck_pd)
-            except TypeError as exc:
+            except (TypeError, ValueError) as exc:
+                # TypeError for list cells, ValueError for ndarray cells
                 status.append(f"SORT-CRASH (driver would die): {exc}")
             else:
                 col = frames_equal(a, b)
