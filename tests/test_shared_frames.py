@@ -66,3 +66,34 @@ def test_enabled_result_is_materialized(spark):
     assert "ExistingRDD" in df._jdf.queryExecution().analyzed().toString() or (
         df.count() == 5
     )
+
+
+def test_flag_on_results_identical_for_consumer_queries(spark, sf_dir):
+    # End-to-end hash-safety: for a sample of real shared-frame
+    # consumers (the basket family joined the cache in round 10, the
+    # dedup/ANN spines in round 9), the flag-ON result must be
+    # row-identical to the flag-OFF result — reuse may only remove
+    # repeat computation, never change a value.
+    from aiesec_guc_spark.queries import spark_queries
+
+    qs = spark_queries()
+    names = [
+        "basket_pair_lift",
+        "basket_brand_triangles",
+        "basket_brand_triangles_degree",
+        "brand_pagerank",
+        "dedup_connected_components",
+        "similarity_ann_lsh",
+    ]
+
+    def run_all():
+        return {
+            n: sorted(map(tuple, qs[n](spark, sf_dir).collect())) for n in names
+        }
+
+    off = run_all()
+    os.environ["SPARK_GRAFT_SHARED_FRAMES"] = "1"
+    _FRAME_CACHE.clear()
+    on_cold = run_all()   # builds + caches every shared frame
+    on_warm = run_all()   # served from the per-JVM cache
+    assert off == on_cold == on_warm
