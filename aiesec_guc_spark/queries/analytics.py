@@ -542,8 +542,19 @@ def text_discriminative_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
         ).alias("term"),
     ).filter((F.length("term") > 2) & ~F.col("term").isin(list(STOPWORDS)))
-    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    from ..operators.dedup import materialize
+
+    # reduce the token instances to (lang, term, doc) grain ONCE (one
+    # combinable shuffle of the instance stream), then derive tf and df
+    # from the checkpointed doc-grain frame — the earlier shape ran the
+    # regex explode twice, once per aggregate
+    per_doc = materialize(
+        toks.groupBy("lang", "term", "doc_id").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    tf = per_doc.groupBy("lang", "term").agg(F.sum("c").alias("tf"))
+    df = per_doc.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
     return (

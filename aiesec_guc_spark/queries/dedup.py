@@ -2106,6 +2106,9 @@ def dedup_shingle_hotspot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
+    # the DF table feeds both the total fold and the output select —
+    # checkpoint it so the shingle explode+distinct runs once
+    df = materialize(df)
     pairs = F.expr("CAST(df * (df - 1) div 2 AS BIGINT)")
     tot = df.agg(F.sum(pairs).cast("bigint").alias("total_pairs"))
     return (

@@ -888,7 +888,13 @@ def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits = o.select(cents.alias("c")).filter(F.col("c") > 0).select(
         F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("d")
     )
-    c = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from ..operators.dedup import materialize
+
+    # the 9-cell count feeds both the total fold and the share select —
+    # checkpoint it so the orders scan runs once, not per branch
+    c = materialize(
+        digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
     tot = c.agg(F.sum("n").cast("bigint").alias("total"))
     expected = F.expr(f"CAST(CASE d {_BENFORD_CASE} END AS DOUBLE)")
     share = F.col("n").cast("double") / F.col("total")
@@ -1040,6 +1046,11 @@ def source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").cast("bigint").alias("sa"),
         F.sum("t").cast("bigint").alias("st"),
     )
+    from ..operators.dedup import materialize
+
+    # per_source feeds both the global fold and the output select —
+    # checkpoint it so the regex strip over every document runs once
+    per_source = materialize(per_source)
     g = per_source.agg(
         F.sum("sa").cast("bigint").alias("ga"),
         F.sum("st").cast("bigint").alias("gt"),

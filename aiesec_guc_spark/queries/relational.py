@@ -467,8 +467,13 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
     o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    la = li.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
-    ob = o.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    from ..operators.dedup import materialize
+
+    # each per-key count frame feeds two branches (its marginal fold +
+    # the exact-join product) — checkpoint both so each fact is scanned
+    # and shuffled once; a real planner would keep these as statistics
+    la = materialize(li.groupBy("k").agg(F.count(F.lit(1)).alias("ca")))
+    ob = materialize(o.groupBy("k").agg(F.count(F.lit(1)).alias("cb")))
     sa = la.agg(
         F.sum("ca").alias("n_left"), F.count(F.lit(1)).alias("ndv_left")
     )

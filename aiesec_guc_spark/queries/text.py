@@ -379,7 +379,13 @@ def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     fluctuates; a rank cut's doesn't.
     """
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    from ..operators.dedup import materialize
+
+    # counts feeds both the 1-row target fold and the output — one
+    # checkpoint, one documents scan
+    counts = materialize(
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    )
     # integer floor division (DIV), matching the oracle's `//` exactly
     # — a double division + truncation can diverge past 2^53
     tot = counts.agg(
@@ -1371,7 +1377,12 @@ def corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(a+b-1) // b``), so the plan is engine-exact; one grouped count
     + a broadcast 1-row target."""
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    from ..operators.dedup import materialize
+
+    # counts feeds both the 1-row target fold and the factor select
+    counts = materialize(
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    )
     # integer floor division (DIV), matching the oracle's `//` exactly
     tot = counts.agg(
         F.expr("sum(n_before) div count(1)").cast("bigint").alias("n_target")
@@ -1624,6 +1635,12 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in BM25_TERMS
         ],
     )
+    from ..operators.dedup import materialize
+
+    # the per-doc stats projection feeds both the corpus-constant fold
+    # and the scoring select — checkpoint it so the regex tokenize over
+    # every document runs once, not per branch
+    s = materialize(s)
     g = s.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
@@ -2039,6 +2056,11 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ),
     )
+    from ..operators.dedup import materialize
+
+    # s feeds both the 1-row (n_total, sw_sum) fold and the share
+    # select — one checkpoint, one documents scan
+    s = materialize(s)
     t = s.agg(
         F.sum("n_before").cast("bigint").alias("n_total"),
         F.sum("sw").cast("bigint").alias("sw_sum"),

@@ -433,17 +433,26 @@ def events_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(_us % 86400000000) div 3600000000").cast("int").alias("hour"),
         "v",
     )
-    tot = b.agg(F.count(F.lit(1)).alias("n"))
-    return (
-        b.crossJoin(F.broadcast(tot))
-        .groupBy("dow", "hour")
-        .agg(
+    from ..operators.dedup import materialize
+
+    # aggregate FIRST, then derive the total from the ≤168 group rows —
+    # the earlier shape folded the global count from the event-grain
+    # frame, which re-ran the events scan on a second plan branch
+    g = materialize(
+        b.groupBy("dow", "hour").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("v").cast("double").alias("total_value"),
-            (
-                F.expr("count(1) * 10000 div max(n)").cast("double") / 100
-            ).alias("pct_of_total"),
         )
+    )
+    tot = g.agg(F.sum("n_events").alias("n"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n_events",
+        "total_value",
+        (
+            F.expr("n_events * 10000 div n").cast("double") / 100
+        ).alias("pct_of_total"),
     )
 
 

@@ -171,6 +171,11 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
         ).alias("total_rev")
     )
+    from ..operators.dedup import materialize
+
+    # two consumers (max fold + the tie filter) — checkpoint so the
+    # fact scan + supplier-grain shuffle run once, not per branch
+    revenue = materialize(revenue)
     mx = revenue.agg(F.max("total_rev").alias("mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -244,6 +249,11 @@ def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice", 14)).alias("val"))
     )
+    from ..operators.dedup import materialize
+
+    # two consumers (global total + the threshold filter) — checkpoint
+    # so the fact join + part-grain shuffle run once, not per branch
+    value_by_part = materialize(value_by_part)
     total = value_by_part.agg(F.sum("val").alias("tv"))
     return (
         value_by_part.crossJoin(F.broadcast(total))
