@@ -1184,3 +1184,35 @@ def test_leakage_safe_split_cluster_grain(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert global_window_count(df) == 0
     assert has_partial_aggregation(df)
+
+
+def test_broadcast_total_branches_never_rescan_the_fact(spark, sf_dir):
+    # Round-10 audit pin: for the "aggregate feeds its own broadcast
+    # total" queries, the derived aggregate is checkpointed BEFORE the
+    # total fold — so the final plan reads it via ExistingRDD and the
+    # fact table appears at most the expected number of times (each
+    # physical scan prints twice in formatted explain: tree node +
+    # detail block).  A regression here re-introduces a second
+    # full-table pass per plan branch at 100 TB.
+    expected_scan_prints = {
+        "orders_benford_first_digit": 0,
+        "text_bm25_retrieval": 0,
+        "source_quality_shrunk": 0,
+        "dedup_shingle_hotspot_audit": 0,
+        "events_seasonality_heatmap": 0,
+        "join_size_estimate": 0,
+        "corpus_temperature_mixture": 0,
+        "corpus_repeat_factors": 0,
+        "important_stock_parts": 0,
+        "basket_pair_lift": 0,
+        "brand_pagerank": 0,
+        "corpus_mixture_rebalance": 2,   # the rank pass scans documents once
+        "text_discriminative_terms": 2,  # n_docs counts documents once
+        "top_supplier_revenue": 2,       # the supplier dim joins once
+        "text_bigram_lm_quality": 2,     # the vocab fold scans documents once
+    }
+    qs = spark_queries()
+    for name, want in expected_scan_prints.items():
+        plan = formatted_plan(qs[name](spark, sf_dir))
+        got = plan.count("Scan parquet")
+        assert got <= want, f"{name}: {got} scan prints (expected <= {want})"
