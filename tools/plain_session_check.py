@@ -22,7 +22,13 @@ import duckdb
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from tools.oracle_check import TABLES, rows_multiset  # noqa: E402
+from tools.oracle_check import (  # noqa: E402
+    TABLES,
+    canon,
+    dtype_report,
+    frames_equal,
+    unhashable_columns,
+)
 
 
 def main() -> int:
@@ -48,10 +54,24 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
-            got = rows_multiset(qs[name](spark, sf_dir).toPandas())
+            got = qs[name](spark, sf_dir).toPandas()
             if name in oracles:
-                want = rows_multiset(con.execute(oracles[name]).fetchdf())
-                ok = got == want
+                want = con.execute(oracles[name]).fetchdf()
+                ok = (
+                    not unhashable_columns(got, "spark")
+                    and not unhashable_columns(want, "duck")
+                    and len(got) == len(want)
+                    and sorted(got.columns) == sorted(want.columns)
+                    and not [
+                        p
+                        for p in dtype_report(got, want)
+                        if not p.startswith("DTYPE-WARN")
+                    ]
+                    and (
+                        len(got) == 0
+                        or frames_equal(canon(got), canon(want)) is None
+                    )
+                )
             else:
                 ok = len(got) >= 0
             status = "✓" if ok else "✗"
