@@ -152,7 +152,15 @@ def read_snapshot_pair(spark, base_path: str) -> tuple[DataFrame, DataFrame]:
             f"need at least two run_date partitions at {base_path}, "
             f"found none readable ({exc.getErrorClass()})"
         ) from exc
-    days = [r[0] for r in snaps.select("run_date").distinct().orderBy(F.desc("run_date")).limit(2).collect()]
+    # Day discovery is DIRECTORY-based, not row-based: a quiet day's
+    # partition holds a schema-bearing zero-row file, which a
+    # distinct-over-rows would silently skip — making the pair read
+    # diff today against the wrong (older) day.  Listing partition
+    # directories is also the O(#days) catalog operation, vs a scan
+    # of every partition's footers for the distinct.
+    from .maintenance import list_partitions
+
+    days = list_partitions(base_path, "run_date")[-2:][::-1]
     if len(days) < 2:
         raise ValueError(f"need at least two run_date partitions at {base_path}, found {days}")
     today = snaps.filter(F.col("run_date") == days[0]).drop("run_date")

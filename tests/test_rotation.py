@@ -54,3 +54,22 @@ def test_rotation_reads_prune_partitions(spark):
         plan = t2._jdf.queryExecution().executedPlan().toString()
         assert "run_date" in plan
         assert t2.count() == today.count()
+
+
+def test_empty_yesterday_then_real_today_delta(spark):
+    """The quiet-day rotation composition the round-10 write_snapshot
+    fix enables: day 1 produces ZERO rows (legal), day 2 is real — the
+    pair read must see both partitions (the empty day's directory
+    carries the schema) and the delta over (real today, empty
+    yesterday) is ALL of today's rows."""
+    today, _ = snapshot_pair(spark)
+    with tempfile.TemporaryDirectory(prefix="snaps_") as base:
+        write_snapshot(today.limit(0), base, "2026-08-12")
+        write_snapshot(today, base, "2026-08-13")
+        t2, y2 = read_snapshot_pair(spark, base)
+        assert y2.count() == 0
+        assert t2.count() == today.count()
+        delta = snapshot_delta(t2, y2, keys=["opportunity_id"])
+        # every today row is "new" (the fixture's duplicate-ID row
+        # stays duplicated — the anti-join filters by key, never dedups)
+        assert delta.count() == today.count()
