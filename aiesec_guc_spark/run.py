@@ -86,18 +86,19 @@ def run_pipeline(
     write_snapshot(today, snap_path, run_date)
 
     snaps = spark.read.parquet(snap_path)
+    # Prior-day discovery is DIRECTORY-based (same rule as
+    # read_snapshot_pair): a quiet day's partition holds a zero-row
+    # file that a distinct-over-rows would skip, silently diffing
+    # today against an OLDER day — suppressing re-appearances as
+    # "not new".  ISO run_date strings order lexically.
+    from .operators.maintenance import list_partitions
+
     prior_dates = [
-        r[0]
-        for r in snaps.select("run_date")
-        .filter(F.col("run_date") < run_date)
-        .distinct()
-        .orderBy(F.desc("run_date"))
-        .limit(1)
-        .collect()
+        d for d in list_partitions(snap_path, "run_date") if d < run_date
     ]
     today_rows = snaps.filter(F.col("run_date") == run_date).drop("run_date")
     if prior_dates:
-        yesterday = snaps.filter(F.col("run_date") == prior_dates[0]).drop("run_date")
+        yesterday = snaps.filter(F.col("run_date") == prior_dates[-1]).drop("run_date")
     else:
         yesterday = today_rows.filter(F.lit(False))  # first run: all new
     # Materialized once: the delta feeds three consumers (report

@@ -106,3 +106,33 @@ def test_email_html_is_full_document(spark):
     assert "card" in html
     empty = today.filter("1 = 0")
     assert render_email_html(empty) == ""
+
+
+def test_quiet_day_resets_the_delta_baseline(spark, tmp_path):
+    """A scrape that finds ZERO cards is a legal run (site outage,
+    empty listing) and its partition IS the new baseline: the next
+    day's delta must diff against the EMPTY yesterday (everything
+    new again), never silently skip it and diff against the older
+    populated day (which reported 0 new — the row-based prior-day
+    discovery bug this pins)."""
+    from aiesec_guc_spark.operators.snapshot import write_snapshot
+    from aiesec_guc_spark.sources.fixtures import snapshot_pair as _pair
+
+    data_dir, out_dir = str(tmp_path / "data"), str(tmp_path / "out")
+    sent: list[str] = []
+
+    s1 = run_pipeline(spark, data_dir, out_dir, "2026-08-12", send=sent.append)
+    assert s1["delta_rows"] == 6
+
+    # quiet day: the scraper returned nothing — its empty partition
+    # still lands (write_snapshot handles zero rows since round 10)
+    today_frame, _ = _pair(spark)
+    write_snapshot(
+        today_frame.limit(0),
+        os.path.join(data_dir, "snapshots"),
+        "2026-08-13",
+    )
+
+    s3 = run_pipeline(spark, data_dir, out_dir, "2026-08-14", send=sent.append)
+    assert s3["delta_rows"] == 6  # vs the empty 08-13, NOT the full 08-12
+    assert s3["notified"]
