@@ -72,6 +72,17 @@ PROBE_QUERIES = [
     "corpus_split_leakage_safe",  # MinHash + star CC + cluster-grain split
     "similarity_pq_adc",          # PQ train + ADC scan
     "dedup_minhash_lsh",          # the shared five-stage pipeline itself
+    # round-10 additions — the shapes the broadcast-total audit
+    # changed (checkpointed aggregate feeding its own total) plus the
+    # basket-family materialization; probing pins that the checkpoint
+    # cut scales with the AGGREGATE, not the fact
+    "text_bigram_lm_quality",     # checkpointed bigram instance table
+    "text_bm25_retrieval",        # checkpointed per-doc stats projection
+    "dedup_shingle_hotspot_audit",  # checkpointed shingle-DF table
+    "text_discriminative_terms",  # doc-grain pre-reduce, tokenize once
+    "basket_brand_triangles",     # shared basket + edge checkpoints
+    "brand_pagerank",             # same, plus two unrolled iterations
+    "events_seasonality_heatmap",  # aggregate-first 168-cell grid
 ]
 
 
