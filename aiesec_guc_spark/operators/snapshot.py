@@ -110,19 +110,8 @@ def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
     run_date (cron retry, crash recovery) replace that day instead of
     appending a duplicate copy of every row into it.
     """
-    if df.isEmpty():
-        # partitionBy over ZERO rows writes no partition directory at
-        # all (just _SUCCESS) — the base then fails every later read
-        # with UNABLE_TO_INFER_SCHEMA, wedging the quiet-day publish.
-        # Write the day's hive-style directory explicitly with a
-        # zero-row, schema-bearing part file instead: the run_date
-        # partition column is inferred from the directory name exactly
-        # as for the partitionBy path, and a rerun of the same day
-        # stays idempotent (the overwrite replaces only this dir).
-        df.write.mode("overwrite").parquet(
-            f"{base_path.rstrip('/')}/run_date={run_date}"
-        )
-        return
+    import os
+
     prev = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode")
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -134,13 +123,27 @@ def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
         )
     finally:
         df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # partitionBy over ZERO rows writes no partition directory at all
+    # (just _SUCCESS) — the base then fails every later read with
+    # UNABLE_TO_INFER_SCHEMA, wedging the quiet-day publish.  An
+    # after-the-fact directory check is cheaper than a df.isEmpty()
+    # pre-check, which would evaluate the upstream plan a second time
+    # (for an aggregate-topped frame, limit(1) still runs the full
+    # shuffle).  On the quiet day, write the hive-style directory
+    # explicitly with a zero-row, schema-bearing part file: the
+    # run_date partition column is inferred from the directory name
+    # exactly as for the partitionBy path, and a rerun of the same day
+    # stays idempotent (the overwrite replaces only this dir).
+    part_dir = f"{base_path.rstrip('/')}/run_date={run_date}"
+    if not os.path.isdir(part_dir):
+        df.write.mode("overwrite").parquet(part_dir)
 
 
 def read_snapshot_pair(spark, base_path: str) -> tuple[DataFrame, DataFrame]:
     """(today, yesterday) = the two most recent ``run_date``
     partitions.  Both reads are partition-pruned — at 100 TB this
     touches two days of files, never the table."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.errors import AnalysisException
 
     try:
         snaps = spark.read.parquet(base_path)
@@ -148,9 +151,10 @@ def read_snapshot_pair(spark, base_path: str) -> tuple[DataFrame, DataFrame]:
         # missing base, or a partition-less base a pre-fix
         # write_snapshot left behind (_SUCCESS only) — surface the
         # same typed not-enough-days error the day-count check raises
+        detail = exc.getErrorClass() or str(exc)
         raise ValueError(
             f"need at least two run_date partitions at {base_path}, "
-            f"found none readable ({exc.getErrorClass()})"
+            f"found none readable ({detail})"
         ) from exc
     # Day discovery is DIRECTORY-based, not row-based: a quiet day's
     # partition holds a schema-bearing zero-row file, which a

@@ -144,12 +144,15 @@ def main() -> None:
         # Shared-frame accounting (ADVICE r9): with
         # SPARK_GRAFT_SHARED_FRAMES=1 the FIRST consumer of a shared
         # frame pays its build inside its cold run, so cold timings
-        # are order-dependent.  Snapshot the build log around each
-        # query and tag the payer, plus a build-excluded cold, so
+        # are order-dependent.  Snapshot the build log around the COLD
+        # run ONLY (a build paid in a warm run — e.g. after a cache
+        # eviction — belongs to that warm run, not to cold_ex_shared)
+        # and tag the payer, plus a build-excluded cold, so
         # tools/compare_bench.py never misreads a cache-order shift.
         from aiesec_guc_spark.operators import dedup as _dedup_ops
 
         builds_before = len(_dedup_ops._FRAME_BUILD_LOG)
+        builds_after_cold = builds_before
         # Failure isolation: one raising query must not abort the
         # suite — record the error row and keep benching the rest.
         try:
@@ -160,6 +163,8 @@ def main() -> None:
                 # column (count() would let Catalyst skip computing them).
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(round(time.time() - t0, 3))
+                if len(runs) == 1:
+                    builds_after_cold = len(_dedup_ops._FRAME_BUILD_LOG)
                 # Release per-query state so it can't squeeze later
                 # queries: clearCache drops catalog-cached relations, and
                 # the explicit Python gc releases py4j refs to
@@ -193,7 +198,7 @@ def main() -> None:
             "warm_min": min(runs[1:]) if len(runs) > 1 else None,
             "spread": round(max(runs) - min(runs), 3),
         }
-        paid = _dedup_ops._FRAME_BUILD_LOG[builds_before:]
+        paid = _dedup_ops._FRAME_BUILD_LOG[builds_before:builds_after_cold]
         if paid:
             detail[name]["shared_builds"] = {k: s for k, s in paid}
             detail[name]["cold_ex_shared"] = round(

@@ -38,11 +38,21 @@ def test_int_width_skew_is_flagged():
     assert dtype_report(a, b)
 
 
-def test_datetime_unit_skew_is_only_a_warn():
+def test_datetime_unit_skew_is_a_hard_failure():
+    # the driver's frame hash is dtype-sensitive, so ns-vs-us skew
+    # fails its gate even when the instants are equal; the registry
+    # convention (CAST dates to VARCHAR) makes any datetime dtype a bug
     a = pd.DataFrame({"t": pd.to_datetime(["2026-01-01"]).astype("datetime64[ns]")})
     b = pd.DataFrame({"t": pd.to_datetime(["2026-01-01"]).astype("datetime64[us]")})
     problems = dtype_report(a, b)
-    assert problems and all(p.startswith("DTYPE-WARN") for p in problems)
+    assert problems and all(p.startswith("DTYPE ") for p in problems)
+
+
+def test_unhashable_scan_reaches_past_row_50():
+    # a list cell beyond a head() sample must still be caught: rows-only
+    # queries have no sort_values pass to back this check up
+    df = pd.DataFrame({"s": ["x"] * 60 + [["a", "b"]]})
+    assert unhashable_columns(df, "spark")
 
 
 def test_list_column_is_unhashable():

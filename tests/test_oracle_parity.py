@@ -13,8 +13,9 @@ tools/oracle_check.py uses:
   - no output column on EITHER engine may be object-dtype with
     non-str/bytes values (lists/arrays would crash the driver);
   - per-column pandas dtypes must match between the Spark and DuckDB
-    results (datetime64 unit skew is tolerated — pyarrow emits ns,
-    duckdb us — but the registry convention is VARCHAR dates anyway);
+    results, datetime64 unit skew INCLUDED (r11: the driver's frame
+    hash is dtype-sensitive, so ns-vs-us fails there too; the registry
+    convention is VARCHAR dates, so datetime dtypes never appear);
   - values compare dtype-strictly on sort_values-canonicalized frames.
 
 Nine rounds of "zero mismatches" from a type-INsensitive comparator
@@ -51,8 +52,8 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert not unhashable_columns(duck_pd, "duck")
     assert len(spark_pd) == len(duck_pd), f"row count {len(spark_pd)} != {len(duck_pd)}"
     assert sorted(spark_pd.columns) == sorted(duck_pd.columns)
-    hard = [p for p in dtype_report(spark_pd, duck_pd) if not p.startswith("DTYPE-WARN")]
-    assert not hard, f"dtype census: {hard}"
+    problems = dtype_report(spark_pd, duck_pd)
+    assert not problems, f"dtype census: {problems}"
     if len(spark_pd) == 0:
         return
     a, b = canon(spark_pd), canon(duck_pd)  # driver-faithful: sort_values

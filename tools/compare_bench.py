@@ -14,16 +14,28 @@ import json
 import sys
 
 
-def _warm(detail: dict) -> float | None:
-    w = detail.get("warm_min")
-    if w is not None:
-        return w
-    # Single-run fallback: prefer the shared-build-excluded cold, so a
-    # registry reorder that moves WHICH query pays a shared-frame build
-    # (bench.py tags the payer with "shared_builds"/"cold_ex_shared")
-    # never reads as a per-query regression or speedup.
-    ce = detail.get("cold_ex_shared")
-    return ce if ce is not None else detail.get("cold")
+def pick_pair(o: dict, n: dict) -> tuple[float | None, float | None, str | None]:
+    """Choose the (old, new) seconds to compare for one query, or a
+    skip reason.
+
+    warm_min on both sides wins (builds are only paid cold, so warm is
+    payer-independent).  On the cold fallback, shared-frame builds are
+    excluded on BOTH sides via cold_ex_shared (bench.py tags the payer
+    with "shared_builds"/"cold_ex_shared"); when exactly ONE side
+    carries a payer tag the raw colds aren't comparable — the build
+    moved between rounds, or the baseline predates the tagging — so
+    the query is noted and skipped rather than read as a phantom
+    regression or speedup."""
+    ow, nw = o.get("warm_min"), n.get("warm_min")
+    if ow is not None and nw is not None:
+        return ow, nw, None
+    if ("shared_builds" in o) != ("shared_builds" in n):
+        return None, None, "shared-frame build tagged on one side only"
+    if ow is None:
+        ow = o.get("cold_ex_shared", o.get("cold"))
+    if nw is None:
+        nw = n.get("cold_ex_shared", n.get("cold"))
+    return ow, nw, None
 
 
 def main() -> int:
@@ -73,7 +85,10 @@ def main() -> int:
 
     regressions = []
     for name in sorted(set(od) & set(nd)):
-        ow, nw = _warm(od[name]), _warm(nd[name])
+        ow, nw, skip = pick_pair(od[name], nd[name])
+        if skip:
+            print(f"skipped {name}: {skip}")
+            continue
         if not ow or not nw or ow <= 0:
             continue
         ratio = nw / ow

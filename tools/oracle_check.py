@@ -17,12 +17,10 @@ HUGEINT -> float64 vs Spark int64) and `embedding_random_projection`
 classes locally:
 
   1. per-column dtype equality between the Spark and DuckDB pandas
-     frames is part of the gate (with a single sanctioned
-     normalization: datetime64 unit widths, since pyarrow/duckdb
-     disagree on ns vs us while the driver compares date values as
-     strings only when the ORACLE emits strings — our registry
-     convention is to CAST dates to VARCHAR, so any datetime dtype
-     appearing at all is reported);
+     frames is part of the gate, datetime64 unit skew (ns vs us)
+     INCLUDED — the driver's frame hash is dtype-sensitive, so a unit
+     skew fails there too; the registry convention is to CAST dates to
+     VARCHAR, so any datetime dtype divergence is a real defect;
   2. any object-dtype column whose values are not str/bytes/None is
      rejected outright as UNHASHABLE (the driver would crash on it);
   3. canonicalization goes through ``sort_values`` over all columns,
@@ -61,18 +59,18 @@ def norm_cell(v):
 
 def dtype_report(spark_pd, duck_pd):
     """Per-column dtype comparison; returns a list of human-readable
-    mismatch strings (empty == dtype-green)."""
+    mismatch strings (empty == dtype-green).
+
+    datetime64 unit skew (ns vs us) is a HARD failure, not a warn: the
+    driver hashes the pandas frames dtype-sensitively, so a unit skew
+    fails its gate even when the instants are equal.  The registry
+    convention is to CAST dates to VARCHAR, so any datetime dtype
+    divergence means a query broke that convention."""
     problems = []
     for col in sorted(spark_pd.columns):
         s, d = spark_pd[col].dtype, duck_pd[col].dtype
         s_str, d_str = str(s), str(d)
         if s_str == d_str:
-            continue
-        # Sanctioned: both datetime64 but different unit (ns vs us) —
-        # flag it anyway at WARN level since the registry convention
-        # is VARCHAR dates; a new datetime output column is a smell.
-        if s_str.startswith("datetime64") and d_str.startswith("datetime64"):
-            problems.append(f"DTYPE-WARN {col}: {s_str} vs {d_str} (datetime unit)")
             continue
         problems.append(f"DTYPE {col}: spark={s_str} duck={d_str}")
     return problems
@@ -80,12 +78,16 @@ def dtype_report(spark_pd, duck_pd):
 
 def unhashable_columns(df_pandas, engine):
     """Columns whose object-dtype values would crash the driver's
-    sort_values/hash canonicalization (lists, arrays, dicts)."""
+    sort_values/hash canonicalization (lists, arrays, dicts).
+
+    Scans the WHOLE column, not a head() sample: rows-only queries have
+    no sort_values pass to catch a late list cell, and the frame is
+    already materialized in pandas so the scan is cheap."""
     bad = []
     for col in df_pandas.columns:
         if str(df_pandas[col].dtype) != "object":
             continue
-        for v in df_pandas[col].head(50):
+        for v in df_pandas[col]:
             if v is None or isinstance(v, (str, bytes)):
                 continue
             if isinstance(v, float) and math.isnan(v):
@@ -145,7 +147,6 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
-    warns = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -173,13 +174,7 @@ def main() -> int:
         if s_cols != d_cols:
             status.append(f"COLUMNS {s_cols} vs {d_cols}")
         if not status:
-            dt = dtype_report(spark_pd, duck_pd)
-            hard = [p for p in dt if not p.startswith("DTYPE-WARN")]
-            soft = [p for p in dt if p.startswith("DTYPE-WARN")]
-            warns += len(soft)
-            for w in soft:
-                print(f"  {name:36s} {w}")
-            status += hard
+            status += dtype_report(spark_pd, duck_pd)
         if not status and len(spark_pd) > 0:
             try:
                 a, b = canon(spark_pd), canon(duck_pd)
@@ -198,7 +193,7 @@ def main() -> int:
             print(f"✗ {name:36s} {'; '.join(status[:3])}")
         else:
             print(f"✓ {name:36s} rows={len(spark_pd):7d}  {t_spark:5.1f}s")
-    print(f"\n{'FAIL' if failures else 'OK'}: {failures} mismatching queries, {warns} dtype warns")
+    print(f"\n{'FAIL' if failures else 'OK'}: {failures} mismatching queries")
     return 1 if failures else 0
 
 

@@ -62,11 +62,7 @@ def main() -> int:
                     and not unhashable_columns(want, "duck")
                     and len(got) == len(want)
                     and sorted(got.columns) == sorted(want.columns)
-                    and not [
-                        p
-                        for p in dtype_report(got, want)
-                        if not p.startswith("DTYPE-WARN")
-                    ]
+                    and not dtype_report(got, want)
                     and (
                         len(got) == 0
                         or frames_equal(canon(got), canon(want)) is None
