@@ -112,6 +112,10 @@ def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
     """
     import os
 
+    part_dir = f"{base_path.rstrip('/')}/run_date={run_date}"
+    listing_before = (
+        sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else None
+    )
     prev = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode")
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -125,18 +129,28 @@ def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
         df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     # partitionBy over ZERO rows writes no partition directory at all
     # (just _SUCCESS) — the base then fails every later read with
-    # UNABLE_TO_INFER_SCHEMA, wedging the quiet-day publish.  An
-    # after-the-fact directory check is cheaper than a df.isEmpty()
+    # UNABLE_TO_INFER_SCHEMA, wedging the quiet-day publish.  A
+    # filesystem check after the write is cheaper than a df.isEmpty()
     # pre-check, which would evaluate the upstream plan a second time
     # (for an aggregate-topped frame, limit(1) still runs the full
-    # shuffle).  On the quiet day, write the hive-style directory
-    # explicitly with a zero-row, schema-bearing part file: the
-    # run_date partition column is inferred from the directory name
-    # exactly as for the partitionBy path, and a rerun of the same day
-    # stays idempotent (the overwrite replaces only this dir).
-    part_dir = f"{base_path.rstrip('/')}/run_date={run_date}"
-    if not os.path.isdir(part_dir):
-        df.write.mode("overwrite").parquet(part_dir)
+    # shuffle).  Zero rows were written iff the day's directory is
+    # missing (fresh quiet day) OR its listing is unchanged (a RERUN
+    # that found nothing: dynamic overwrite only touches partitions
+    # present in the data, and a real rewrite always lands new
+    # uniquely-named part files).  Either way the day must become the
+    # zero-row, schema-bearing partition: the run_date column is
+    # inferred from the directory name exactly as for the partitionBy
+    # path, and a rerun-to-empty replaces the stale rows instead of
+    # silently keeping them.
+    listing_after = (
+        sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else None
+    )
+    if listing_after is None or listing_after == listing_before:
+        # a literal empty frame, not df.limit(0): the day is already
+        # known empty, so re-executing df's plan would be a pure waste
+        df.sparkSession.createDataFrame([], df.schema).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
 
 
 def read_snapshot_pair(spark, base_path: str) -> tuple[DataFrame, DataFrame]:

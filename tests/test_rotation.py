@@ -43,6 +43,21 @@ def test_rerun_same_run_date_is_idempotent(spark):
         assert y2.count() == yesterday.count()
 
 
+def test_rerun_to_empty_replaces_the_stale_day(spark):
+    """A retry whose re-scrape finds NOTHING must make the day empty —
+    dynamic partition overwrite alone would leave the first write's
+    rows in place (zero incoming rows touch zero partitions), silently
+    resurrecting a listing the site no longer shows."""
+    today, yesterday = snapshot_pair(spark)
+    with tempfile.TemporaryDirectory(prefix="snaps_") as base:
+        write_snapshot(yesterday, base, "2026-08-12")
+        write_snapshot(today, base, "2026-08-13")
+        write_snapshot(today.limit(0), base, "2026-08-13")  # empty retry
+        t2, y2 = read_snapshot_pair(spark, base)
+        assert t2.count() == 0
+        assert y2.count() == yesterday.count()
+
+
 def test_rotation_reads_prune_partitions(spark):
     today, yesterday = snapshot_pair(spark)
     with tempfile.TemporaryDirectory(prefix="snaps_") as base:
