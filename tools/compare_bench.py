@@ -93,9 +93,19 @@ def main() -> int:
             continue
         ratio = nw / ow
         if ratio > threshold and nw - ow > 0.5:  # ignore sub-second jitter
-            regressions.append((ratio, name, ow, nw))
-    for ratio, name, ow, nw in sorted(regressions, reverse=True):
-        print(f"REGRESSION {name}: {ow:.2f}s -> {nw:.2f}s ({ratio:.1f}x)")
+            # a warm_min with large run-to-run warm spread on either
+            # side marks the comparison as box-noise-suspect
+            noisy = [
+                label
+                for label, d in (("old", od[name]), ("new", nd[name]))
+                if d.get("warm_spread") is not None
+                and d.get("warm_min")
+                and d["warm_spread"] > 0.5 * d["warm_min"]
+            ]
+            regressions.append((ratio, name, ow, nw, noisy))
+    for ratio, name, ow, nw, noisy in sorted(regressions, reverse=True):
+        tag = f"  [noisy warm runs: {', '.join(noisy)}]" if noisy else ""
+        print(f"REGRESSION {name}: {ow:.2f}s -> {nw:.2f}s ({ratio:.1f}x){tag}")
     if not regressions:
         print(f"no per-query regression above {threshold}x")
     return 1 if regressions else 0
