@@ -109,6 +109,12 @@ def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
     need.  Dynamic partition overwrite makes a rerun of the SAME
     run_date (cron retry, crash recovery) replace that day instead of
     appending a duplicate copy of every row into it.
+
+    The zero-row detection below lists the partition directory via the
+    local filesystem (same convention as maintenance.list_partitions);
+    on a cluster object store, swap the two listdir calls for the
+    Hadoop FileSystem listStatus on the same path — the logic is
+    unchanged.
     """
     import os
 
