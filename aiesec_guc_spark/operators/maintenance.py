@@ -277,14 +277,37 @@ def vacuum_siblings(path: str, dry_run: bool = False) -> list[str]:
     return sorted(victims)
 
 
+def fs_listdir(path: str) -> list[str] | None:
+    """Sorted entry names of ``path``, or ``None`` when the local
+    filesystem cannot see it as a directory.
+
+    THE filesystem-listing seam: every local-FS directory-listing
+    convention in the package (partition discovery here, the
+    zero-row-write detection in ``snapshot.write_snapshot``) goes
+    through this one function.  On a cluster object store, swap its
+    body for the Hadoop FileSystem ``listStatus`` on the same path
+    (``spark._jvm.org.apache.hadoop.fs.Path`` + ``getFileSystem``) —
+    callers are unchanged.  ``None`` means "this path is not visible
+    to the listing backend", which callers MUST treat as "blind", not
+    as "empty": a ``file://`` URI, ``hdfs://``/``s3a://`` scheme, or a
+    relative path Spark resolves elsewhere all land here.
+    """
+    if not os.path.isdir(path):
+        return None
+    return sorted(os.listdir(path))
+
+
 def list_partitions(path: str, column: str) -> list[str]:
     """Values of a single-level hive partition layout
     (``<path>/<column>=<value>``), sorted ascending; hidden/system
     entries skipped."""
     prefix = f"{column}="
+    entries = fs_listdir(path)
+    if entries is None:
+        raise FileNotFoundError(path)
     return sorted(
         d[len(prefix):]
-        for d in os.listdir(path)
+        for d in entries
         if d.startswith(prefix) and not d.startswith((".", "_"))
     )
 

@@ -110,18 +110,14 @@ def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
     run_date (cron retry, crash recovery) replace that day instead of
     appending a duplicate copy of every row into it.
 
-    The zero-row detection below lists the partition directory via the
-    local filesystem (same convention as maintenance.list_partitions);
-    on a cluster object store, swap the two listdir calls for the
-    Hadoop FileSystem listStatus on the same path — the logic is
-    unchanged.
+    The zero-row detection below lists the partition directory through
+    ``maintenance.fs_listdir`` — the package's single filesystem-listing
+    seam (object-store swap documented there, on that one function).
     """
-    import os
+    from .maintenance import fs_listdir
 
     part_dir = f"{base_path.rstrip('/')}/run_date={run_date}"
-    listing_before = (
-        sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else None
-    )
+    listing_before = fs_listdir(part_dir)
     prev = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode")
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -148,9 +144,22 @@ def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
     # inferred from the directory name exactly as for the partitionBy
     # path, and a rerun-to-empty replaces the stale rows instead of
     # silently keeping them.
-    listing_after = (
-        sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else None
-    )
+    listing_after = fs_listdir(part_dir)
+    if listing_after is None and fs_listdir(base_path) is None:
+        # The listing backend cannot see base_path AT ALL (file:// URI,
+        # hdfs://, s3a://, or a relative path Spark resolved elsewhere)
+        # — so "no partition directory" means BLIND, not empty, and
+        # falling through would overwrite a freshly written non-empty
+        # partition with an empty frame: silent data loss.  A read-back
+        # of the partition can't arbitrate either (it can't tell rows
+        # the write just landed from stale rows of a prior run).  On
+        # blind paths only, decide from the source frame itself:
+        # df.isEmpty() re-evaluates the plan (limit 1 — for an
+        # aggregate-topped frame that is the full shuffle), the price
+        # of correctness where no listing diff exists.
+        if not df.isEmpty():
+            return
+        listing_after = listing_before  # empty day: rewrite below
     if listing_after is None or listing_after == listing_before:
         # a literal empty frame, not df.limit(0): the day is already
         # known empty, so re-executing df's plan would be a pure waste

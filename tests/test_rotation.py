@@ -71,6 +71,30 @@ def test_rotation_reads_prune_partitions(spark):
         assert t2.count() == today.count()
 
 
+def test_blind_path_never_overwrites_fresh_rows(spark):
+    """ADVICE r11 (medium): when the local filesystem cannot see
+    base_path as a literal directory (here: a ``file://`` URI — same
+    class as hdfs:// / s3a:// on a cluster), the post-write listing is
+    BLIND, not empty — write_snapshot must not conclude "zero rows
+    written" and clobber the freshly written partition with an empty
+    frame.  Non-empty days keep their rows; a rerun-to-empty on the
+    same blind path still replaces the stale day (via the df-based
+    emptiness fallback)."""
+    today, yesterday = snapshot_pair(spark)
+    with tempfile.TemporaryDirectory(prefix="snaps_") as base:
+        blind = f"file://{base}"
+        write_snapshot(yesterday, blind, "2026-08-12")
+        write_snapshot(today, blind, "2026-08-13")
+        t2, y2 = read_snapshot_pair(spark, base)  # plain path: same dir
+        assert t2.count() == today.count()  # NOT clobbered to empty
+        assert y2.count() == yesterday.count()
+        # quiet-day rerun through the blind path replaces the stale day
+        write_snapshot(today.limit(0), blind, "2026-08-13")
+        t3, y3 = read_snapshot_pair(spark, base)
+        assert t3.count() == 0
+        assert y3.count() == yesterday.count()
+
+
 def test_empty_yesterday_then_real_today_delta(spark):
     """The quiet-day rotation composition the round-10 write_snapshot
     fix enables: day 1 produces ZERO rows (legal), day 2 is real — the
