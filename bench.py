@@ -76,6 +76,74 @@ def _parse_shard(argv: list[str]) -> tuple[list[str] | None, list[str] | None]:
     return fams, only
 
 
+def summarize_runs(
+    runs: list[float], run_builds: list[list[tuple[str, float]]]
+) -> dict:
+    """Per-query detail row from N timed runs + the shared-frame builds
+    each run paid (run_builds[i] = (key, sec) builds logged during run
+    i; run 0 is cold).
+
+    Pure function so the accounting is unit-testable without Spark:
+
+    - warm_min/warm_spread come from BUILD-FREE warm runs when any
+      exist — a build paid in a warm run (cache eviction) must not
+      inflate the number compare_bench gates on.
+    - If EVERY warm run paid a build, warm_min is unavoidably inflated
+      and the row carries "warm_builds" so tools/compare_bench.py can
+      fall back to the cold comparison instead of reading a phantom
+      regression (ADVICE r11).
+    - Cold-side builds are tagged as before ("shared_builds" +
+      "cold_ex_shared").
+    """
+    d: dict = {"n": len(runs), "cold": runs[0]}
+    warm_idx = range(1, len(runs))
+    clean = [runs[i] for i in warm_idx if not run_builds[i]]
+    warm_pool = clean if clean else [runs[i] for i in warm_idx]
+    d["warm_min"] = min(warm_pool) if warm_pool else None
+    d["spread"] = round(max(runs) - min(runs), 3)
+    # run-to-run variance of the SAME pool warm_min came from — the
+    # number that protects the 2x warm gate on a noisy box
+    d["warm_spread"] = (
+        round(max(warm_pool) - min(warm_pool), 3) if len(warm_pool) > 1 else None
+    )
+    if run_builds[0]:
+        d["shared_builds"] = {k: s for k, s in run_builds[0]}
+        d["cold_ex_shared"] = round(
+            max(0.0, runs[0] - sum(s for _, s in run_builds[0])), 3
+        )
+    if not clean and len(runs) > 1:
+        warm_paid = [b for i in warm_idx for b in run_builds[i]]
+        if warm_paid:
+            d["warm_builds"] = {k: s for k, s in warm_paid}
+    return d
+
+
+#: Box-calibration canary (VERDICT r11 item 3): a fixed trivial query
+#: timed N times at suite start.  Its median moves with the BOX (CPU
+#: contention, JVM health), not with any query's plan, so
+#: tools/compare_bench.py can print the cross-round canary ratio beside
+#: the totals and environment drift becomes attributable in one line.
+CANARY_RUNS = 5
+
+
+def run_canary(spark, sf_dir: str) -> dict:
+    from aiesec_guc_spark.catalog import load_table
+
+    nation = load_table(spark, sf_dir, "nation")  # 25 rows at every SF
+    samples: list[float] = []
+    for _ in range(CANARY_RUNS):
+        t0 = time.time()
+        nation.groupBy("n_regionkey").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+        samples.append(round(time.time() - t0, 4))
+    return {
+        "runs": samples,
+        "min": min(samples),
+        "median": sorted(samples)[len(samples) // 2],
+    }
+
+
 def main() -> None:
     from aiesec_guc_spark.queries import spark_queries
     from aiesec_guc_spark.session import get_spark
@@ -111,6 +179,10 @@ def main() -> None:
     except Exception:
         pass
 
+    # Box canary AFTER warm-up, BEFORE the suite — measures the box,
+    # not session startup or suite-induced pressure.
+    canary = run_canary(spark, SF_DIR)
+
     # Determinism accounting: each query runs N times (first = cold,
     # includes codegen/JIT compile; rest = warm).  The headline value
     # stays the sum of COLD timings for cross-round comparability;
@@ -141,30 +213,30 @@ def main() -> None:
             else runs_per_query
         )
         runs: list[float] = []
-        # Shared-frame accounting (ADVICE r9): with
+        # Shared-frame accounting (ADVICE r9/r11): with
         # SPARK_GRAFT_SHARED_FRAMES=1 the FIRST consumer of a shared
-        # frame pays its build inside its cold run, so cold timings
-        # are order-dependent.  Snapshot the build log around the COLD
-        # run ONLY (a build paid in a warm run — e.g. after a cache
-        # eviction — belongs to that warm run, not to cold_ex_shared)
-        # and tag the payer, plus a build-excluded cold, so
-        # tools/compare_bench.py never misreads a cache-order shift.
+        # frame pays its build inside one of its runs, so timings are
+        # order-dependent.  Snapshot the build log around EVERY run so
+        # summarize_runs can tag the cold payer (shared_builds /
+        # cold_ex_shared) AND keep warm_min build-free (a build paid in
+        # a warm run after a cache eviction would otherwise silently
+        # inflate it — the phantom-regression class compare_bench
+        # exists to prevent).
         from aiesec_guc_spark.operators import dedup as _dedup_ops
 
-        builds_before = len(_dedup_ops._FRAME_BUILD_LOG)
-        builds_after_cold = builds_before
+        run_builds: list[list[tuple[str, float]]] = []
         # Failure isolation: one raising query must not abort the
         # suite — record the error row and keep benching the rest.
         try:
             for _ in range(n_runs):
+                builds_pre = len(_dedup_ops._FRAME_BUILD_LOG)
                 t0 = time.time()
                 df = qs[name](spark, SF_DIR)
                 # noop sink: forces full materialization of every output
                 # column (count() would let Catalyst skip computing them).
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(round(time.time() - t0, 3))
-                if len(runs) == 1:
-                    builds_after_cold = len(_dedup_ops._FRAME_BUILD_LOG)
+                run_builds.append(list(_dedup_ops._FRAME_BUILD_LOG[builds_pre:]))
                 # Release per-query state so it can't squeeze later
                 # queries: clearCache drops catalog-cached relations, and
                 # the explicit Python gc releases py4j refs to
@@ -192,25 +264,7 @@ def main() -> None:
             gc.collect()
             continue
         timings[name] = runs[0]
-        detail[name] = {
-            "n": len(runs),
-            "cold": runs[0],
-            "warm_min": min(runs[1:]) if len(runs) > 1 else None,
-            "spread": round(max(runs) - min(runs), 3),
-            # spread is dominated by cold-vs-warm (for shared-frame
-            # payers it IS cold - warm); warm_spread isolates
-            # run-to-run warm variance, the number that actually
-            # protects the 2x warm gate on a noisy box.
-            "warm_spread": (
-                round(max(runs[1:]) - min(runs[1:]), 3) if len(runs) > 2 else None
-            ),
-        }
-        paid = _dedup_ops._FRAME_BUILD_LOG[builds_before:builds_after_cold]
-        if paid:
-            detail[name]["shared_builds"] = {k: s for k, s in paid}
-            detail[name]["cold_ex_shared"] = round(
-                max(0.0, runs[0] - sum(s for _, s in paid)), 3
-            )
+        detail[name] = summarize_runs(runs, run_builds)
         print(
             f"# {name}: cold {runs[0]:.3f}s"
             + (f", warm {min(runs[1:]):.3f}s" if len(runs) > 1 else ""),
@@ -238,6 +292,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "errors": errors,
+        "canary": canary,
         "runs_per_query": runs_per_query,
         # Fixed-membership subtotal: the suite total grows as
         # queries are added round over round, so cross-round
@@ -301,6 +356,7 @@ def main() -> None:
                 "families": families,
                 "n_queries": len(timings),
                 "errors": errors,
+                "canary": canary,
                 "runs_per_query": runs_per_query,
                 "headline_total": full["headline_total"],
                 "warm_total": warm_total,

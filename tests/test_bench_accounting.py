@@ -1,0 +1,54 @@
+"""Unit pins for bench.py's per-query run accounting
+(``summarize_runs``) — pure-dict tests, no Spark session.
+
+The contract compare_bench relies on: warm_min is computed from
+BUILD-FREE warm runs whenever any exist, and carries a "warm_builds"
+tag exactly when it could not be (every warm run paid a shared-frame
+build, so the number is inflated).
+"""
+
+from __future__ import annotations
+
+from bench import summarize_runs
+
+
+def test_plain_runs_no_builds():
+    d = summarize_runs([3.0, 1.2, 1.4], [[], [], []])
+    assert d["cold"] == 3.0
+    assert d["warm_min"] == 1.2
+    assert d["warm_spread"] == 0.2
+    assert d["spread"] == 1.8
+    assert "shared_builds" not in d and "warm_builds" not in d
+
+
+def test_cold_payer_tagged_and_excluded():
+    d = summarize_runs([9.0, 2.1, 2.0], [[("sig", 7.0)], [], []])
+    assert d["shared_builds"] == {"sig": 7.0}
+    assert d["cold_ex_shared"] == 2.0
+    assert d["warm_min"] == 2.0
+    assert "warm_builds" not in d
+
+
+def test_warm_build_excluded_when_a_clean_warm_run_exists():
+    # cache eviction hit run 1; run 2 is clean — warm_min must come
+    # from the clean run only, untagged
+    d = summarize_runs([9.0, 8.9, 2.0], [[("sig", 7.0)], [("sig", 7.1)], []])
+    assert d["warm_min"] == 2.0
+    assert "warm_builds" not in d
+    # …and the spread is over the same (clean) pool, not inflated by
+    # the build-paying run
+    assert d["warm_spread"] is None  # single clean run
+
+
+def test_all_warm_runs_paid_builds_tags_warm_builds():
+    d = summarize_runs(
+        [9.0, 8.9, 9.2], [[("sig", 7.0)], [("sig", 7.1)], [("sig", 7.0)]]
+    )
+    assert d["warm_min"] == 8.9  # best available, but…
+    assert d["warm_builds"] == {"sig": 7.0}  # …flagged as inflated
+    assert d["warm_spread"] == 0.3
+
+
+def test_single_run_has_no_warm():
+    d = summarize_runs([4.2], [[]])
+    assert d["warm_min"] is None and d["warm_spread"] is None

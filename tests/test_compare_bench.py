@@ -7,7 +7,7 @@ Pure-dict tests, no Spark session.
 
 from __future__ import annotations
 
-from tools.compare_bench import pick_pair
+from tools.compare_bench import canary_line, pick_pair
 
 
 def test_warm_on_both_sides_wins_regardless_of_payer():
@@ -49,3 +49,44 @@ def test_payer_move_on_cold_fallback_is_skipped_not_a_phantom_delta():
 def test_untagged_cold_fallback_compares_raw_cold():
     ow, nw, skip = pick_pair({"cold": 1.0}, {"cold": 1.2})
     assert skip is None and (ow, nw) == (1.0, 1.2)
+
+
+def test_one_sided_warm_compares_against_build_free_cold_not_skipped():
+    # ADVICE r11: one side has warm_min (build-free by construction),
+    # only the OTHER carries a payer tag — the old ordering skipped
+    # this pair entirely and a real regression fell out of the gate.
+    # Now the warm_min compares against the tagged side's
+    # cold_ex_shared…
+    o = {"cold": 2.0, "warm_min": 1.8}
+    n = {"cold": 9.4, "shared_builds": {"sig": 7.2}, "cold_ex_shared": 2.2}
+    ow, nw, skip = pick_pair(o, n)
+    assert skip is None and (ow, nw) == (1.8, 2.2)
+    # …and against the raw cold when the other side is untagged
+    ow, nw, skip = pick_pair({"cold": 2.0, "warm_min": 1.8}, {"cold": 2.3})
+    assert skip is None and (ow, nw) == (1.8, 2.3)
+
+
+def test_warm_min_that_absorbed_a_build_is_not_trusted():
+    # ADVICE r11: every warm run paid a rebuilt shared frame (cache
+    # eviction) — bench.py tags the row "warm_builds" and the inflated
+    # warm_min must not be read as a regression; the side falls back
+    # to its build-excluded cold.
+    o = {"cold": 2.0, "warm_min": 1.8}
+    n = {
+        "cold": 9.0,
+        "warm_min": 8.9,  # inflated: absorbed a 7 s build
+        "warm_builds": {"sig": 7.0},
+        "shared_builds": {"sig": 7.1},
+        "cold_ex_shared": 1.9,
+    }
+    ow, nw, skip = pick_pair(o, n)
+    assert skip is None and (ow, nw) == (1.8, 1.9)
+
+
+def test_canary_line_attributes_box_drift():
+    old = {"canary": {"median": 0.10, "min": 0.09, "runs": []}}
+    new = {"canary": {"median": 0.15, "min": 0.14, "runs": []}}
+    line = canary_line(old, new)
+    assert "1.50x" in line
+    assert "OLD side only" in canary_line(old, {})
+    assert "neither" in canary_line({}, {})

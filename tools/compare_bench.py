@@ -18,24 +18,57 @@ def pick_pair(o: dict, n: dict) -> tuple[float | None, float | None, str | None]
     """Choose the (old, new) seconds to compare for one query, or a
     skip reason.
 
-    warm_min on both sides wins (builds are only paid cold, so warm is
-    payer-independent).  On the cold fallback, shared-frame builds are
-    excluded on BOTH sides via cold_ex_shared (bench.py tags the payer
-    with "shared_builds"/"cold_ex_shared"); when exactly ONE side
-    carries a payer tag the raw colds aren't comparable — the build
-    moved between rounds, or the baseline predates the tagging — so
-    the query is noted and skipped rather than read as a phantom
-    regression or speedup."""
-    ow, nw = o.get("warm_min"), n.get("warm_min")
+    A side's warm_min is trusted when present AND not tagged
+    "warm_builds" (bench.py sets that tag only when EVERY warm run
+    paid a shared-frame build — cache eviction — so warm_min absorbed
+    one and is inflated).  Trusted warm on both sides wins (builds are
+    normally paid cold, so warm is payer-independent).
+
+    When exactly one side has a trusted warm_min, the other side falls
+    back to its build-excluded cold (cold_ex_shared when tagged as the
+    payer, raw cold when untagged) rather than skipping — skipping
+    here would silently drop a real regression from the gate (ADVICE
+    r11).  Only the all-cold case with a payer tag on exactly ONE side
+    is skipped: there the untagged side may predate the tagging
+    entirely, so the raw colds aren't comparable and any ratio would
+    be a phantom."""
+
+    def eff_warm(d: dict) -> float | None:
+        return d.get("warm_min") if "warm_builds" not in d else None
+
+    def eff_cold(d: dict) -> float | None:
+        return d.get("cold_ex_shared", d.get("cold"))
+
+    ow, nw = eff_warm(o), eff_warm(n)
     if ow is not None and nw is not None:
         return ow, nw, None
-    if ("shared_builds" in o) != ("shared_builds" in n):
-        return None, None, "shared-frame build tagged on one side only"
-    if ow is None:
-        ow = o.get("cold_ex_shared", o.get("cold"))
-    if nw is None:
-        nw = n.get("cold_ex_shared", n.get("cold"))
-    return ow, nw, None
+    if ow is None and nw is None:
+        if ("shared_builds" in o) != ("shared_builds" in n):
+            return None, None, "shared-frame build tagged on one side only"
+        return eff_cold(o), eff_cold(n), None
+    return (
+        ow if ow is not None else eff_cold(o),
+        nw if nw is not None else eff_cold(n),
+        None,
+    )
+
+
+def canary_line(old: dict, new: dict) -> str:
+    """One line attributing cross-round drift to the box: the ratio of
+    the fixed trivial-query medians bench.py records at suite start.
+    A totals drift that tracks the canary ratio is environment, not
+    code."""
+    oc, nc = old.get("canary"), new.get("canary")
+    if not oc and not nc:
+        return "canary: recorded on neither side — box drift not attributable"
+    if not oc or not nc:
+        have = "OLD" if oc else "NEW"
+        return f"canary: recorded on {have} side only — box drift not attributable"
+    ratio = nc["median"] / oc["median"] if oc["median"] else float("nan")
+    return (
+        f"canary: {oc['median']:.4f}s -> {nc['median']:.4f}s "
+        f"(box ratio {ratio:.2f}x)"
+    )
 
 
 def main() -> int:
@@ -76,6 +109,7 @@ def main() -> int:
     print(f"totals: cold {old.get('value')} -> {new.get('value')} | "
           f"warm {old.get('warm_total')} -> {new.get('warm_total')} | "
           f"queries {len(od)} -> {len(nd)}")
+    print(canary_line(old, new))
     gone = sorted(set(od) - set(nd))
     if gone:
         print(f"missing in NEW ({len(gone)}): {', '.join(gone)}")
