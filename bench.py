@@ -180,8 +180,13 @@ def main() -> None:
         pass
 
     # Box canary AFTER warm-up, BEFORE the suite — measures the box,
-    # not session startup or suite-induced pressure.
-    canary = run_canary(spark, SF_DIR)
+    # not session startup or suite-induced pressure.  A canary failure
+    # (e.g. a custom SF_DIR without the nation table) must not abort
+    # the suite it exists to calibrate.
+    try:
+        canary = run_canary(spark, SF_DIR)
+    except Exception as exc:  # noqa: BLE001 — diagnostic, not a gate
+        canary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     # Determinism accounting: each query runs N times (first = cold,
     # includes codegen/JIT compile; rest = warm).  The headline value

@@ -90,3 +90,5 @@ def test_canary_line_attributes_box_drift():
     assert "1.50x" in line
     assert "OLD side only" in canary_line(old, {})
     assert "neither" in canary_line({}, {})
+    # an errored canary (bench recorded {"error": ...}) counts as absent
+    assert "NEW side only" in canary_line({"canary": {"error": "boom"}}, new)

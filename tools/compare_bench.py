@@ -59,6 +59,8 @@ def canary_line(old: dict, new: dict) -> str:
     A totals drift that tracks the canary ratio is environment, not
     code."""
     oc, nc = old.get("canary"), new.get("canary")
+    oc = oc if oc and "median" in oc else None  # errored canary = absent
+    nc = nc if nc and "median" in nc else None
     if not oc and not nc:
         return "canary: recorded on neither side — box drift not attributable"
     if not oc or not nc:
