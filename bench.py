@@ -270,9 +270,10 @@ def main() -> None:
             continue
         timings[name] = runs[0]
         detail[name] = summarize_runs(runs, run_builds)
+        wm = detail[name]["warm_min"]  # build-free pool, same as recorded
         print(
             f"# {name}: cold {runs[0]:.3f}s"
-            + (f", warm {min(runs[1:]):.3f}s" if len(runs) > 1 else ""),
+            + (f", warm {wm:.3f}s" if wm is not None else ""),
             file=sys.stderr,
             flush=True,
         )
