@@ -277,32 +277,61 @@ def vacuum_siblings(path: str, dry_run: bool = False) -> list[str]:
     return sorted(victims)
 
 
-def fs_listdir(path: str) -> list[str] | None:
-    """Sorted entry names of ``path``, or ``None`` when the local
-    filesystem cannot see it as a directory.
+def fs_listdir(path: str, spark=None) -> list[str] | None:
+    """Sorted entry names of ``path``, or ``None`` when the listing
+    backend cannot see it as a directory.
 
-    THE filesystem-listing seam: every local-FS directory-listing
-    convention in the package (partition discovery here, the
-    zero-row-write detection in ``snapshot.write_snapshot``) goes
-    through this one function.  On a cluster object store, swap its
-    body for the Hadoop FileSystem ``listStatus`` on the same path
-    (``spark._jvm.org.apache.hadoop.fs.Path`` + ``getFileSystem``) —
-    callers are unchanged.  ``None`` means "this path is not visible
-    to the listing backend", which callers MUST treat as "blind", not
-    as "empty": a ``file://`` URI, ``hdfs://``/``s3a://`` scheme, or a
-    relative path Spark resolves elsewhere all land here.
+    The partition-listing seam shared by partition discovery
+    (``list_partitions``) and the zero-row-write detection in
+    ``snapshot.write_snapshot``.  With a ``spark`` session the listing
+    goes through the Hadoop FileSystem THAT PATH RESOLVES TO — the
+    same resolver Spark's writers use — so ``file://`` URIs,
+    ``hdfs://``/``s3a://`` schemes, and relative paths are all seen
+    exactly where Spark wrote them; this is the object-store-correct
+    form and the one 100 TB callers hit.  Without a session it falls
+    back to the driver-local ``os.listdir`` convention.
+
+    ``None`` means "not visible to the listing backend" — callers MUST
+    treat that as BLIND, not as "empty".  With a session, blind is
+    reduced to paths whose scheme has no loadable FileSystem (e.g. a
+    cloud connector missing from the classpath, which would have
+    failed the write too): the resolver error degrades to ``None``
+    rather than raising, because every caller already carries a safe
+    blind-path branch.
+
+    NOT a general filesystem abstraction: the compaction/atomic-swap
+    machinery (``compact_table``, ``vacuum_siblings``,
+    ``recover_interrupted_swap``) stays on raw local ``os`` calls BY
+    DESIGN — its atomicity comes from POSIX ``rename``, which object
+    stores do not offer; its documented cluster story is a different
+    mechanism (see ``compact_table``), not this seam.
     """
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(hpath) or not fs.getFileStatus(hpath).isDirectory():
+                return None
+            return sorted(
+                st.getPath().getName() for st in fs.listStatus(hpath)
+            )
+        except Exception:  # noqa: BLE001 — unloadable scheme => blind
+            return None
     if not os.path.isdir(path):
         return None
     return sorted(os.listdir(path))
 
 
-def list_partitions(path: str, column: str) -> list[str]:
+def list_partitions(path: str, column: str, spark=None) -> list[str]:
     """Values of a single-level hive partition layout
     (``<path>/<column>=<value>``), sorted ascending; hidden/system
-    entries skipped."""
+    entries skipped.  Pass ``spark`` to list through the Hadoop
+    FileSystem the path resolves to (see ``fs_listdir``) — required
+    for object-store tables; the spark-less form stays local-FS and
+    is what the local compaction/retention chores use."""
     prefix = f"{column}="
-    entries = fs_listdir(path)
+    entries = fs_listdir(path, spark=spark)
     if entries is None:
         raise FileNotFoundError(path)
     return sorted(

@@ -111,13 +111,19 @@ def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
     appending a duplicate copy of every row into it.
 
     The zero-row detection below lists the partition directory through
-    ``maintenance.fs_listdir`` — the package's single filesystem-listing
-    seam (object-store swap documented there, on that one function).
+    ``maintenance.fs_listdir`` with the session attached, so the
+    listing resolves through the SAME Hadoop FileSystem the write
+    did — ``file://`` URIs, ``hdfs://``/``s3a://`` schemes, and
+    relative paths are all inspected exactly where Spark put the
+    files.  Only a scheme whose FileSystem cannot be loaded at all is
+    "blind", and that case takes a df-based fallback instead of ever
+    assuming "zero rows written".
     """
     from .maintenance import fs_listdir
 
+    spark = df.sparkSession
     part_dir = f"{base_path.rstrip('/')}/run_date={run_date}"
-    listing_before = fs_listdir(part_dir)
+    listing_before = fs_listdir(part_dir, spark=spark)
     prev = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode")
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -144,10 +150,12 @@ def write_snapshot(df: DataFrame, base_path: str, run_date: str) -> None:
     # inferred from the directory name exactly as for the partitionBy
     # path, and a rerun-to-empty replaces the stale rows instead of
     # silently keeping them.
-    listing_after = fs_listdir(part_dir)
-    if listing_after is None and fs_listdir(base_path) is None:
-        # The listing backend cannot see base_path AT ALL (file:// URI,
-        # hdfs://, s3a://, or a relative path Spark resolved elsewhere)
+    listing_after = fs_listdir(part_dir, spark=spark)
+    if listing_after is None and fs_listdir(base_path, spark=spark) is None:
+        # The listing backend cannot see base_path AT ALL — with the
+        # session-backed Hadoop listing that means the path's scheme
+        # has no loadable FileSystem (the write itself would normally
+        # have failed too, but a custom committer could differ)
         # — so "no partition directory" means BLIND, not empty, and
         # falling through would overwrite a freshly written non-empty
         # partition with an empty frame: silent data loss.  A read-back
@@ -193,7 +201,7 @@ def read_snapshot_pair(spark, base_path: str) -> tuple[DataFrame, DataFrame]:
     # of every partition's footers for the distinct.
     from .maintenance import list_partitions
 
-    days = list_partitions(base_path, "run_date")[-2:][::-1]
+    days = list_partitions(base_path, "run_date", spark=spark)[-2:][::-1]
     if len(days) < 2:
         raise ValueError(f"need at least two run_date partitions at {base_path}, found {days}")
     today = snaps.filter(F.col("run_date") == days[0]).drop("run_date")

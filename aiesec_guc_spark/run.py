@@ -94,7 +94,9 @@ def run_pipeline(
     from .operators.maintenance import list_partitions
 
     prior_dates = [
-        d for d in list_partitions(snap_path, "run_date") if d < run_date
+        d
+        for d in list_partitions(snap_path, "run_date", spark=spark)
+        if d < run_date
     ]
     today_rows = snaps.filter(F.col("run_date") == run_date).drop("run_date")
     if prior_dates:

@@ -118,6 +118,20 @@ def summarize_runs(
     return d
 
 
+def trusted_warm(d: dict) -> float | None:
+    """The warm seconds a TOTAL may add for one detail row.
+
+    warm_min when it came from build-free runs; otherwise the
+    build-excluded cold — the same per-row fallback compare_bench's
+    pick_pair applies, so the printed `warm X -> Y` totals line can
+    never show a phantom drift the per-query gate was taught to
+    ignore (a warm_builds-tagged warm_min absorbed a shared-frame
+    rebuild and is inflated)."""
+    if d.get("warm_min") is not None and "warm_builds" not in d:
+        return d["warm_min"]
+    return d.get("cold_ex_shared", d.get("cold"))
+
+
 #: Box-calibration canary (VERDICT r11 item 3): a fixed trivial query
 #: timed N times at suite start.  Its median moves with the BOX (CPU
 #: contention, JVM health), not with any query's plan, so
@@ -285,11 +299,7 @@ def main() -> None:
         else {}
     )
     warm_total = round(
-        sum(
-            d["warm_min"] if d.get("warm_min") is not None else d["cold"]
-            for d in detail.values()
-            if "cold" in d
-        ),
+        sum(trusted_warm(d) for d in detail.values() if "cold" in d),
         3,
     )
     full = {
@@ -338,10 +348,7 @@ def main() -> None:
         row = families.setdefault(fam, {"n": 0, "cold": 0.0, "warm": 0.0})
         row["n"] += 1
         row["cold"] = round(row["cold"] + d["cold"], 3)
-        row["warm"] = round(
-            row["warm"] + (d["warm_min"] if d.get("warm_min") is not None else d["cold"]),
-            3,
-        )
+        row["warm"] = round(row["warm"] + trusted_warm(d), 3)
     slowest = dict(
         sorted(
             ((n, t) for n, t in timings.items()),

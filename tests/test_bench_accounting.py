@@ -52,3 +52,32 @@ def test_all_warm_runs_paid_builds_tags_warm_builds():
 def test_single_run_has_no_warm():
     d = summarize_runs([4.2], [[]])
     assert d["warm_min"] is None and d["warm_spread"] is None
+
+
+def test_trusted_warm_prefers_clean_warm():
+    from bench import trusted_warm
+
+    assert trusted_warm({"cold": 3.0, "warm_min": 1.2}) == 1.2
+
+
+def test_trusted_warm_falls_back_on_warm_builds_tag():
+    # every warm run paid a rebuild: the inflated warm_min must not
+    # reach warm_total / family subtotals — build-excluded cold does
+    from bench import trusted_warm
+
+    d = {
+        "cold": 9.0,
+        "warm_min": 8.9,
+        "warm_builds": {"sig": 7.0},
+        "shared_builds": {"sig": 7.1},
+        "cold_ex_shared": 1.9,
+    }
+    assert trusted_warm(d) == 1.9
+    # untagged cold when the cold run paid no build either
+    assert trusted_warm({"cold": 4.0, "warm_min": 3.9, "warm_builds": {"s": 3.0}}) == 4.0
+
+
+def test_trusted_warm_single_run_uses_cold():
+    from bench import trusted_warm
+
+    assert trusted_warm({"cold": 4.2, "warm_min": None}) == 4.2

@@ -71,25 +71,54 @@ def test_rotation_reads_prune_partitions(spark):
         assert t2.count() == today.count()
 
 
-def test_blind_path_never_overwrites_fresh_rows(spark):
-    """ADVICE r11 (medium): when the local filesystem cannot see
-    base_path as a literal directory (here: a ``file://`` URI — same
-    class as hdfs:// / s3a:// on a cluster), the post-write listing is
-    BLIND, not empty — write_snapshot must not conclude "zero rows
-    written" and clobber the freshly written partition with an empty
-    frame.  Non-empty days keep their rows; a rerun-to-empty on the
-    same blind path still replaces the stale day (via the df-based
-    emptiness fallback)."""
+def test_file_uri_path_is_seen_not_clobbered(spark):
+    """ADVICE r11 (medium), strengthened: a ``file://`` URI — a path
+    the raw local ``os.listdir`` cannot see as a literal directory —
+    is SEEN by the session-backed Hadoop listing, so the zero-row
+    detection works through the same resolver the write used:
+    non-empty days keep their rows and a rerun-to-empty replaces the
+    stale day via the normal listing diff, no blind fallback."""
     today, yesterday = snapshot_pair(spark)
     with tempfile.TemporaryDirectory(prefix="snaps_") as base:
-        blind = f"file://{base}"
-        write_snapshot(yesterday, blind, "2026-08-12")
-        write_snapshot(today, blind, "2026-08-13")
+        uri = f"file://{base}"
+        write_snapshot(yesterday, uri, "2026-08-12")
+        write_snapshot(today, uri, "2026-08-13")
         t2, y2 = read_snapshot_pair(spark, base)  # plain path: same dir
         assert t2.count() == today.count()  # NOT clobbered to empty
         assert y2.count() == yesterday.count()
-        # quiet-day rerun through the blind path replaces the stale day
-        write_snapshot(today.limit(0), blind, "2026-08-13")
+        # quiet-day rerun through the URI replaces the stale day
+        write_snapshot(today.limit(0), uri, "2026-08-13")
+        t3, y3 = read_snapshot_pair(spark, base)
+        assert t3.count() == 0
+        assert y3.count() == yesterday.count()
+
+
+def test_truly_blind_listing_never_overwrites_fresh_rows(spark, monkeypatch):
+    """When even the Hadoop-backed listing cannot see the path (scheme
+    with no loadable FileSystem — simulated by forcing the seam to
+    return None), write_snapshot must not conclude "zero rows written"
+    and clobber the freshly written partition; the df-based fallback
+    decides instead.  A rerun-to-empty on the same blind path still
+    lands the schema-bearing empty day."""
+    from aiesec_guc_spark.operators import maintenance
+
+    today, yesterday = snapshot_pair(spark)
+    real = maintenance.fs_listdir
+    with tempfile.TemporaryDirectory(prefix="snaps_") as base:
+        write_snapshot(yesterday, base, "2026-08-12")
+        monkeypatch.setattr(
+            maintenance, "fs_listdir", lambda path, spark=None: None
+        )
+        write_snapshot(today, base, "2026-08-13")  # blind, non-empty
+        monkeypatch.setattr(maintenance, "fs_listdir", real)
+        t2, y2 = read_snapshot_pair(spark, base)
+        assert t2.count() == today.count()  # NOT clobbered to empty
+        assert y2.count() == yesterday.count()
+        monkeypatch.setattr(
+            maintenance, "fs_listdir", lambda path, spark=None: None
+        )
+        write_snapshot(today.limit(0), base, "2026-08-13")  # blind, empty
+        monkeypatch.setattr(maintenance, "fs_listdir", real)
         t3, y3 = read_snapshot_pair(spark, base)
         assert t3.count() == 0
         assert y3.count() == yesterday.count()

@@ -82,12 +82,20 @@ def main() -> int:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1] if "=" in a else argv[(i := i + 1)])
-        elif a.startswith("--sf"):
-            sf_dir = a.split("=", 1)[1] if "=" in a else argv[(i := i + 1)]
-        else:
-            print(__doc__)
+        # exact flag names only, and a usage exit (not a traceback) on a
+        # missing/malformed value — same contract as gen_priority.py
+        try:
+            if a == "--runs" or a.startswith("--runs="):
+                runs = int(a.split("=", 1)[1] if "=" in a else argv[(i := i + 1)])
+            elif a == "--sf" or a.startswith("--sf="):
+                sf_dir = a.split("=", 1)[1] if "=" in a else argv[(i := i + 1)]
+            else:
+                print(__doc__, file=sys.stderr)
+                print(f"unrecognized argument: {a}", file=sys.stderr)
+                return 2
+        except (IndexError, ValueError) as exc:
+            print(__doc__, file=sys.stderr)
+            print(f"bad value for {a}: {exc}", file=sys.stderr)
             return 2
         i += 1
 
@@ -113,10 +121,15 @@ def main() -> int:
         return round(time.time() - t0, 4)
 
     # JVM warm-up: one canary + one cold pass of each probe query at the
-    # smallest sf so codegen/JIT is out of the measured runs.
+    # smallest available sf so codegen/JIT is out of the measured runs;
+    # fall back to the probe's own sf_dir when the standard small dir is
+    # absent (a custom --sf box) rather than crashing pre-measurement.
     canary()
+    warm_sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_sf):
+        warm_sf = sf_dir
     for name in QUERIES:
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        qs[name](spark, warm_sf).write.format("noop").mode(
             "overwrite"
         ).save()
 
