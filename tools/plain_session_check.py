@@ -7,8 +7,18 @@ config (timezone, AQE, arrow) would pass the local replica and fail
 at the gate.  This harness compares against DuckDB with a deliberately
 untouched `SparkSession.builder.master("local[8]")` session.
 
+With ``--master`` the same comparison runs under a different
+scheduler — in particular ``--master local-cluster[2,8,4096]``
+launches REAL separate executor JVMs (own heaps, own Python workers,
+closure serialization over the wire), the strongest local stand-in
+for a multi-executor cluster: anything that silently leans on
+driver-shared JVM/Python state passes local[8] and fails here.
+local-cluster runs get ``spark.executorEnv.PYTHONPATH`` pointed at
+the repo so executor-side Python workers can unpickle the package's
+pandas UDFs by module reference.
+
 Usage:
-    python tools/plain_session_check.py [sf_dir] [query ...]
+    python tools/plain_session_check.py [--master M] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -32,14 +42,41 @@ from tools.oracle_check import (  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    master = "local[8]"
+    rest: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        try:
+            if a == "--master" or a.startswith("--master="):
+                master = a.split("=", 1)[1] if "=" in a else argv[(i := i + 1)]
+            elif a.startswith("--"):
+                print(__doc__, file=sys.stderr)
+                print(f"unrecognized argument: {a}", file=sys.stderr)
+                return 2
+            else:
+                rest.append(a)
+        except IndexError:
+            print(__doc__, file=sys.stderr)
+            print(f"missing value for {a}", file=sys.stderr)
+            return 2
+        i += 1
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    only = set(rest[1:])
 
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as e
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    builder = SparkSession.builder.master(master)
+    if master.startswith("local-cluster"):
+        # executor JVMs run their own Python workers; the package must
+        # be importable there for pickled-by-reference pandas UDFs
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", REPO
+        ).config("spark.ui.enabled", "false")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
