@@ -27,9 +27,21 @@ def default_parallelism() -> int:
 
 def get_spark(app_name: str = "aiesec_guc_spark") -> SparkSession:
     cpus = default_parallelism()
+    # SPARK_GRAFT_MASTER overrides the scheduler — notably
+    # `local-cluster[2,8,4096]` runs REAL separate executor JVMs, the
+    # strongest local stand-in for a cluster (used to sweep the test
+    # suite for driver-shared-state assumptions local[] masks).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.master(master)
+    if master.startswith("local-cluster"):
+        # executor-side Python workers must import this package to
+        # unpickle pandas UDFs referenced by module
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
