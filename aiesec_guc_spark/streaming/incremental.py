@@ -74,14 +74,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pushdown-transparent; see catalog.load_table) — the declared
     # stream schema below inherits it via this probe read.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file-stream source wants a directory; select just the events
-    # file out of the sf dir with a glob.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src_path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src_path).schema
+    # The file-stream source wants a DIRECTORY.  events.parquet is a
+    # directory of part files everywhere except the single-file test
+    # corpus (a real table — and the scale-probe's replicated corpus —
+    # is directory-form), so stream from it directly and fall back to
+    # the whole-sf_dir + name-glob trick only for the local-file
+    # layout.  The glob filters by LEAF file name, so pointing it at a
+    # directory-form table would match nothing and silently drain an
+    # empty stream — zero rows, green-looking run, wrong everything.
+    import os
+
+    if os.path.isfile(src_path):
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    else:
+        stream = spark.readStream.schema(raw_schema).parquet(src_path)
     return normalize_ts_column(stream, "ts")
 
 

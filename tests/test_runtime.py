@@ -116,3 +116,32 @@ def test_random_projection_compiles_codegen(spark, sf_dir):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_events_stream_reads_directory_form_table(spark, sf_dir, tmp_path):
+    """events.parquet as a DIRECTORY of part files — the production
+    layout, and what tools/scale_probe.py builds — must stream exactly
+    the rows the single-file test layout streams.  The single-file
+    fallback's pathGlobFilter matches LEAF file names, so pointing it
+    at a directory-form table matches nothing and silently drains an
+    EMPTY stream (caught live by the round-12 streaming scale probe:
+    every scaled run came back 0.1-0.5x, i.e. reading nothing)."""
+    from aiesec_guc_spark.streaming.incremental import (
+        _drain_to_memory,
+        _events_stream,
+    )
+
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    scratch = str(tmp_path / "corpus")
+    # ≥2 part files so a leaf-name glob cannot accidentally match
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.parquet(
+        f"{scratch}/events.parquet"
+    )
+    got = _drain_to_memory(
+        spark, _events_stream(spark, scratch), "dirform_events", "append"
+    ).count()
+    assert got == expected, (
+        f"directory-form events table streamed {got} rows, batch read "
+        f"has {expected} — the stream source is not reading the "
+        "directory layout"
+    )

@@ -3,7 +3,7 @@ corpus and measure how each representative query's warm runtime
 scales versus sf0.1 — the measured evidence behind SCALING.md's
 "would survive 100 TB" claims.
 
-    python tools/scale_probe.py [N] [SCRATCH_DIR]
+    python tools/scale_probe.py [N] [SCRATCH_DIR] [--streaming]
 
 Defaults: N=10 (≈ sf1: 6 M lineitem rows), scratch under /tmp.  The
 derived corpus shifts fact keys per replica (orderkey/event_id) so
@@ -83,6 +83,22 @@ PROBE_QUERIES = [
     "basket_brand_triangles",     # shared basket + edge checkpoints
     "brand_pagerank",             # same, plus two unrolled iterations
     "events_seasonality_heatmap",  # aggregate-first 168-cell grid
+]
+
+#: Round-12: the STREAMING surface gets a measured decade too
+#: (`--streaming`).  Each is a bounded availableNow drain over the
+#: (replicated) events parquet, so the probe measures exactly what
+#: grows at 100 TB: micro-batch fold/shuffle throughput per state
+#: shape, at FIXED key cardinality (user_id is not replica-shifted —
+#: per-key state is O(1) by design for every one of these, so volume,
+#: not key count, is the axis that scales in deployment).
+STREAMING_PROBE = [
+    "streaming_hourly_tumbling",      # watermarked tumbling agg
+    "streaming_dedup_exact",          # key-dedup state store
+    "streaming_twap_by_user",         # applyInPandasWithState O(1) fold
+    "streaming_sessionize_stateful",  # applyInPandasWithState sessions
+    "streaming_wau_approx",           # (user,day)-grain distinct state
+    "streaming_click_purchase_join",  # stream-stream interval join
 ]
 
 
@@ -167,18 +183,25 @@ def time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
 def main() -> int:
     argv = list(sys.argv[1:])
     only: set[str] | None = None
+    probe_list = PROBE_QUERIES
+    if "--streaming" in argv:
+        probe_list = STREAMING_PROBE
+        argv.remove("--streaming")
     if "--queries" in argv:
         i = argv.index("--queries")
         if i + 1 >= len(argv):
-            print("usage: scale_probe.py [N] [DIR] [--queries a,b]", file=sys.stderr)
+            print(
+                "usage: scale_probe.py [N] [DIR] [--streaming] [--queries a,b]",
+                file=sys.stderr,
+            )
             return 2
         only = set(argv[i + 1].split(","))
         # fail loudly on typos, matching bench.py's --queries contract
-        unknown = only - set(PROBE_QUERIES)
+        unknown = only - set(probe_list)
         if unknown:
             print(
                 f"unknown probe queries: {sorted(unknown)} "
-                f"(known: {sorted(PROBE_QUERIES)})",
+                f"(known: {sorted(probe_list)})",
                 file=sys.stderr,
             )
             return 2
@@ -202,7 +225,7 @@ def main() -> int:
 
     qs = spark_queries()
     print(f"{'query':<34} {'sf0.1':>8} {'x' + str(factor):>8} {'ratio':>7}")
-    for name in PROBE_QUERIES:
+    for name in probe_list:
         if only is not None and name not in only:
             continue
         base = time_query(spark, qs[name], BASE_SF)
