@@ -151,11 +151,37 @@ def run_canary(spark, sf_dir: str) -> dict:
             "overwrite"
         ).save()
         samples.append(round(time.time() - t0, 4))
-    return {
+    out = {
         "runs": samples,
         "min": min(samples),
         "median": sorted(samples)[len(samples) // 2],
     }
+    # Parallel-throughput canary (round-12 run-5 finding): on this
+    # class of host, single-thread job latency and ALL-CORE shuffle
+    # throughput decouple — the scheduler canary above recovered to
+    # 0.20 s while the suite ran 1.5x slow under a hypervisor-level
+    # parallel cap.  A fixed 32-task shuffle+agg over events measures
+    # the axis the trivial canary cannot see, so a drifted total can
+    # be attributed to EITHER latency or throughput in one line.
+    try:
+        from pyspark.sql import functions as F
+
+        events = load_table(spark, sf_dir, "events")
+        psamples: list[float] = []
+        for _ in range(CANARY_RUNS):
+            t0 = time.time()
+            events.repartition(32, "user_id").groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+            ).write.format("noop").mode("overwrite").save()
+            psamples.append(round(time.time() - t0, 4))
+        out["parallel"] = {
+            "runs": psamples,
+            "min": min(psamples),
+            "median": sorted(psamples)[len(psamples) // 2],
+        }
+    except Exception as exc:  # noqa: BLE001 — diagnostic, not a gate
+        out["parallel"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    return out
 
 
 def main() -> None:

@@ -92,3 +92,15 @@ def test_canary_line_attributes_box_drift():
     assert "neither" in canary_line({}, {})
     # an errored canary (bench recorded {"error": ...}) counts as absent
     assert "NEW side only" in canary_line({"canary": {"error": "boom"}}, new)
+
+
+def test_canary_line_prints_parallel_ratio_when_both_sides_have_it():
+    old = {"canary": {"median": 0.10, "parallel": {"median": 1.0}}}
+    new = {"canary": {"median": 0.10, "parallel": {"median": 1.6}}}
+    line = canary_line(old, new)
+    assert "parallel" in line and "1.60x" in line
+    # one side missing (or errored) parallel probe: single-thread line only
+    assert "parallel" not in canary_line(
+        old, {"canary": {"median": 0.10, "parallel": {"error": "boom"}}}
+    )
+    assert "parallel" not in canary_line(old, {"canary": {"median": 0.10}})

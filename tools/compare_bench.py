@@ -67,10 +67,24 @@ def canary_line(old: dict, new: dict) -> str:
         have = "OLD" if oc else "NEW"
         return f"canary: recorded on {have} side only — box drift not attributable"
     ratio = nc["median"] / oc["median"] if oc["median"] else float("nan")
-    return (
+    line = (
         f"canary: {oc['median']:.4f}s -> {nc['median']:.4f}s "
         f"(box ratio {ratio:.2f}x)"
     )
+    # Parallel-throughput canary (round 12): scheduler latency and
+    # all-core throughput drift INDEPENDENTLY on shared hosts, so a
+    # recovered trivial canary does not clear a slow suite — print
+    # both ratios when both sides recorded the parallel probe.
+    op, np_ = oc.get("parallel"), nc.get("parallel")
+    op = op if op and "median" in op else None
+    np_ = np_ if np_ and "median" in np_ else None
+    if op and np_:
+        pratio = np_["median"] / op["median"] if op["median"] else float("nan")
+        line += (
+            f" | parallel: {op['median']:.3f}s -> {np_['median']:.3f}s "
+            f"({pratio:.2f}x)"
+        )
+    return line
 
 
 def main() -> int:
