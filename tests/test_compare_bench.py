@@ -104,3 +104,25 @@ def test_canary_line_prints_parallel_ratio_when_both_sides_have_it():
         old, {"canary": {"median": 0.10, "parallel": {"error": "boom"}}}
     )
     assert "parallel" not in canary_line(old, {"canary": {"median": 0.10}})
+
+
+def test_committed_baseline_carries_canary_anchor():
+    """VERDICT r12 ask 2: the committed fast-box BENCH_LOCAL.json must
+    carry a canary anchor so a slow-box bench run is self-explaining —
+    compare_bench prints a measured box ratio instead of "box drift not
+    attributable".  The anchor is retro-dated from NGRAM_PROBE_r12's 26
+    canary_sec samples (same fixed nation scan+agg query bench.run_canary
+    times), with provenance recorded in the JSON itself."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    local = json.load(open(os.path.join(root, "BENCH_LOCAL.json")))
+    anchor = local.get("canary")
+    assert anchor and 0.0 < anchor["median"] < 0.2, (
+        "BENCH_LOCAL.json lost its fast-box canary anchor"
+    )
+    assert "provenance" in anchor  # retro-anchored, must say from where
+    # the anchor must actually flow through the attribution line
+    line = canary_line(local, {"canary": {"median": 2 * anchor["median"]}})
+    assert "box ratio 2.00x" in line
