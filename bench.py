@@ -140,9 +140,55 @@ def trusted_warm(d: dict) -> float | None:
 CANARY_RUNS = 5
 
 
+def _host_cpu_sample() -> list[int] | None:
+    """First /proc/stat line as 8 jiffie counters (user nice system
+    idle iowait irq softirq steal), or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            return [int(x) for x in fh.readline().split()[1:9]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _host_attribution(before: list[int] | None) -> dict:
+    """Host-level drift attribution over the window since `before`
+    (round-12 verdict item 5).  The parallel-throughput cap this host
+    exhibits is EPISODIC hypervisor CPU steal — measured r13: 7.1%
+    steal in one 32-core burst window, <=0.2% in eleven adjacent
+    ones, with the cgroup CPU quota unlimited (cpu.cfs_quota_us=-1)
+    and /proc/pressure flat — so a canary-window sample can MISS an
+    episode that hits the suite's long all-core phases.  Recording
+    steal over BOTH windows makes every bench run self-attributing:
+    a slow suite with high suite-window steal is the box, whatever
+    the canary said."""
+    after = _host_cpu_sample()
+    out: dict = {}
+    if before is not None and after is not None:
+        delta = [b - a for a, b in zip(before, after)]
+        total = sum(delta)
+        if total > 0:
+            out["steal_pct"] = round(100.0 * delta[7] / total, 2)
+            out["idle_pct"] = round(100.0 * delta[3] / total, 2)
+    try:
+        out["loadavg1"] = round(os.getloadavg()[0], 2)
+    except (OSError, AttributeError):
+        pass
+    try:  # cgroup v1 then v2; -1 / "max" both mean unlimited
+        with open("/sys/fs/cgroup/cpu/cpu.cfs_quota_us") as fh:
+            out["cpu_quota"] = fh.read().strip()
+    except OSError:
+        try:
+            with open("/sys/fs/cgroup/cpu.max") as fh:
+                out["cpu_quota"] = fh.read().strip()
+        except OSError:
+            pass
+    return out
+
+
 def run_canary(spark, sf_dir: str) -> dict:
     from aiesec_guc_spark.catalog import load_table
 
+    host_before = _host_cpu_sample()
     nation = load_table(spark, sf_dir, "nation")  # 25 rows at every SF
     samples: list[float] = []
     for _ in range(CANARY_RUNS):
@@ -181,6 +227,7 @@ def run_canary(spark, sf_dir: str) -> dict:
         }
     except Exception as exc:  # noqa: BLE001 — diagnostic, not a gate
         out["parallel"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    out["host"] = _host_attribution(host_before)
     return out
 
 
@@ -227,6 +274,11 @@ def main() -> None:
         canary = run_canary(spark, SF_DIR)
     except Exception as exc:  # noqa: BLE001 — diagnostic, not a gate
         canary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
+    # Steal episodes are minutes-long and can miss the ~5 s canary
+    # window while hitting the suite (r12 run 5: canary recovered,
+    # totals 1.5x) — so sample the WHOLE suite window too.
+    suite_cpu_before = _host_cpu_sample()
 
     # Determinism accounting: each query runs N times (first = cold,
     # includes codegen/JIT compile; rest = warm).  The headline value
@@ -328,6 +380,7 @@ def main() -> None:
         sum(trusted_warm(d) for d in detail.values() if "cold" in d),
         3,
     )
+    host_suite = _host_attribution(suite_cpu_before)
     full = {
         "metric": "query_suite_total",
         "value": round(sum(timings.values()), 3),
@@ -335,6 +388,7 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
         "canary": canary,
+        "host_suite": host_suite,
         "runs_per_query": runs_per_query,
         # Fixed-membership subtotal: the suite total grows as
         # queries are added round over round, so cross-round
@@ -396,6 +450,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "errors": errors,
                 "canary": canary,
+                "host_suite": host_suite,
                 "runs_per_query": runs_per_query,
                 "headline_total": full["headline_total"],
                 "warm_total": warm_total,

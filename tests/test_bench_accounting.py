@@ -81,3 +81,26 @@ def test_trusted_warm_single_run_uses_cold():
     from bench import trusted_warm
 
     assert trusted_warm({"cold": 4.2, "warm_min": None}) == 4.2
+
+
+def test_host_attribution_reads_linux_counters():
+    """bench._host_attribution must return steal/idle percentages over
+    a real window on this Linux box, tolerate a None before-sample
+    (off-Linux path), and report the cgroup quota string."""
+    import bench
+
+    before = bench._host_cpu_sample()
+    assert before is not None and len(before) == 8
+    # burn a little wall time so the jiffie window is non-empty
+    import time as _t
+
+    _t.sleep(0.15)
+    out = bench._host_attribution(before)
+    assert 0.0 <= out["steal_pct"] <= 100.0
+    assert 0.0 <= out["idle_pct"] <= 100.0
+    assert "loadavg1" in out
+    # this container: cgroup v1, unlimited quota — the field must say so
+    assert out.get("cpu_quota") in ("-1", "max") or "cpu_quota" not in out
+    # off-Linux / first-sample-failed path degrades to loadavg-only
+    degraded = bench._host_attribution(None)
+    assert "steal_pct" not in degraded

@@ -126,3 +126,18 @@ def test_committed_baseline_carries_canary_anchor():
     # the anchor must actually flow through the attribution line
     line = canary_line(local, {"canary": {"median": 2 * anchor["median"]}})
     assert "box ratio 2.00x" in line
+
+
+def test_host_line_surfaces_suite_steal():
+    """Round 13: steal episodes are minutes-long and can miss the
+    canary window while hitting the suite — host_line prints the
+    suite-window steal%% when either side recorded it, and stays
+    silent for pre-r13 records that lack the field."""
+    from tools.compare_bench import host_line
+
+    old = {"host_suite": {"steal_pct": 0.1, "idle_pct": 40.0}}
+    new = {"host_suite": {"steal_pct": 7.1, "idle_pct": 5.0}}
+    assert host_line(old, new) == "suite steal: 0.10% -> 7.10%"
+    assert host_line({}, new) == "suite steal: n/a -> 7.10%"
+    assert host_line(old, {"host_suite": {}}) == "suite steal: 0.10% -> n/a"
+    assert host_line({}, {}) is None  # pre-r13 on both sides

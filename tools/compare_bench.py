@@ -87,6 +87,21 @@ def canary_line(old: dict, new: dict) -> str:
     return line
 
 
+def host_line(old: dict, new: dict) -> str | None:
+    """Suite-window hypervisor-steal attribution (round 13): steal on
+    this host arrives in minutes-long EPISODES that can miss the 5 s
+    canary window while hitting the suite's all-core phases, so
+    bench.py records steal%% over the whole suite too.  A slow suite
+    with high suite steal is the box, whatever the canary said.
+    Returns None when neither side recorded it (pre-r13 records)."""
+    oh = (old.get("host_suite") or {}).get("steal_pct")
+    nh = (new.get("host_suite") or {}).get("steal_pct")
+    if oh is None and nh is None:
+        return None
+    fmt = lambda v: "n/a" if v is None else f"{v:.2f}%"  # noqa: E731
+    return f"suite steal: {fmt(oh)} -> {fmt(nh)}"
+
+
 def main() -> int:
     threshold = 2.0
     args: list[str] = []
@@ -126,6 +141,9 @@ def main() -> int:
           f"warm {old.get('warm_total')} -> {new.get('warm_total')} | "
           f"queries {len(od)} -> {len(nd)}")
     print(canary_line(old, new))
+    hl = host_line(old, new)
+    if hl:
+        print(hl)
     gone = sorted(set(od) - set(nd))
     if gone:
         print(f"missing in NEW ({len(gone)}): {', '.join(gone)}")
