@@ -80,13 +80,27 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directory of part files everywhere except the single-file test
     # corpus (a real table — and the scale-probe's replicated corpus —
     # is directory-form), so stream from it directly and fall back to
-    # the whole-sf_dir + name-glob trick only for the local-file
+    # the whole-sf_dir + name-glob trick only for the single-file
     # layout.  The glob filters by LEAF file name, so pointing it at a
     # directory-form table would match nothing and silently drain an
     # empty stream — zero rows, green-looking run, wrong everything.
-    import os
+    # Layout dispatch resolves through the SAME Hadoop FileSystem the
+    # read does (ADVICE r12: driver-local os.path.isfile returns False
+    # for file://, s3a://, hdfs:// URIs, misrouting a remote
+    # single-file table into the directory branch); driver-local
+    # os.path.isfile is only the fallback for an unloadable scheme.
+    def _is_single_file(p: str) -> bool:
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            return bool(fs.getFileStatus(hpath).isFile())
+        except Exception:  # noqa: BLE001 — unloadable scheme
+            import os
 
-    if os.path.isfile(src_path):
+            return os.path.isfile(p)
+
+    if _is_single_file(src_path):
         stream = (
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")

@@ -97,8 +97,13 @@ def run_streaming_sessionize(
     # unattributable and a row with no event time cannot gap-chain —
     # both are protocol errors in a session stream, dropped BEFORE the
     # pandas fold (which is all-integer and would crash on NaN/NaT).
-    # Divergence from the batch twin on such rows is deliberate and
-    # only observable on corrupt corpora; the gate corpus has none.
+    # The registered batch oracle does NOT mirror these predicates
+    # (ADVICE r12): on a corpus containing such rows the oracle gate
+    # fails LOUDLY (the batch twin counts them), which is the intended
+    # fail-stop — a null-key/ts event row means corpus corruption, and
+    # a visible gate failure beats silently agreeing on garbage.  The
+    # gate corpora have no such rows (the null-injected degenerate
+    # sweep is survive-only, tests/test_empty_corpus.py).
     src = (
         _events_stream(spark, sf_dir)
         .select("user_id", "ts", "event_id")
@@ -218,8 +223,13 @@ def run_streaming_twap(
         # Fold-input contract (same rationale as the sessionizer): a
         # gauge reading with no key, no timestamp, or no value cannot
         # participate in LOCF time-weighting — dropped JVM-side so the
-        # all-integer pandas fold never sees NaN/NaT.  Deliberate
-        # divergence from the batch twin on corrupt rows only.
+        # all-integer pandas fold never sees NaN/NaT.  The shared
+        # _TWAP_ORACLE does NOT mirror these predicates (ADVICE r12):
+        # the batch twin counts a null-value row in n_events and lets
+        # its dt extend the previous interval, so on a null-bearing
+        # corpus the oracle gate fails LOUDLY — intended fail-stop on
+        # corpus corruption, not an unobservable divergence.  The gate
+        # corpora have no such rows.
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("v_cents").isNotNull()

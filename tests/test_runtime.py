@@ -145,3 +145,44 @@ def test_events_stream_reads_directory_form_table(spark, sf_dir, tmp_path):
         f"has {expected} — the stream source is not reading the "
         "directory layout"
     )
+
+
+def test_events_stream_uri_single_file_takes_glob_branch(spark, sf_dir, tmp_path):
+    """A single-file events table addressed by file:// URI must stream
+    its rows (ADVICE r12): layout dispatch used driver-local
+    os.path.isfile, which returns False for ANY scheme-qualified path,
+    misrouting a remote single-file table into the directory branch
+    (which fails or drains wrong).  Dispatch now resolves through the
+    same Hadoop FileSystem the read uses, so scheme-qualified paths
+    see the layout Spark sees."""
+    import shutil
+
+    from aiesec_guc_spark.streaming.incremental import (
+        _drain_to_memory,
+        _events_stream,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    expected = spark.read.parquet(src).count()
+    scratch = tmp_path / "corpus"
+    scratch.mkdir()
+    import os
+
+    if os.path.isfile(src):  # single-file test layout: copy as-is
+        shutil.copy(src, scratch / "events.parquet")
+    else:  # directory layout: coalesce to ONE plain file
+        one = spark.read.parquet(src).coalesce(1)
+        tmp_dir = tmp_path / "one"
+        one.write.parquet(str(tmp_dir))
+        part = next(p for p in tmp_dir.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, scratch / "events.parquet")
+    got = _drain_to_memory(
+        spark,
+        _events_stream(spark, f"file://{scratch}"),
+        "uri_singlefile_events",
+        "append",
+    ).count()
+    assert got == expected, (
+        f"file:// single-file events table streamed {got} rows, batch "
+        f"read has {expected} — layout dispatch misrouted the URI path"
+    )

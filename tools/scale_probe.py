@@ -89,9 +89,15 @@ PROBE_QUERIES = [
 #: (`--streaming`).  Each is a bounded availableNow drain over the
 #: (replicated) events parquet, so the probe measures exactly what
 #: grows at 100 TB: micro-batch fold/shuffle throughput per state
-#: shape, at FIXED key cardinality (user_id is not replica-shifted —
-#: per-key state is O(1) by design for every one of these, so volume,
-#: not key count, is the axis that scales in deployment).
+#: shape.  Key cardinality differs by row (ADVICE r12): user_id is
+#: not replica-shifted, so the user-keyed folds (tumbling, TWAP,
+#: sessionize) run at FIXED key count with O(1) per-key state —
+#: volume is the only axis that scales.  streaming_dedup_exact keys
+#: on (event_id, ts) and event_id IS replica-shifted by build_scaled,
+#: so its state-key count grows xN with the data (10 M keys at 100x —
+#: the row SCALING.md reports as the stateful-dedup curve), and
+#: streaming_wau_approx holds (user, day)-grain distinct state, fixed
+#: keys x fixed days.
 STREAMING_PROBE = [
     "streaming_hourly_tumbling",      # watermarked tumbling agg
     "streaming_dedup_exact",          # key-dedup state store
