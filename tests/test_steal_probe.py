@@ -1,0 +1,27 @@
+"""Pins for tools/steal_probe.py — the host-side measurement behind
+the round-13 parallel-throughput-cap attribution. Pure /proc/stat
+arithmetic, no Spark."""
+
+from __future__ import annotations
+
+from tools.steal_probe import burst, cpu_sample, read_quota_and_psi
+
+
+def test_cpu_sample_reads_eight_counters():
+    s = cpu_sample()
+    assert s is not None and len(s) == 8
+    assert all(isinstance(v, int) and v >= 0 for v in s)
+
+
+def test_burst_window_percentages_are_sane():
+    row = burst(1, 0.6, ncpu=32)
+    assert "error" not in row
+    assert 0.0 <= row["steal_pct"] <= 100.0
+    assert 0.0 <= row["idle_pct"] <= 100.0
+    assert row["work_ratio"] > 0.0  # one busy proc delivers SOME work
+
+
+def test_quota_probe_reports_this_containers_unlimited_quota():
+    out = read_quota_and_psi()
+    # this container: cgroup v1 with no cap; v2 spells it "max"
+    assert out.get("cpu_quota", "-1").split()[0] in ("-1", "max")

@@ -1,0 +1,156 @@
+"""Hypervisor-steal probe — the measurement behind SCALING.md
+"Round-13: the parallel-throughput cap, explained and instrumented".
+
+    python tools/steal_probe.py [--reps N] [--sec S]
+
+No Spark involved: pure CPU burns with /proc/stat sampling, so the
+probe isolates the HOST from the engine.  Two experiments:
+
+1. Occupancy ladder — burn 1/4/8/16/32 processes for S seconds each
+   and report steal%% per window.  Steal that rises with occupancy is
+   the co-tenant signature: at low occupancy the hypervisor schedules
+   around the neighbor, at full occupancy it cannot.
+2. Repeated full-occupancy bursts — N back-to-back 32-core burns.
+   EPISODIC steal (the r13 finding: 7.1%% in one window, <=0.2%% in
+   eleven adjacent ones) shows up as high variance across reps, and
+   achieved work (user jiffies / nominal) quantifies the cap directly:
+   work_ratio 1.00 = full 32 cores delivered, 0.67 = the 1.5x-slow
+   suite the r12 run-5 session saw.
+
+Interpreting a degraded-box session: run this probe FIRST.  If
+work_ratio < ~0.9 or any rep shows steal >> 1%%, bench totals from the
+session are box-capped and per-query 2x flags are noise (re-measure
+flagged queries in isolation).  cgroup quota and PSI are printed for
+completeness — on this container they are unlimited/flat, which is
+what rules out in-guest causes (see SCALING.md).
+
+The same counters are recorded automatically by every bench.py run
+(canary.host + host_suite); this probe is for dedicated re-measurement
+at higher resolution.
+
+Caveat: /proc/stat is BOX-WIDE — user%% and work_ratio include every
+process on the box, so run the probe on an otherwise-idle box for a
+clean work_ratio (concurrent Spark/pytest load inflates it past 1.0).
+steal%% is immune: it counts hypervisor-withheld time, which no guest
+process can inflate.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+
+def cpu_sample() -> list[int] | None:
+    """First /proc/stat line as 8 jiffie counters, or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            return [int(x) for x in fh.readline().split()[1:9]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _burn(sec: float) -> None:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < sec:
+        x += 1
+
+
+def burst(nproc: int, sec: float, ncpu: int) -> dict:
+    """Burn `nproc` processes for `sec` seconds; return the window's
+    steal/user/idle percentages and the achieved-work ratio (user
+    jiffies delivered / nominal for `nproc` cpus)."""
+    procs = [mp.Process(target=_burn, args=(sec,)) for _ in range(nproc)]
+    before = cpu_sample()
+    for p in procs:
+        p.start()
+    # sample just inside the burn window so ramp-down doesn't dilute
+    time.sleep(max(sec - 0.4, 0.1))
+    after = cpu_sample()
+    for p in procs:
+        p.join()
+    if before is None or after is None:
+        return {"error": "no /proc/stat"}
+    delta = [b - a for a, b in zip(before, after)]
+    total = sum(delta)
+    if total <= 0:
+        return {"error": "empty jiffie window"}
+    window = max(sec - 0.4, 0.1)
+    # USER_HZ is 100 on this class of kernel; nominal = what `nproc`
+    # fully-scheduled cpus would deliver over the sampled window
+    nominal = min(nproc, ncpu) * window * 100
+    return {
+        "procs": nproc,
+        "steal_pct": round(100.0 * delta[7] / total, 2),
+        "user_pct": round(100.0 * delta[0] / total, 2),
+        "idle_pct": round(100.0 * delta[3] / total, 2),
+        "work_ratio": round(delta[0] / nominal, 3),
+    }
+
+
+def read_quota_and_psi() -> dict:
+    out: dict = {}
+    for path, key in (
+        ("/sys/fs/cgroup/cpu/cpu.cfs_quota_us", "cpu_quota"),  # v1
+        ("/sys/fs/cgroup/cpu.max", "cpu_quota"),  # v2
+        ("/proc/pressure/cpu", "psi_cpu"),
+    ):
+        try:
+            with open(path) as fh:
+                out.setdefault(key, fh.read().strip().splitlines()[0])
+        except OSError:
+            pass
+    return out
+
+
+def main() -> int:
+    reps, sec = 6, 3.0
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--reps":
+            i += 1
+            reps = int(argv[i])
+        elif argv[i] == "--sec":
+            i += 1
+            sec = float(argv[i])
+        else:
+            print(__doc__)
+            return 2
+        i += 1
+    ncpu = mp.cpu_count()
+    result = {"ncpu": ncpu, **read_quota_and_psi()}
+
+    ladder = []
+    for n in (1, 4, 8, 16, ncpu):
+        row = burst(n, sec, ncpu)
+        ladder.append(row)
+        print(f"ladder {row}", file=sys.stderr)
+    result["occupancy_ladder"] = ladder
+
+    bursts = []
+    for rep in range(reps):
+        row = burst(ncpu, sec, ncpu)
+        bursts.append(row)
+        print(f"burst rep{rep} {row}", file=sys.stderr)
+        time.sleep(1)
+    result["full_occupancy_bursts"] = bursts
+    steals = [b["steal_pct"] for b in bursts if "steal_pct" in b]
+    works = [b["work_ratio"] for b in bursts if "work_ratio" in b]
+    if steals:
+        result["summary"] = {
+            "steal_max": max(steals),
+            "steal_min": min(steals),
+            "work_ratio_min": min(works),
+            # the r13 signature: episodic = high spread across reps
+            "episodic": max(steals) - min(steals) > 1.0,
+        }
+    print(json.dumps(result, indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
