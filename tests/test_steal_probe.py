@@ -25,3 +25,12 @@ def test_quota_probe_reports_this_containers_unlimited_quota():
     out = read_quota_and_psi()
     # this container: cgroup v1 with no cap; v2 spells it "max"
     assert out.get("cpu_quota", "-1").split()[0] in ("-1", "max")
+
+
+def test_spin_calibration_is_fixed_work():
+    from tools.steal_probe import spin_calibration
+
+    out = spin_calibration(reps=1)
+    assert out["iters"] == 20_000_000
+    assert len(out["runs"]) == 1 and out["min"] == out["runs"][0]
+    assert out["min"] > 0.05  # 20M python increments can't be instant

@@ -91,6 +91,31 @@ def burst(nproc: int, sec: float, ncpu: int) -> dict:
     }
 
 
+#: Fixed single-thread calibration workload: a pure-Python integer
+#: loop, no JVM, no allocation — its min-of-3 wall time moves ONLY
+#: with effective single-core speed (host clock / scheduling), so it
+#: separates the two degradation mechanisms this VM exhibits:
+#: episodic steal (bursts; see `burst`) vs a BOOT-LEVEL slow state
+#: (r12/r13 finding: canary 1.5-1.7x the fast anchor with steal at
+#: 0.02%).  Cross-session reference: 2026-08-16 (r13) on the
+#: canary-1.58x zero-steal box, spin_min measured 0.606 s (SCALING.md
+#: round-13 note); a fast-box session (canary ~0.09 s) should
+#: re-measure and commit its value — if spin tracks the canary, the
+#: boot-level mechanism is host clock, not JVM state.
+SPIN_ITERS = 20_000_000
+
+
+def spin_calibration(reps: int = 3) -> dict:
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        x = 0
+        for _ in range(SPIN_ITERS):
+            x += 1
+        times.append(round(time.time() - t0, 4))
+    return {"iters": SPIN_ITERS, "runs": times, "min": min(times)}
+
+
 def read_quota_and_psi() -> dict:
     out: dict = {}
     for path, key in (
@@ -123,6 +148,8 @@ def main() -> int:
         i += 1
     ncpu = mp.cpu_count()
     result = {"ncpu": ncpu, **read_quota_and_psi()}
+    result["spin"] = spin_calibration()
+    print(f"spin {result['spin']}", file=sys.stderr)
 
     ladder = []
     for n in (1, 4, 8, 16, ncpu):
