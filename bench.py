@@ -141,13 +141,12 @@ CANARY_RUNS = 5
 
 
 def _host_cpu_sample() -> list[int] | None:
-    """First /proc/stat line as 8 jiffie counters (user nice system
-    idle iowait irq softirq steal), or None off-Linux."""
-    try:
-        with open("/proc/stat") as fh:
-            return [int(x) for x in fh.readline().split()[1:9]]
-    except (OSError, ValueError, IndexError):
-        return None
+    """Canonical /proc/stat sampler lives in tools/steal_probe.py (the
+    dedicated host-introspection probe); bench re-exports it so the
+    two recorders can never drift.  None off-Linux."""
+    from tools.steal_probe import cpu_sample
+
+    return cpu_sample()
 
 
 def _host_attribution(before: list[int] | None) -> dict:
@@ -161,6 +160,8 @@ def _host_attribution(before: list[int] | None) -> dict:
     steal over BOTH windows makes every bench run self-attributing:
     a slow suite with high suite-window steal is the box, whatever
     the canary said."""
+    from tools.steal_probe import read_quota_and_psi
+
     after = _host_cpu_sample()
     out: dict = {}
     if before is not None and after is not None:
@@ -173,15 +174,9 @@ def _host_attribution(before: list[int] | None) -> dict:
         out["loadavg1"] = round(os.getloadavg()[0], 2)
     except (OSError, AttributeError):
         pass
-    try:  # cgroup v1 then v2; -1 / "max" both mean unlimited
-        with open("/sys/fs/cgroup/cpu/cpu.cfs_quota_us") as fh:
-            out["cpu_quota"] = fh.read().strip()
-    except OSError:
-        try:
-            with open("/sys/fs/cgroup/cpu.max") as fh:
-                out["cpu_quota"] = fh.read().strip()
-        except OSError:
-            pass
+    quota = read_quota_and_psi().get("cpu_quota")
+    if quota is not None:
+        out["cpu_quota"] = quota
     return out
 
 

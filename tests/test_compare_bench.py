@@ -122,7 +122,11 @@ def test_committed_baseline_carries_canary_anchor():
     assert anchor and 0.0 < anchor["median"] < 0.2, (
         "BENCH_LOCAL.json lost its fast-box canary anchor"
     )
-    assert "provenance" in anchor  # retro-anchored, must say from where
+    # Either the retro-anchor (must carry provenance saying from where)
+    # or a wholesale fast-box re-record (bench.run_canary output, which
+    # always carries the parallel probe) — the sanctioned re-record
+    # path from SCALING.md must not turn this pin red.
+    assert "provenance" in anchor or "parallel" in anchor
     # the anchor must actually flow through the attribution line
     line = canary_line(local, {"canary": {"median": 2 * anchor["median"]}})
     assert "box ratio 2.00x" in line

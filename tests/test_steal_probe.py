@@ -21,10 +21,12 @@ def test_burst_window_percentages_are_sane():
     assert row["work_ratio"] > 0.0  # one busy proc delivers SOME work
 
 
-def test_quota_probe_reports_this_containers_unlimited_quota():
+def test_quota_probe_returns_raw_file_strings():
     out = read_quota_and_psi()
-    # this container: cgroup v1 with no cap; v2 spells it "max"
-    assert out.get("cpu_quota", "-1").split()[0] in ("-1", "max")
+    # raw first-line strings ("-1", "max", or "200000 100000" on a
+    # quota-limited box) — no value pin, the suite must stay portable
+    for v in out.values():
+        assert isinstance(v, str) and v.strip() != ""
 
 
 def test_spin_calibration_is_fixed_work():

@@ -91,7 +91,7 @@ def host_line(old: dict, new: dict) -> str | None:
     """Suite-window hypervisor-steal attribution (round 13): steal on
     this host arrives in minutes-long EPISODES that can miss the 5 s
     canary window while hitting the suite's all-core phases, so
-    bench.py records steal%% over the whole suite too.  A slow suite
+    bench.py records steal% over the whole suite too.  A slow suite
     with high suite steal is the box, whatever the canary said.
     Returns None when neither side recorded it (pre-r13 records)."""
     oh = (old.get("host_suite") or {}).get("steal_pct")

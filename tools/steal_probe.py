@@ -7,18 +7,18 @@ No Spark involved: pure CPU burns with /proc/stat sampling, so the
 probe isolates the HOST from the engine.  Two experiments:
 
 1. Occupancy ladder — burn 1/4/8/16/32 processes for S seconds each
-   and report steal%% per window.  Steal that rises with occupancy is
+   and report steal% per window.  Steal that rises with occupancy is
    the co-tenant signature: at low occupancy the hypervisor schedules
    around the neighbor, at full occupancy it cannot.
 2. Repeated full-occupancy bursts — N back-to-back 32-core burns.
-   EPISODIC steal (the r13 finding: 7.1%% in one window, <=0.2%% in
+   EPISODIC steal (the r13 finding: 7.1% in one window, <=0.2% in
    eleven adjacent ones) shows up as high variance across reps, and
    achieved work (user jiffies / nominal) quantifies the cap directly:
    work_ratio 1.00 = full 32 cores delivered, 0.67 = the 1.5x-slow
    suite the r12 run-5 session saw.
 
 Interpreting a degraded-box session: run this probe FIRST.  If
-work_ratio < ~0.9 or any rep shows steal >> 1%%, bench totals from the
+work_ratio < ~0.9 or any rep shows steal >> 1%, bench totals from the
 session are box-capped and per-query 2x flags are noise (re-measure
 flagged queries in isolation).  cgroup quota and PSI are printed for
 completeness — on this container they are unlimited/flat, which is
@@ -28,10 +28,10 @@ The same counters are recorded automatically by every bench.py run
 (canary.host + host_suite); this probe is for dedicated re-measurement
 at higher resolution.
 
-Caveat: /proc/stat is BOX-WIDE — user%% and work_ratio include every
+Caveat: /proc/stat is BOX-WIDE — user% and work_ratio include every
 process on the box, so run the probe on an otherwise-idle box for a
 clean work_ratio (concurrent Spark/pytest load inflates it past 1.0).
-steal%% is immune: it counts hypervisor-withheld time, which no guest
+steal% is immune: it counts hypervisor-withheld time, which no guest
 process can inflate.
 """
 
@@ -64,10 +64,13 @@ def burst(nproc: int, sec: float, ncpu: int) -> dict:
     steal/user/idle percentages and the achieved-work ratio (user
     jiffies delivered / nominal for `nproc` cpus)."""
     procs = [mp.Process(target=_burn, args=(sec,)) for _ in range(nproc)]
-    before = cpu_sample()
     for p in procs:
         p.start()
-    # sample just inside the burn window so ramp-down doesn't dilute
+    # Sample AFTER the spawn loop (32 forks of a large parent can take
+    # tens of ms each) and just inside the burn window, so the jiffie
+    # delta covers only the fully-ramped burn — a window that included
+    # spawn or ramp-down would dilute steal% and skew work_ratio.
+    before = cpu_sample()
     time.sleep(max(sec - 0.4, 0.1))
     after = cpu_sample()
     for p in procs:
@@ -135,17 +138,21 @@ def main() -> int:
     reps, sec = 6, 3.0
     argv = sys.argv[1:]
     i = 0
-    while i < len(argv):
-        if argv[i] == "--reps":
+    try:  # argument-strict like gen_priority: bad input = usage, not a traceback
+        while i < len(argv):
+            if argv[i] == "--reps":
+                i += 1
+                reps = int(argv[i])
+            elif argv[i] == "--sec":
+                i += 1
+                sec = float(argv[i])
+            else:
+                print(__doc__)
+                return 2
             i += 1
-            reps = int(argv[i])
-        elif argv[i] == "--sec":
-            i += 1
-            sec = float(argv[i])
-        else:
-            print(__doc__)
-            return 2
-        i += 1
+    except (IndexError, ValueError):
+        print(__doc__)
+        return 2
     ncpu = mp.cpu_count()
     result = {"ncpu": ncpu, **read_quota_and_psi()}
     result["spin"] = spin_calibration()
