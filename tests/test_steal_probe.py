@@ -13,6 +13,18 @@ def test_cpu_sample_reads_eight_counters():
     assert all(isinstance(v, int) and v >= 0 for v in s)
 
 
+def test_cpu_sample_short_line_returns_none(tmp_path):
+    # A kernel whose cpu line lacks the steal column must yield None
+    # (the documented off-contract value), not a 7-element list that
+    # later IndexErrors at delta[7] in bench host attribution.
+    short = tmp_path / "stat"
+    short.write_text("cpu  1 2 3 4 5 6 7\n")
+    assert cpu_sample(str(short)) is None
+    full = tmp_path / "stat8"
+    full.write_text("cpu  1 2 3 4 5 6 7 8 9 10\n")
+    assert cpu_sample(str(full)) == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
 def test_burst_window_percentages_are_sane():
     row = burst(1, 0.6, ncpu=32)
     assert "error" not in row

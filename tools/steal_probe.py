@@ -43,36 +43,52 @@ import sys
 import time
 
 
-def cpu_sample() -> list[int] | None:
-    """First /proc/stat line as 8 jiffie counters, or None off-Linux."""
+def cpu_sample(path: str = "/proc/stat") -> list[int] | None:
+    """First /proc/stat line as 8 jiffie counters, or None off-Linux.
+
+    Also None when the cpu line carries fewer than 8 fields (a kernel
+    without the steal column): callers index delta[7], so a short list
+    must fail HERE per the documented contract, not as an IndexError
+    after a full bench suite has already run.  `path` is a test seam.
+    """
     try:
-        with open("/proc/stat") as fh:
-            return [int(x) for x in fh.readline().split()[1:9]]
-    except (OSError, ValueError, IndexError):
+        with open(path) as fh:
+            vals = [int(x) for x in fh.readline().split()[1:9]]
+    except (OSError, ValueError):
         return None
+    return vals if len(vals) == 8 else None
 
 
-def _burn(sec: float) -> None:
-    t0 = time.time()
+def _burn_until(stop) -> None:
+    # Check the shared stop flag only every 100k increments: Event.is_set
+    # goes through a semaphore syscall, which would land in sys jiffies
+    # and deflate the user% the probe exists to measure.
     x = 0
-    while time.time() - t0 < sec:
-        x += 1
+    while not stop.is_set():
+        for _ in range(100_000):
+            x += 1
 
 
 def burst(nproc: int, sec: float, ncpu: int) -> dict:
-    """Burn `nproc` processes for `sec` seconds; return the window's
-    steal/user/idle percentages and the achieved-work ratio (user
-    jiffies delivered / nominal for `nproc` cpus)."""
-    procs = [mp.Process(target=_burn, args=(sec,)) for _ in range(nproc)]
+    """Burn `nproc` processes across a `sec`-second sampled window;
+    return the window's steal/user/idle percentages and the
+    achieved-work ratio (user jiffies delivered / nominal for
+    `nproc` cpus)."""
+    stop = mp.Event()
+    procs = [mp.Process(target=_burn_until, args=(stop,)) for _ in range(nproc)]
     for p in procs:
         p.start()
-    # Sample AFTER the spawn loop (32 forks of a large parent can take
-    # tens of ms each) and just inside the burn window, so the jiffie
-    # delta covers only the fully-ramped burn — a window that included
-    # spawn or ramp-down would dilute steal% and skew work_ratio.
+    # Children burn until the shared stop event, not for a per-child
+    # duration — so however long the spawn loop takes (32 forks of a
+    # large parent), every child is still burning through the entire
+    # sampled window and the tail can never dilute user%/work_ratio.
+    # The short post-spawn settle skips interpreter start-up ramp at
+    # the head; sampling then covers exactly `sec` of full occupancy.
+    time.sleep(0.3)
     before = cpu_sample()
-    time.sleep(max(sec - 0.4, 0.1))
+    time.sleep(sec)
     after = cpu_sample()
+    stop.set()
     for p in procs:
         p.join()
     if before is None or after is None:
@@ -81,10 +97,9 @@ def burst(nproc: int, sec: float, ncpu: int) -> dict:
     total = sum(delta)
     if total <= 0:
         return {"error": "empty jiffie window"}
-    window = max(sec - 0.4, 0.1)
     # USER_HZ is 100 on this class of kernel; nominal = what `nproc`
     # fully-scheduled cpus would deliver over the sampled window
-    nominal = min(nproc, ncpu) * window * 100
+    nominal = min(nproc, ncpu) * sec * 100
     return {
         "procs": nproc,
         "steal_pct": round(100.0 * delta[7] / total, 2),
