@@ -201,21 +201,28 @@ def run_canary(spark, sf_dir: str) -> dict:
     # class of host, single-thread job latency and ALL-CORE shuffle
     # throughput decouple — the scheduler canary above recovered to
     # 0.20 s while the suite ran 1.5x slow under a hypervisor-level
-    # parallel cap.  A fixed 32-task shuffle+agg over events measures
-    # the axis the trivial canary cannot see, so a drifted total can
-    # be attributed to EITHER latency or throughput in one line.
+    # parallel cap.  A fixed 32-task shuffle+agg measures the axis
+    # the trivial canary cannot see, so a drifted total can be
+    # attributed to EITHER latency or throughput in one line.
+    # Table choice (ADVICE r12 tail, moved r14): `orders`, NOT
+    # `events` — the five HEADLINE queries all scan events, and the
+    # canary's 5 pre-suite shuffles warmed it, skewing the headline
+    # cold totals that cross-round comparisons key on (SCALING.md
+    # "Comparability caveat").  The record carries `table` so
+    # compare_bench refuses to print a cross-table parallel ratio.
     try:
         from pyspark.sql import functions as F
 
-        events = load_table(spark, sf_dir, "events")
+        orders = load_table(spark, sf_dir, "orders")
         psamples: list[float] = []
         for _ in range(CANARY_RUNS):
             t0 = time.time()
-            events.repartition(32, "user_id").groupBy("user_id").agg(
-                F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+            orders.repartition(32, "o_custkey").groupBy("o_custkey").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
             ).write.format("noop").mode("overwrite").save()
             psamples.append(round(time.time() - t0, 4))
         out["parallel"] = {
+            "table": "orders",
             "runs": psamples,
             "min": min(psamples),
             "median": sorted(psamples)[len(psamples) // 2],

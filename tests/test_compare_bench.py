@@ -106,6 +106,25 @@ def test_canary_line_prints_parallel_ratio_when_both_sides_have_it():
     assert "parallel" not in canary_line(old, {"canary": {"median": 0.10}})
 
 
+def test_canary_line_refuses_cross_table_parallel_ratio():
+    # r14 moved the parallel probe's workload off the headline events
+    # table onto orders; a ratio across the two workloads attributes
+    # nothing.  Pre-r14 records carry no `table` key and mean events.
+    old = {"canary": {"median": 0.10, "parallel": {"median": 1.0}}}
+    new = {
+        "canary": {
+            "median": 0.10,
+            "parallel": {"median": 0.4, "table": "orders"},
+        }
+    }
+    line = canary_line(old, new)
+    assert "ratio not comparable" in line and "events -> orders" in line
+    assert "0.40x" not in line and "4.00x" not in line
+    # same table on both sides (post-r14 pair): ratio prints normally
+    both = canary_line(new, new)
+    assert "1.00x" in both and "not comparable" not in both
+
+
 def test_committed_baseline_carries_canary_anchor():
     """VERDICT r12 ask 2: the committed fast-box BENCH_LOCAL.json must
     carry a canary anchor so a slow-box bench run is self-explaining —

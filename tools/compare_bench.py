@@ -79,11 +79,25 @@ def canary_line(old: dict, new: dict) -> str:
     op = op if op and "median" in op else None
     np_ = np_ if np_ and "median" in np_ else None
     if op and np_:
-        pratio = np_["median"] / op["median"] if op["median"] else float("nan")
-        line += (
-            f" | parallel: {op['median']:.3f}s -> {np_['median']:.3f}s "
-            f"({pratio:.2f}x)"
-        )
+        # The parallel probe's workload table changed events->orders in
+        # r14 (records before that carry no `table` key = events); a
+        # ratio across different workloads attributes nothing, so name
+        # the change instead of printing a number.
+        ot = op.get("table", "events")
+        nt = np_.get("table", "events")
+        if ot != nt:
+            line += (
+                f" | parallel: workload table changed ({ot} -> {nt}), "
+                f"ratio not comparable"
+            )
+        else:
+            pratio = (
+                np_["median"] / op["median"] if op["median"] else float("nan")
+            )
+            line += (
+                f" | parallel: {op['median']:.3f}s -> {np_['median']:.3f}s "
+                f"({pratio:.2f}x)"
+            )
     return line
 
 
