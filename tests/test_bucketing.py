@@ -4,16 +4,30 @@ key removes the shuffle entirely — the layout-level optimization a
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import functions as F
 
 from aiesec_guc_spark.catalog import load_table
 
 
+def _drop_table_and_location(spark, name: str) -> None:
+    """DROP TABLE plus removal of the managed location: a killed prior
+    test run can leave the warehouse directory behind with no catalog
+    entry, and saveAsTable then fails LOCATION_ALREADY_EXISTS even
+    under mode('overwrite') — the catalog drop alone can't see it."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
+    _drop_table_and_location(spark, "b_orders")
+    _drop_table_and_location(spark, "b_customer")
     (
         o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
         .mode("overwrite").saveAsTable("b_orders")
@@ -48,5 +62,5 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
-        spark.sql("DROP TABLE IF EXISTS b_orders")
-        spark.sql("DROP TABLE IF EXISTS b_customer")
+        _drop_table_and_location(spark, "b_orders")
+        _drop_table_and_location(spark, "b_customer")
