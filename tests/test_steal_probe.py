@@ -33,6 +33,49 @@ def test_burst_window_percentages_are_sane():
     assert row["work_ratio"] > 0.0  # one busy proc delivers SOME work
 
 
+def test_burst_releases_children_when_sampling_raises(monkeypatch):
+    # If anything raises between spawn and stop.set() the children must
+    # still be released (finally) — otherwise 32 non-daemon burners hang
+    # the interpreter's multiprocessing atexit join at 100% CPU.
+    import time as _time
+
+    import tools.steal_probe as sp
+
+    real_sleep = _time.sleep
+    calls = {"n": 0}
+
+    def exploding_sleep(s):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the sampled-window sleep, after the settle
+            raise RuntimeError("interrupted mid-window")
+        real_sleep(s)
+
+    monkeypatch.setattr(sp.time, "sleep", exploding_sleep)
+    t0 = _time.monotonic()
+    try:
+        sp.burst(2, 0.5, ncpu=32)
+    except RuntimeError:
+        pass
+    else:  # pragma: no cover - the monkeypatch must fire
+        raise AssertionError("exploding sleep did not fire")
+    # join returned promptly => children saw stop.set(), not the 30 s
+    # orphan deadline
+    assert _time.monotonic() - t0 < 10.0
+
+
+def test_cli_rejects_nonpositive_sec_and_reps():
+    import subprocess
+    import sys
+
+    for args in (["--sec", "0"], ["--sec", "-1"], ["--reps", "0"]):
+        rc = subprocess.run(
+            [sys.executable, "tools/steal_probe.py", *args],
+            capture_output=True,
+            timeout=60,
+        ).returncode
+        assert rc == 2, f"{args} should exit 2 with usage, got {rc}"
+
+
 def test_quota_probe_returns_raw_file_strings():
     out = read_quota_and_psi()
     # raw first-line strings ("-1", "max", or "200000 100000" on a

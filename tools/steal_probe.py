@@ -59,38 +59,51 @@ def cpu_sample(path: str = "/proc/stat") -> list[int] | None:
     return vals if len(vals) == 8 else None
 
 
-def _burn_until(stop) -> None:
+def _burn_until(stop, deadline: float) -> None:
     # Check the shared stop flag only every 100k increments: Event.is_set
     # goes through a semaphore syscall, which would land in sys jiffies
-    # and deflate the user% the probe exists to measure.
+    # and deflate the user% the probe exists to measure.  The wall-clock
+    # deadline is a failsafe: if the parent dies between spawn and
+    # stop.set() (signal, sampling error), the child must not burn a
+    # core forever on the very box whose steal the probe measures.
     x = 0
-    while not stop.is_set():
+    while not stop.is_set() and time.time() < deadline:
         for _ in range(100_000):
             x += 1
 
 
 def burst(nproc: int, sec: float, ncpu: int) -> dict:
-    """Burn `nproc` processes across a `sec`-second sampled window;
-    return the window's steal/user/idle percentages and the
-    achieved-work ratio (user jiffies delivered / nominal for
-    `nproc` cpus)."""
+    """Burn `nproc` processes across a `sec`-second sampled window
+    (sec must be > 0; main() validates); return the window's
+    steal/user/idle percentages and the achieved-work ratio (user
+    jiffies delivered / nominal for `nproc` cpus)."""
     stop = mp.Event()
-    procs = [mp.Process(target=_burn_until, args=(stop,)) for _ in range(nproc)]
-    for p in procs:
-        p.start()
-    # Children burn until the shared stop event, not for a per-child
-    # duration — so however long the spawn loop takes (32 forks of a
-    # large parent), every child is still burning through the entire
-    # sampled window and the tail can never dilute user%/work_ratio.
-    # The short post-spawn settle skips interpreter start-up ramp at
-    # the head; sampling then covers exactly `sec` of full occupancy.
-    time.sleep(0.3)
-    before = cpu_sample()
-    time.sleep(sec)
-    after = cpu_sample()
-    stop.set()
-    for p in procs:
-        p.join()
+    deadline = time.time() + sec + 30.0  # orphan failsafe, generous
+    procs = [
+        mp.Process(target=_burn_until, args=(stop, deadline))
+        for _ in range(nproc)
+    ]
+    try:
+        for p in procs:
+            p.start()
+        # Children burn until the shared stop event, not for a per-child
+        # duration — so however long the spawn loop takes (32 forks of a
+        # large parent), every child is still burning through the entire
+        # sampled window and the tail can never dilute user%/work_ratio.
+        # The short post-spawn settle skips interpreter start-up ramp at
+        # the head; sampling then covers exactly `sec` of full occupancy.
+        time.sleep(0.3)
+        before = cpu_sample()
+        time.sleep(sec)
+        after = cpu_sample()
+    finally:
+        # Always release the children — an exception anywhere above
+        # must not leave nproc non-daemon burners for multiprocessing's
+        # atexit join to hang on.
+        stop.set()
+        for p in procs:
+            if p.pid is not None:
+                p.join()
     if before is None or after is None:
         return {"error": "no /proc/stat"}
     delta = [b - a for a, b in zip(before, after)]
@@ -166,6 +179,12 @@ def main() -> int:
                 return 2
             i += 1
     except (IndexError, ValueError):
+        print(__doc__)
+        return 2
+    if reps < 1 or sec <= 0:
+        # sec <= 0 would sample an empty jiffie window (work_ratio
+        # divides by nominal = nproc*sec*100) or ValueError inside
+        # time.sleep — bad input is usage, not a traceback.
         print(__doc__)
         return 2
     ncpu = mp.cpu_count()
