@@ -51,14 +51,22 @@ HEADLINE = [
 
 
 def _parse_shard(argv: list[str]) -> tuple[list[str] | None, list[str] | None]:
-    """(--family prefixes, --queries names) — both None = full suite."""
+    """(--family prefixes, --queries names) — both None = full suite.
+
+    Argument-strict like the sibling CLIs (compare_bench, steal_probe):
+    an unknown token — e.g. the typo `--query` — must exit with usage,
+    not silently fall through to a ~30-minute full-suite run whose
+    output then looks like a legitimate full baseline.
+    """
     fams: list[str] | None = None
     only: list[str] | None = None
     i = 0
     while i < len(argv):
         a = argv[i]
+        matched = None
         for flag in ("--family", "--queries"):
-            if a.startswith(flag):
+            if a == flag or a.startswith(flag + "="):
+                matched = flag
                 if "=" in a:
                     val = a.split("=", 1)[1]
                 else:
@@ -72,6 +80,10 @@ def _parse_shard(argv: list[str]) -> tuple[list[str] | None, list[str] | None]:
                     fams = parsed
                 else:
                     only = parsed
+        if matched is None:
+            print(__doc__)
+            print(f"unknown argument: {a}", file=sys.stderr)
+            raise SystemExit(2)
         i += 1
     return fams, only
 
@@ -204,25 +216,31 @@ def run_canary(spark, sf_dir: str) -> dict:
     # parallel cap.  A fixed 32-task shuffle+agg measures the axis
     # the trivial canary cannot see, so a drifted total can be
     # attributed to EITHER latency or throughput in one line.
-    # Table choice (ADVICE r12 tail, moved r14): `orders`, NOT
-    # `events` — the five HEADLINE queries all scan events, and the
-    # canary's 5 pre-suite shuffles warmed it, skewing the headline
-    # cold totals that cross-round comparisons key on (SCALING.md
-    # "Comparability caveat").  The record carries `table` so
-    # compare_bench refuses to print a cross-table parallel ratio.
+    # Workload choice (ADVICE r12 tail; settled r14): a SYNTHETIC
+    # range()-based frame, not a suite table — in r12-r13 the probe's
+    # 5 pre-suite shuffles over events pre-warmed the very table all
+    # five HEADLINE queries scan (SCALING.md "Comparability caveat"),
+    # and ANY suite table has the same problem for its own families.
+    # range() warms nothing the suite reads, and removing the parquet
+    # scan makes the probe a purer shuffle-throughput instrument.
+    # The record carries `table` so compare_bench refuses to print a
+    # cross-workload parallel ratio against pre-r14 records.
     try:
         from pyspark.sql import functions as F
 
-        orders = load_table(spark, sf_dir, "orders")
+        base = spark.range(0, 2_000_000, 1, 32).select(
+            (F.col("id") % 100_000).alias("k"),
+            (F.col("id") % 997).cast("double").alias("v"),
+        )
         psamples: list[float] = []
         for _ in range(CANARY_RUNS):
             t0 = time.time()
-            orders.repartition(32, "o_custkey").groupBy("o_custkey").agg(
-                F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+            base.repartition(32, "k").groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
             ).write.format("noop").mode("overwrite").save()
             psamples.append(round(time.time() - t0, 4))
         out["parallel"] = {
-            "table": "orders",
+            "table": "synthetic_range_2m",
             "runs": psamples,
             "min": min(psamples),
             "median": sorted(psamples)[len(psamples) // 2],
@@ -262,11 +280,23 @@ def main() -> None:
         raise SystemExit(2)
 
     # JVM/codegen warm-up on the smallest sf so per-query timings
-    # measure the engine, not session startup.
+    # measure the engine, not session startup.  Falls back to SF_DIR
+    # when the fixture tree is absent (custom-corpus boxes), and a
+    # failed warm-up is SAID on stderr — silently swallowing it lets
+    # the first query's "cold" absorb several seconds of JVM startup
+    # with zero indication in the record.
+    warmup_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warmup_dir):
+        warmup_dir = SF_DIR
     try:
-        qs[names[0]](spark, "/root/testdata/sf0.001").count()
-    except Exception:
-        pass
+        qs[names[0]](spark, warmup_dir).count()
+    except Exception as exc:  # noqa: BLE001 — diagnostic, not a gate
+        print(
+            f"# warm-up failed ({type(exc).__name__}: {exc}"[:200]
+            + ") — first query's cold includes session startup",
+            file=sys.stderr,
+            flush=True,
+        )
 
     # Box canary AFTER warm-up, BEFORE the suite — measures the box,
     # not session startup or suite-induced pressure.  A canary failure
@@ -361,6 +391,11 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr, flush=True)
             spark.catalog.clearCache()
             gc.collect()
+            # Same JVM collection as the success path: an errored query
+            # may have COMPLETED earlier runs whose localCheckpoint
+            # blocks otherwise linger and bleed pauses into later
+            # queries (the success path documents the 21 s sample).
+            spark._jvm.System.gc()
             continue
         timings[name] = runs[0]
         detail[name] = summarize_runs(runs, run_builds)
@@ -450,7 +485,15 @@ def main() -> None:
                 "queries": slowest,
                 "families": families,
                 "n_queries": len(timings),
-                "errors": errors,
+                # Bounded error summary: a systemic failure (say 200
+                # errored queries x 500-char messages) would push this
+                # "compact" line ~100 kB past the driver's capture
+                # truncation — the exact parsed:null failure the line
+                # exists to prevent — precisely when diagnostics matter
+                # most.  Count + 10 truncated samples here; complete
+                # messages in detail_file.
+                "n_errors": len(errors),
+                "errors": {n: errors[n][:80] for n in sorted(errors)[:10]},
                 "canary": canary,
                 "host_suite": host_suite,
                 "runs_per_query": runs_per_query,

@@ -83,6 +83,21 @@ def test_trusted_warm_single_run_uses_cold():
     assert trusted_warm({"cold": 4.2, "warm_min": None}) == 4.2
 
 
+def test_parse_shard_rejects_unknown_arguments():
+    # Argument-strict like the sibling CLIs: a typo (--query) must exit
+    # with usage, not silently run the full 30-minute suite.
+    import pytest
+
+    from bench import _parse_shard
+
+    assert _parse_shard(["--queries", "a,b"]) == (None, ["a", "b"])
+    assert _parse_shard(["--family=dedup"]) == (["dedup"], None)
+    for bad in (["--query", "a"], ["extra"], ["--familyX=dedup"]):
+        with pytest.raises(SystemExit) as exc:
+            _parse_shard(bad)
+        assert exc.value.code == 2
+
+
 def test_host_attribution_reads_linux_counters():
     """bench._host_attribution must return steal/idle percentages over
     a real window on this Linux box, tolerate a None before-sample

@@ -125,6 +125,51 @@ def test_canary_line_refuses_cross_table_parallel_ratio():
     assert "1.00x" in both and "not comparable" not in both
 
 
+def _run_main(tmp_path, old: dict, new: dict, monkeypatch):
+    import json as _json
+    import sys as _sys
+
+    from tools.compare_bench import main
+
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(_json.dumps(old))
+    pn.write_text(_json.dumps(new))
+    monkeypatch.setattr(_sys, "argv", ["compare_bench.py", str(po), str(pn)])
+    return main()
+
+
+def _full_record(detail: dict) -> dict:
+    return {"value": 1.0, "warm_total": 1.0, "queries_detail": detail}
+
+
+def test_main_refuses_compact_record_without_queries_detail(
+    tmp_path, monkeypatch, capsys
+):
+    # A compact stdout-line record has no queries_detail; gating on it
+    # would compare zero pairs and pass vacuously — must refuse (exit 2)
+    # like the shard case.
+    ok = _full_record({"q1": {"cold": 1.0, "warm_min": 1.0}})
+    assert _run_main(tmp_path, ok, {"value": 1.0}, monkeypatch) == 2
+    assert "no queries_detail" in capsys.readouterr().out
+    assert _run_main(tmp_path, {"value": 1.0}, ok, monkeypatch) == 2
+
+
+def test_main_fails_gate_when_query_errors_in_new(
+    tmp_path, monkeypatch, capsys
+):
+    # Regression-to-crash: the query's NEW detail row carries only
+    # {"n":0,"err":...}; the timing loop skips it, so the aggregated
+    # errored-in-NEW report must fail the gate loudly instead.
+    old = _full_record({"q1": {"cold": 1.0, "warm_min": 1.0}})
+    new = _full_record({"q1": {"n": 0, "err": "RuntimeError: boom"}})
+    assert _run_main(tmp_path, old, new, monkeypatch) == 1
+    out = capsys.readouterr().out
+    assert "ERRORED in NEW: q1" in out and "boom" in out
+    # recovery direction (errored OLD, fine NEW) is informational only
+    assert _run_main(tmp_path, new, old, monkeypatch) == 0
+    assert "recovered from OLD errors (1): q1" in capsys.readouterr().out
+
+
 def test_committed_baseline_carries_canary_anchor():
     """VERDICT r12 ask 2: the committed fast-box BENCH_LOCAL.json must
     carry a canary anchor so a slow-box bench run is self-explaining —

@@ -4,8 +4,11 @@
 
 Compares warm_min (falling back to cold) per query, prints the
 queries whose ratio NEW/OLD exceeds the threshold, the ones that
-disappeared, and the totals.  Exit code 1 if any regression exceeds
-the threshold — suitable as a CI gate between rounds.
+disappeared or newly ERRORED, and the totals.  Exit code 1 if any
+regression exceeds the threshold or any query errored in NEW —
+suitable as a CI gate between rounds.  Exit 2 when either input
+can't back the gate (sharded run, or a compact stdout record with
+no queries_detail).
 """
 
 from __future__ import annotations
@@ -148,8 +151,20 @@ def main() -> int:
                 "not comparable to a full-suite baseline"
             )
             return 2
-    od = old.get("queries_detail", {})
-    nd = new.get("queries_detail", {})
+    od = old.get("queries_detail") or {}
+    nd = new.get("queries_detail") or {}
+    for label, d in (("OLD", od), ("NEW", nd)):
+        if not d:
+            # A compact stdout-line record (bench.py deliberately omits
+            # queries_detail from it) would make the per-query loop
+            # vacuous — zero pairs compared, "no regression", exit 0.
+            # Refuse like the shard case instead of gating on nothing.
+            print(
+                f"{label} file has no queries_detail — compact stdout "
+                "records can't back the per-query gate; use the "
+                "BENCH_DETAIL file bench.py writes"
+            )
+            return 2
 
     print(f"totals: cold {old.get('value')} -> {new.get('value')} | "
           f"warm {old.get('warm_total')} -> {new.get('warm_total')} | "
@@ -164,6 +179,22 @@ def main() -> int:
     added = sorted(set(nd) - set(od))
     if added:
         print(f"new queries ({len(added)}): {', '.join(added)}")
+
+    # A query that ERRORED in NEW has a detail row with no timings;
+    # pick_pair would return (ow, None) and the loop below would skip
+    # it silently — a regression-to-crash passing the gate invisibly.
+    # Say it loudly and fail the gate like a timing regression.
+    errored_new = sorted(
+        n for n in set(od) & set(nd) if "err" in nd[n] and "err" not in od[n]
+    )
+    for n in errored_new:
+        print(f"ERRORED in NEW: {n}: {nd[n]['err'][:160]}")
+    recovered = sorted(
+        n for n in set(od) & set(nd) if "err" in od[n] and "err" not in nd[n]
+    )
+    if recovered:
+        print(f"recovered from OLD errors ({len(recovered)}): "
+              f"{', '.join(recovered)}")
 
     regressions = []
     for name in sorted(set(od) & set(nd)):
@@ -190,7 +221,7 @@ def main() -> int:
         print(f"REGRESSION {name}: {ow:.2f}s -> {nw:.2f}s ({ratio:.1f}x){tag}")
     if not regressions:
         print(f"no per-query regression above {threshold}x")
-    return 1 if regressions else 0
+    return 1 if (regressions or errored_new) else 0
 
 
 if __name__ == "__main__":

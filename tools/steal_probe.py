@@ -93,9 +93,11 @@ def burst(nproc: int, sec: float, ncpu: int) -> dict:
         # The short post-spawn settle skips interpreter start-up ramp at
         # the head; sampling then covers exactly `sec` of full occupancy.
         time.sleep(0.3)
+        t_before = time.time()
         before = cpu_sample()
         time.sleep(sec)
         after = cpu_sample()
+        wall = time.time() - t_before
     finally:
         # Always release the children — an exception anywhere above
         # must not leave nproc non-daemon burners for multiprocessing's
@@ -111,8 +113,13 @@ def burst(nproc: int, sec: float, ncpu: int) -> dict:
     if total <= 0:
         return {"error": "empty jiffie window"}
     # USER_HZ is 100 on this class of kernel; nominal = what `nproc`
-    # fully-scheduled cpus would deliver over the sampled window
-    nominal = min(nproc, ncpu) * sec * 100
+    # fully-scheduled cpus would deliver over the sampled window.
+    # Use the MEASURED wall window, not the requested `sec`: on a
+    # contended box time.sleep oversleeps while the children keep
+    # burning, and a requested-duration denominator would overstate
+    # work_ratio exactly when the box is degraded — clearing a box
+    # the probe exists to flag.
+    nominal = min(nproc, ncpu) * wall * 100
     return {
         "procs": nproc,
         "steal_pct": round(100.0 * delta[7] / total, 2),
