@@ -49,14 +49,6 @@ TABLES = [
 ]
 
 
-def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
-
-
 def dtype_report(spark_pd, duck_pd):
     """Per-column dtype comparison; returns a list of human-readable
     mismatch strings (empty == dtype-green).
@@ -136,6 +128,15 @@ def main() -> int:
     import __spark_entry__ as e
     from aiesec_guc_spark.session import get_spark
 
+    qs, oracles = e.queries(), e.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        # A typo'd name must not yield "OK: 0 mismatching" from a gate
+        # that never ran anything (same convention as scale_probe);
+        # checked BEFORE the ~30-60 s session build.
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
     spark = get_spark("oracle_check")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -145,14 +146,21 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        spark_pd = sdf.toPandas()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pd = sdf.toPandas()
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            # One query's crash must not abort the gate for the rest of
+            # the registry: the driver records a per-query err row and
+            # keeps going, so this replica does too.
+            failures += 1
+            print(f"✗ {name:36s} SPARK-ERROR {type(exc).__name__}: {exc}"[:200])
+            continue
         t_spark = time.time() - t0
         sql = oracles.get(name)
         if sql is None:

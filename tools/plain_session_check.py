@@ -86,6 +86,12 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = sorted(set(only) - set(qs))
+    if unknown:
+        # A typo'd name must not yield "OK: 0 mismatching" from a gate
+        # that never ran anything (same convention as oracle_check).
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
     names = [n for n in qs if not only or n in only]
     bad = 0
     for name in names:
@@ -106,7 +112,11 @@ def main() -> int:
                     )
                 )
             else:
-                ok = len(got) >= 0
+                # rows-only: no oracle, but the frame must still be
+                # driver-hashable — an unhashable object column here
+                # sails through a len() check and dies at the real
+                # gate (the CORRECTNESS_r01 multimodal crash class).
+                ok = not unhashable_columns(got, "spark")
             status = "✓" if ok else "✗"
         except Exception as ex:  # noqa: BLE001
             ok, status = False, f"✗ ERROR {type(ex).__name__}: {ex}"

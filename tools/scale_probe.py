@@ -22,7 +22,6 @@ for linear operators, < N where fixed overhead still dominates).
 from __future__ import annotations
 
 import os
-import shutil
 import sys
 import time
 
@@ -223,11 +222,25 @@ def main() -> int:
     # v2 marker: round-9 probes replicate documents/embeddings too —
     # a scratch built by the round-8 script (which copied them) would
     # silently measure the unscaled corpus for the dedup/ANN rows.
+    # The marker also pins the REPLICATION FACTOR: the default scratch
+    # path embeds it, but an explicit SCRATCH_DIR reused with a
+    # different N would otherwise measure the old corpus while
+    # labeling the column with the new factor.
     marker = os.path.join(scratch, "_PROBE_CORPUS_V2")
-    if not os.path.exists(marker):
+    if os.path.exists(marker):
+        built = open(marker).read().strip()
+        if built and built != str(factor):
+            print(
+                f"{scratch} holds a {built}x corpus, not {factor}x — "
+                "pass a different SCRATCH_DIR or remove it first",
+                file=sys.stderr,
+            )
+            return 2
+    else:
         print(f"# building {factor}x corpus at {scratch}", file=sys.stderr)
         build_scaled(spark, scratch, factor)
-        open(marker, "w").close()
+        with open(marker, "w") as fh:
+            fh.write(str(factor))
 
     qs = spark_queries()
     print(f"{'query':<34} {'sf0.1':>8} {'x' + str(factor):>8} {'ratio':>7}")
