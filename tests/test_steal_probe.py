@@ -37,16 +37,21 @@ def test_burst_releases_children_when_sampling_raises(monkeypatch):
     # If anything raises between spawn and stop.set() the children must
     # still be released (finally) — otherwise 32 non-daemon burners hang
     # the interpreter's multiprocessing atexit join at 100% CPU.
+    import threading
     import time as _time
 
     import tools.steal_probe as sp
 
     real_sleep = _time.sleep
-    calls = {"n": 0}
+    here = threading.current_thread()
 
     def exploding_sleep(s):
-        calls["n"] += 1
-        if calls["n"] == 2:  # the sampled-window sleep, after the settle
+        # steal_probe and time are process-global, so this patch is
+        # visible to every thread — under a full suite a live Spark
+        # session's threads also call time.sleep.  Gate on thread AND
+        # duration so only burst()'s sampled-window sleep (0.5 s, after
+        # the 0.3 s settle) explodes, never a bystander's.
+        if threading.current_thread() is here and s == 0.5:
             raise RuntimeError("interrupted mid-window")
         real_sleep(s)
 
