@@ -91,13 +91,26 @@ def fan_out_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     """
     n_cores = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # Planned (not executed) partition count: splits from the file
-    # index — no job runs.
+    # index — no job runs FOR A BARE SCAN, which is the precondition:
+    # every call site passes a fresh load_table frame.  Do NOT pass a
+    # frame with an exchange upstream (join/groupBy/repartition
+    # output) — under AQE, .rdd finalizes the plan and materializes
+    # those upstream stages as real jobs just for this probe.
     if df.rdd.getNumPartitions() * 2 >= n_cores:
         return df
     return df.repartition(n_cores)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The three conf pins below are session-global and deliberately NOT
+    # restored: the driver gate imports the queries into ITS OWN plain
+    # session, so everything correctness-critical must be established
+    # at query-build time and must still hold when the driver triggers
+    # the action later — a try/finally restore would un-pin them before
+    # execution.  The engine owns its session's parquet/timezone
+    # semantics by contract (see .claude/skills/verify: "the driver
+    # session won't have session.py configs").
+    #
     # Best-effort for runtimes ≤4.0 where the vectorized reader rejects
     # TIMESTAMP(NANOS) outright; a silent no-op on 4.1+ (the dtype
     # branch in normalize_ts_column makes that moot).

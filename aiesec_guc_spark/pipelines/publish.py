@@ -47,11 +47,10 @@ class PublishBlocked(RuntimeError):
         super().__init__(f"publish blocked by DQ violations: {violations}")
 
 
-def _render_summary(mart: DataFrame) -> str:
-    rows = mart.count()
-    if rows == 0:
+def _render_summary(n_rows: int) -> str:
+    if n_rows == 0:
         return ""
-    return f"daily ops mart published: {rows} rows"
+    return f"daily ops mart published: {n_rows} rows"
 
 
 def publish_daily(
@@ -90,14 +89,20 @@ def publish_daily(
     # 4. Compact the day just written (tiny marts → one file).
     stats = compact_table(spark, f"{base}/run_date={run_date}")
 
-    # 5. Guarded notification.
+    # 5. Guarded notification.  ONE count job serves both the guard
+    # body and the manifest — a renderer that re-counted would re-scan
+    # the published partition per consumer (run.py's Observation
+    # pattern exists to avoid exactly that).
     published = spark.read.parquet(base).filter(F.col("run_date") == run_date)
-    notified = notify_if_nonempty(published, send=send, renderer=_render_summary)
+    n_rows = published.count()
+    notified = notify_if_nonempty(
+        published, send=send, renderer=lambda _df: _render_summary(n_rows)
+    )
 
     return {
         "run_date": run_date,
         "dq": dq,
-        "n_rows": published.count(),
+        "n_rows": n_rows,
         "compaction": stats,
         "notified": notified,
     }

@@ -176,6 +176,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--smtp-tls", action="store_true", help="STARTTLS before auth")
     args = p.parse_args(argv)
 
+    # Fail at parse time, not mid-pipeline: --base-url with the default
+    # pages=0 yields a zero-partition DataSource scan that pyspark runs
+    # as read(None) -> AttributeError inside an executor task, and
+    # --smtp-host with no recipients raises SMTPRecipientsRefused only
+    # AFTER the whole run (scrape + snapshot + reports) has completed,
+    # losing the notification.
+    if args.base_url and args.pages < 1:
+        p.error("--base-url requires --pages >= 1")
+    if args.smtp_host and not (args.smtp_to or "").strip():
+        p.error("--smtp-host requires --smtp-to")
+
     send: Callable[[str], None] | None = None
     if args.smtp_host:
         from .sinks.smtp import SMTPTransport

@@ -197,6 +197,15 @@ def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
+    # Rerun safety: a previous run's part files must not survive into
+    # this snapshot — fewer/narrower partitions on the rerun (or an
+    # empty partition, which writes nothing) would otherwise leave
+    # stale parts that read_snapshot_dir silently unions with today's
+    # rows.  Same REPLACE-on-rerun contract as write_snapshot's
+    # partition overwrite.
+    for stale in os.listdir(out_dir):
+        if stale.startswith("part-") and stale.endswith((".xlsx", ".csv")):
+            os.remove(os.path.join(out_dir, stale))
     schema = "file string, n_rows long"
 
     def _write(batches):

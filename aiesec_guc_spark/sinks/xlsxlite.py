@@ -152,7 +152,12 @@ def write_xlsx(
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("[Content_Types].xml", _CONTENT_TYPES)
         z.writestr("_rels/.rels", _ROOT_RELS)
-        z.writestr("xl/workbook.xml", _WORKBOOK.format(name=escape(sheet_name)))
+        # escape() alone leaves double quotes intact, which would break
+        # out of the name="..." attribute and corrupt the workbook.
+        z.writestr(
+            "xl/workbook.xml",
+            _WORKBOOK.format(name=escape(sheet_name, {'"': "&quot;"})),
+        )
         z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
         z.writestr("xl/styles.xml", _STYLES)
         z.writestr("xl/worksheets/sheet1.xml", "".join(parts))
@@ -218,7 +223,17 @@ def _sheet_part(z: "zipfile.ZipFile", sheet_name: str | None) -> str:
                     )
                 rid = match[0]
             target = rel_target.get(rid, "")
-            part = target if target.startswith("xl/") else f"xl/{target}"
+            # Targets come in three spec-legal shapes: absolute from
+            # the package root ("/xl/worksheets/sheet2.xml"),
+            # package-rooted without the slash, or relative to xl/.
+            # Misresolving one would fall through to the lexical
+            # fallback and silently read the WRONG sheet.
+            if target.startswith("/"):
+                part = target[1:]
+            elif target.startswith("xl/"):
+                part = target
+            else:
+                part = f"xl/{target}"
             if part in names:
                 return part
     # fallback for minimal workbooks without a rels part

@@ -98,6 +98,31 @@ def test_cli_main_runs_end_to_end(spark, tmp_path):
     assert out_names[0].startswith("new_") and out_names[1].startswith("today_")
 
 
+def test_cli_rejects_incoherent_flag_combinations(tmp_path):
+    # Parse-time validation: --base-url with the default pages=0 would
+    # crash inside an executor task (zero-partition DataSource reads
+    # read(None)); --smtp-host with no recipients would raise
+    # SMTPRecipientsRefused only AFTER the whole pipeline ran.
+    import pytest
+
+    from aiesec_guc_spark.run import main
+
+    base = [
+        "--data-dir", str(tmp_path / "d"),
+        "--out-dir", str(tmp_path / "o"),
+        "--run-date", "2026-08-13",
+    ]
+    for extra in (
+        ["--base-url", "http://localhost:1/listings"],
+        ["--base-url", "http://localhost:1/listings", "--pages", "0"],
+        ["--smtp-host", "localhost"],
+        ["--smtp-host", "localhost", "--smtp-to", "  "],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            main(base + extra)
+        assert exc.value.code == 2
+
+
 def test_email_html_is_full_document(spark):
     today, _ = snapshot_pair(spark)
     html = render_email_html(today)

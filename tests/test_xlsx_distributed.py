@@ -40,6 +40,23 @@ def test_write_creates_one_file_per_nonempty_partition(spark, tmp_path):
     assert sum(r.n_rows for r in manifest) == N_ROWS
 
 
+def test_rerun_replaces_stale_parts(spark, tmp_path):
+    # REPLACE-on-rerun contract: a wider first run's extra part files
+    # must not survive a narrower rerun, or read_snapshot_dir silently
+    # unions yesterday's rows with today's.
+    out = str(tmp_path / "snap")
+    write_snapshot_partitioned(_fixture(spark), out).collect()
+    wide = set(os.listdir(out))
+    rerun = _fixture(spark).limit(3).repartition(1)
+    manifest = write_snapshot_partitioned(rerun, out).collect()
+    files = sorted(f for f in os.listdir(out) if f.endswith((".xlsx", ".csv")))
+    assert len(files) == len(manifest) == 1
+    assert sum(r.n_rows for r in manifest) == 3
+    assert len(wide) > 1  # the first run really did leave multiple parts
+    total = read_snapshot_dir(spark, out).count()
+    assert total == 3
+
+
 def test_roundtrip_is_lossless(spark, tmp_path):
     out = str(tmp_path / "snap")
     df = _fixture(spark)

@@ -28,6 +28,36 @@ def test_roundtrip_values_exact(tmp_path):
     assert rows == ROWS
 
 
+def test_sheet_name_with_double_quote_roundtrips(tmp_path):
+    # escape() alone leaves double quotes intact, which would break out
+    # of workbook.xml's name="..." attribute and corrupt the package.
+    p = str(tmp_path / "q.xlsx")
+    xlsxlite.write_xlsx(p, COLS, ROWS, sheet_name='Q3 "final" & draft')
+    cols, rows = xlsxlite.read_xlsx(p, sheet_name='Q3 "final" & draft')
+    assert cols == COLS and rows == ROWS
+
+
+def test_reader_resolves_absolute_relationship_targets(tmp_path):
+    # Spec-legal rels may address parts absolutely from the package
+    # root ("/xl/worksheets/sheet1.xml"); misresolving must not fall
+    # through to the lexical fallback (which can pick the wrong sheet).
+    p = str(tmp_path / "abs.xlsx")
+    xlsxlite.write_xlsx(p, COLS, ROWS)
+    with zipfile.ZipFile(p) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    rels = parts["xl/_rels/workbook.xml.rels"].decode()
+    assert 'Target="worksheets/sheet1.xml"' in rels
+    parts["xl/_rels/workbook.xml.rels"] = rels.replace(
+        'Target="worksheets/sheet1.xml"',
+        'Target="/xl/worksheets/sheet1.xml"',
+    ).encode()
+    with zipfile.ZipFile(p, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+    cols, rows = xlsxlite.read_xlsx(p)
+    assert cols == COLS and rows == ROWS
+
+
 def test_is_a_real_zip_package_with_required_parts(tmp_path):
     p = str(tmp_path / "t.xlsx")
     xlsxlite.write_xlsx(p, COLS, ROWS)
