@@ -125,6 +125,61 @@ def test_canary_line_refuses_cross_table_parallel_ratio():
     assert "1.00x" in both and "not comparable" not in both
 
 
+def test_canary_line_refuses_cross_regime_ratio():
+    # Round 14: the pre-r14 instrument timed the canary on the
+    # fresh-JVM warm-up plateau (~2-3x steady state); post-r14 records
+    # are steady-state and carry a `regime` marker.  A ratio across the
+    # regimes measures the instrument change, not the box — refuse,
+    # and don't print a parallel ratio either (both probes changed
+    # regime together).
+    old = {"canary": {"median": 0.21, "parallel": {"median": 0.5}}}
+    new = {
+        "canary": {
+            "median": 0.085,
+            "regime": "steady_state_r14",
+            "parallel": {
+                "median": 0.45,
+                "table": "events",
+                "regime": "steady_state_r14",
+            },
+        }
+    }
+    line = canary_line(old, new)
+    assert "regime changed (warmup_v1 -> steady_state_r14)" in line
+    assert "box ratio" not in line and "parallel" not in line
+    # same regime on both sides: ratio prints normally
+    both = canary_line(new, new)
+    assert "box ratio 1.00x" in both and "not comparable" not in both
+
+
+def test_canary_line_refuses_cross_regime_parallel_ratio():
+    # Defense in depth: even with matching top-level regimes, a
+    # parallel sub-record regime mismatch must not print a number
+    # (mirrors the workload-table guard).
+    old = {
+        "canary": {
+            "median": 0.085,
+            "regime": "steady_state_r14",
+            "parallel": {"median": 0.5, "table": "events"},
+        }
+    }
+    new = {
+        "canary": {
+            "median": 0.085,
+            "regime": "steady_state_r14",
+            "parallel": {
+                "median": 0.45,
+                "table": "events",
+                "regime": "steady_state_r14",
+            },
+        }
+    }
+    line = canary_line(old, new)
+    assert "box ratio 1.00x" in line
+    assert "parallel: measurement regime changed" in line
+    assert "0.90x" not in line
+
+
 def _run_main(tmp_path, old: dict, new: dict, monkeypatch):
     import json as _json
     import sys as _sys
@@ -191,8 +246,13 @@ def test_committed_baseline_carries_canary_anchor():
     # always carries the parallel probe) — the sanctioned re-record
     # path from SCALING.md must not turn this pin red.
     assert "provenance" in anchor or "parallel" in anchor
-    # the anchor must actually flow through the attribution line
-    line = canary_line(local, {"canary": {"median": 2 * anchor["median"]}})
+    # the anchor must actually flow through the attribution line (the
+    # probe record copies the anchor's regime so this pin survives the
+    # sanctioned wholesale re-record, which bumps the regime marker)
+    probe = {"median": 2 * anchor["median"]}
+    if "regime" in anchor:
+        probe["regime"] = anchor["regime"]
+    line = canary_line(local, {"canary": probe})
     assert "box ratio 2.00x" in line
 
 

@@ -69,6 +69,18 @@ def canary_line(old: dict, new: dict) -> str:
     if not oc or not nc:
         have = "OLD" if oc else "NEW"
         return f"canary: recorded on {have} side only — box drift not attributable"
+    # Measurement-regime guard (round 14): the pre-r14 instrument timed
+    # the canary on the fresh-JVM warm-up plateau (~2-3x steady state —
+    # see bench.CANARY_WARMUP); post-r14 records are steady-state and
+    # carry a `regime` marker.  A ratio across the two regimes measures
+    # the instrument change, not the box, so name the change instead.
+    oreg = oc.get("regime", "warmup_v1")
+    nreg = nc.get("regime", "warmup_v1")
+    if oreg != nreg:
+        return (
+            f"canary: measurement regime changed ({oreg} -> {nreg}), "
+            f"ratios not comparable"
+        )
     ratio = nc["median"] / oc["median"] if oc["median"] else float("nan")
     line = (
         f"canary: {oc['median']:.4f}s -> {nc['median']:.4f}s "
@@ -88,10 +100,17 @@ def canary_line(old: dict, new: dict) -> str:
         # the change instead of printing a number.
         ot = op.get("table", "events")
         nt = np_.get("table", "events")
+        opr = op.get("regime", "warmup_v1")
+        npr = np_.get("regime", "warmup_v1")
         if ot != nt:
             line += (
                 f" | parallel: workload table changed ({ot} -> {nt}), "
                 f"ratio not comparable"
+            )
+        elif opr != npr:
+            line += (
+                f" | parallel: measurement regime changed "
+                f"({opr} -> {npr}), ratio not comparable"
             )
         else:
             pratio = (
