@@ -131,15 +131,19 @@ def burst(nproc: int, sec: float, ncpu: int) -> dict:
 
 #: Fixed single-thread calibration workload: a pure-Python integer
 #: loop, no JVM, no allocation — its min-of-3 wall time moves ONLY
-#: with effective single-core speed (host clock / scheduling), so it
-#: separates the two degradation mechanisms this VM exhibits:
-#: episodic steal (bursts; see `burst`) vs a BOOT-LEVEL slow state
-#: (r12/r13 finding: canary 1.5-1.7x the fast anchor with steal at
-#: 0.02%).  Cross-session reference: 2026-08-16 (r13) on the
-#: canary-1.58x zero-steal box, spin_min measured 0.606 s (SCALING.md
-#: round-13 note); a fast-box session (canary ~0.09 s) should
-#: re-measure and commit its value — if spin tracks the canary, the
-#: boot-level mechanism is host clock, not JVM state.
+#: with scalar single-core execution speed.  The question it was
+#: built to settle is ANSWERED (r14, SCALING.md "Round-14: the
+#: slow-boot class was mostly instrument warm-up"): spin does NOT
+#: track the JVM canary — measured same-boot 2026-08-16, spin_min
+#: 0.530 while the fully-warm canary hit the fast anchor (0.0852),
+#: then 0.560 (+5.7%) while the canary DOUBLED to ~0.14; every boot
+#: measured in r13-r14 shows spin in the same 0.49-0.61 band.  So
+#: the host-clock hypothesis is rejected: the real host drift is
+#: minute-scale and visible to JVM/memory-bound work only, and most
+#: of the historical "boot class" spread was the old canary
+#: instrument timing the fresh-JVM JIT plateau.  Spin is retained
+#: purely as a steal-independent scalar-CPU witness — it is NOT a
+#: box-speed proxy.
 SPIN_ITERS = 20_000_000
 
 
