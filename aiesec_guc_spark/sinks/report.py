@@ -175,8 +175,10 @@ def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:
     """Distributed presentation snapshot: one workbook PER PARTITION,
     written by executors via ``mapInPandas`` — the scale path that
     ``write_styled_report`` (driver-side collect, presentation edge)
-    deliberately doesn't take.  Returns the manifest (file, n_rows) as
-    a DataFrame; the action that materializes it performs the write.
+    deliberately doesn't take.  Writes EAGERLY (this call runs the
+    job) and returns the materialized manifest (file, n_rows) as a
+    small local DataFrame — O(#partitions) rows, the one acceptable
+    driver-side manifest collect for a file sink.
 
     The row data never moves to the driver: each executor writes
     ``part-{partition_id:05d}.xlsx`` for its slice into ``out_dir``
@@ -197,15 +199,6 @@ def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
-    # Rerun safety: a previous run's part files must not survive into
-    # this snapshot — fewer/narrower partitions on the rerun (or an
-    # empty partition, which writes nothing) would otherwise leave
-    # stale parts that read_snapshot_dir silently unions with today's
-    # rows.  Same REPLACE-on-rerun contract as write_snapshot's
-    # partition overwrite.
-    for stale in os.listdir(out_dir):
-        if stale.startswith("part-") and stale.endswith((".xlsx", ".csv")):
-            os.remove(os.path.join(out_dir, stale))
     schema = "file string, n_rows long"
 
     def _write(batches):
@@ -237,7 +230,27 @@ def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:
             xlsxlite.write_xlsx(path, list(pdf.columns), pdf.values.tolist())
         yield pd.DataFrame({"file": [path], "n_rows": [len(pdf)]})
 
-    return df.mapInPandas(_write, schema=schema)
+    # Write FIRST, clean stale parts AFTER: deleting up front tied to a
+    # lazy manifest destroyed the previous snapshot the moment the
+    # manifest was BUILT, with nothing replacing it until (unless) the
+    # caller ran an action — a failed or never-run action left the
+    # directory emptied.  Eager order keeps delete-and-write atomic
+    # from the caller's view: same-named parts are overwritten in
+    # place, and only a SUCCESSFUL write deletes the leftovers (a
+    # wider previous run's extra parts, which read_snapshot_dir would
+    # otherwise silently union with today's rows — same
+    # REPLACE-on-rerun contract as write_snapshot's partition
+    # overwrite).
+    manifest = df.mapInPandas(_write, schema=schema).collect()
+    written = {os.path.basename(r.file) for r in manifest}
+    for stale in os.listdir(out_dir):
+        if (
+            stale.startswith("part-")
+            and stale.endswith((".xlsx", ".csv"))
+            and stale not in written
+        ):
+            os.remove(os.path.join(out_dir, stale))
+    return df.sparkSession.createDataFrame(manifest, schema=schema)
 
 
 def read_snapshot_dir(spark, path: str) -> DataFrame:

@@ -211,7 +211,6 @@ def _host_attribution(before: list[int] | None) -> dict:
 def run_canary(spark, sf_dir: str) -> dict:
     from aiesec_guc_spark.catalog import load_table
 
-    host_before = _host_cpu_sample()
     nation = load_table(spark, sf_dir, "nation")  # 25 rows at every SF
 
     def scan_agg() -> None:
@@ -224,6 +223,11 @@ def run_canary(spark, sf_dir: str) -> dict:
     # plateau and reads ~2-3x the box's true single-thread latency.
     for _ in range(CANARY_WARMUP):
         scan_agg()
+    # Sample host counters AFTER the warm-up burns so canary.host
+    # covers exactly the timed window — pre-r15 records sampled before
+    # the (r14-added) warm-up, silently widening what "canary window
+    # steal" meant relative to pre-r14 records.
+    host_before = _host_cpu_sample()
     samples: list[float] = []
     for _ in range(CANARY_RUNS):
         t0 = time.time()
@@ -424,13 +428,21 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             detail[name] = {"n": len(runs), "err": errors[name]}
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr, flush=True)
-            spark.catalog.clearCache()
             gc.collect()
             # Same JVM collection as the success path: an errored query
             # may have COMPLETED earlier runs whose localCheckpoint
             # blocks otherwise linger and bleed pauses into later
             # queries (the success path documents the 21 s sample).
-            spark._jvm.System.gc()
+            # Guarded: if the query failed BECAUSE the session/Py4J
+            # bridge died, these JVM round-trips raise inside the
+            # handler and abort the isolate-record-continue loop the
+            # rest of the suite depends on — record and move on, the
+            # next query's own failure will say the session is gone.
+            try:
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — dead session; keep the loop
+                pass
             continue
         timings[name] = runs[0]
         detail[name] = summarize_runs(runs, run_builds)

@@ -225,6 +225,34 @@ def test_main_fails_gate_when_query_errors_in_new(
     assert "recovered from OLD errors (1): q1" in capsys.readouterr().out
 
 
+def test_main_fails_gate_when_added_query_errors_in_new(
+    tmp_path, monkeypatch, capsys
+):
+    # ADVICE r14: a query ADDED since the baseline has no OLD row, so
+    # the shared-key errored-in-NEW scan missed it — a brand-new query
+    # that crashes sat in the informational "new queries" list and the
+    # gate exited 0.  Error rows among `added` must fail the gate too.
+    old = _full_record({"q1": {"cold": 1.0, "warm_min": 1.0}})
+    new = _full_record(
+        {
+            "q1": {"cold": 1.0, "warm_min": 1.0},
+            "q2": {"n": 0, "err": "RuntimeError: new and broken"},
+        }
+    )
+    assert _run_main(tmp_path, old, new, monkeypatch) == 1
+    out = capsys.readouterr().out
+    assert "ERRORED in NEW: q2" in out and "new and broken" in out
+    # an added query that RUNS stays informational — no gate trip
+    ok_new = _full_record(
+        {
+            "q1": {"cold": 1.0, "warm_min": 1.0},
+            "q2": {"cold": 1.0, "warm_min": 1.0},
+        }
+    )
+    assert _run_main(tmp_path, old, ok_new, monkeypatch) == 0
+    assert "new queries (1): q2" in capsys.readouterr().out
+
+
 def test_committed_baseline_carries_canary_anchor():
     """VERDICT r12 ask 2: the committed fast-box BENCH_LOCAL.json must
     carry a canary anchor so a slow-box bench run is self-explaining —

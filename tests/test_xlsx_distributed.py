@@ -57,6 +57,38 @@ def test_rerun_replaces_stale_parts(spark, tmp_path):
     assert total == 3
 
 
+def test_write_is_eager_no_collect_needed(spark, tmp_path):
+    # ADVICE r14: the sink used to delete stale parts at CALL time but
+    # write only when the caller ran an action on the returned
+    # manifest — a never-materialized manifest left the directory
+    # emptied.  The sink is now eager: the call itself performs the
+    # write, and the returned manifest is a small local DataFrame.
+    out = str(tmp_path / "snap")
+    write_snapshot_partitioned(_fixture(spark), out)  # no .collect()
+    files = [f for f in os.listdir(out) if f.endswith((".xlsx", ".csv"))]
+    assert files, "eager sink must have written part files already"
+    assert read_snapshot_dir(spark, out).count() == N_ROWS
+
+
+def test_failed_rerun_preserves_previous_snapshot(spark, tmp_path):
+    # Atomicity from the caller's view: stale-part cleanup happens
+    # only AFTER a successful write, so a rerun whose job fails leaves
+    # the previous snapshot readable instead of an emptied directory.
+    import pytest
+
+    out = str(tmp_path / "snap")
+    write_snapshot_partitioned(_fixture(spark), out)
+    before = sorted(f for f in os.listdir(out) if f.endswith((".xlsx", ".csv")))
+    bad = spark.range(10).select(
+        F.raise_error(F.lit("boom")).alias("opportunity_id")
+    )
+    with pytest.raises(Exception, match="boom"):
+        write_snapshot_partitioned(bad, out)
+    after = sorted(f for f in os.listdir(out) if f.endswith((".xlsx", ".csv")))
+    assert after == before
+    assert read_snapshot_dir(spark, out).count() == N_ROWS
+
+
 def test_roundtrip_is_lossless(spark, tmp_path):
     out = str(tmp_path / "snap")
     df = _fixture(spark)

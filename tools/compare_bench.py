@@ -202,9 +202,13 @@ def main() -> int:
     # A query that ERRORED in NEW has a detail row with no timings;
     # pick_pair would return (ow, None) and the loop below would skip
     # it silently — a regression-to-crash passing the gate invisibly.
-    # Say it loudly and fail the gate like a timing regression.
+    # Say it loudly and fail the gate like a timing regression.  The
+    # scan covers ADDED queries too: a brand-new query that crashes
+    # has no OLD row, so the shared-key scan alone would leave it in
+    # the informational "new queries" list and exit 0.
     errored_new = sorted(
-        n for n in set(od) & set(nd) if "err" in nd[n] and "err" not in od[n]
+        [n for n in set(od) & set(nd) if "err" in nd[n] and "err" not in od[n]]
+        + [n for n in added if "err" in nd[n]]
     )
     for n in errored_new:
         print(f"ERRORED in NEW: {n}: {nd[n]['err'][:160]}")
