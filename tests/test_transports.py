@@ -213,6 +213,43 @@ class _CardHandler(http.server.BaseHTTPRequestHandler):
         pass
 
 
+def test_cli_main_accepts_coherent_transport_flags_end_to_end(spark, tmp_path):
+    """The happy-path twin of the parse-time flag-coherence guards
+    (test_runner.py::test_cli_rejects_incoherent_flag_combinations):
+    the same argparse entry with --base-url + valid --pages AND the
+    SMTP flags must still compose the full pipeline over real loopback
+    protocols after the validation change — guards reject incoherent
+    combinations without taxing coherent ones."""
+    from aiesec_guc_spark.run import main
+
+    web = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _CardHandler)
+    threading.Thread(target=web.serve_forever, daemon=True).start()
+    smtp = MiniSMTPServer()
+    smtp.start()
+    try:
+        rc = main(
+            [
+                "--data-dir", str(tmp_path / "d"),
+                "--out-dir", str(tmp_path / "o"),
+                "--run-date", "2026-08-13",
+                "--base-url", f"http://127.0.0.1:{web.server_port}/listings",
+                "--pages", "2",
+                "--smtp-host", "127.0.0.1",
+                "--smtp-port", str(smtp.port),
+                "--smtp-to", "team@example.org",
+            ]
+        )
+    finally:
+        web.shutdown()
+        web.server_close()
+    assert rc == 0
+    smtp.join(timeout=10)
+    assert len(smtp.messages) == 1  # first run: delta nonempty -> sent
+    out_names = sorted(p.name for p in (tmp_path / "o").iterdir())
+    assert len(out_names) == 2
+    assert out_names[0].startswith("new_") and out_names[1].startswith("today_")
+
+
 def test_pipeline_http_scrape_to_smtp_notify(spark, tmp_path):
     """The reference's full daily run over real protocols, hermetic:
     HTTP pagination → extract → snapshot → delta → styled report →
