@@ -200,11 +200,17 @@ def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:
 
     os.makedirs(out_dir, exist_ok=True)
     schema = "file string, n_rows long"
+    # Internal manifest carries the attempt-unique tmp name so the
+    # driver can promote exactly the WINNING attempt's file (Spark
+    # keeps one attempt's output rows; a retried/speculative loser's
+    # tmp would race a shared name) — stripped before returning.
+    schema_internal = schema + ", tmp string"
 
     def _write(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         chunks = list(batches)
         if not chunks:
             return
@@ -212,45 +218,67 @@ def write_snapshot_partitioned(df: DataFrame, out_dir: str) -> DataFrame:
         if pdf.empty:
             return
         path = os.path.join(out_dir, f"part-{pid:05d}.xlsx")
+        # Tasks write to an attempt-unique .tmp name; the driver
+        # promotes every part only after the WHOLE job succeeds.
+        # In-place writes left a partially-failed rerun as a silent
+        # mixed-generation directory: tasks that finished before the
+        # failure had already overwritten their same-named parts, so
+        # the reader unioned today's parts 0-2 with yesterday's
+        # part 3 and nothing looked wrong.
+        tmp = f"{path}.{ctx.taskAttemptId()}.tmp"
         try:
             import openpyxl
             from openpyxl.styles import Font, PatternFill
 
-            pdf.to_excel(path, index=False)
-            wb = openpyxl.load_workbook(path)
+            # engine is explicit: pandas infers it from the extension
+            # and ".tmp" is not a recognized one
+            pdf.to_excel(tmp, index=False, engine="openpyxl")
+            wb = openpyxl.load_workbook(tmp)
             ws = wb.active
             header_fill = PatternFill("solid", fgColor="1F4E79")
             for cell in ws[1]:
                 cell.font = Font(bold=True, color="FFFFFF")
                 cell.fill = header_fill
-            wb.save(path)
+            wb.save(tmp)
         except ImportError:
             from . import xlsxlite
 
-            xlsxlite.write_xlsx(path, list(pdf.columns), pdf.values.tolist())
-        yield pd.DataFrame({"file": [path], "n_rows": [len(pdf)]})
+            xlsxlite.write_xlsx(tmp, list(pdf.columns), pdf.values.tolist())
+        yield pd.DataFrame(
+            {"file": [path], "n_rows": [len(pdf)], "tmp": [tmp]}
+        )
 
-    # Write FIRST, clean stale parts AFTER: deleting up front tied to a
-    # lazy manifest destroyed the previous snapshot the moment the
-    # manifest was BUILT, with nothing replacing it until (unless) the
-    # caller ran an action — a failed or never-run action left the
-    # directory emptied.  Eager order keeps delete-and-write atomic
-    # from the caller's view: same-named parts are overwritten in
-    # place, and only a SUCCESSFUL write deletes the leftovers (a
-    # wider previous run's extra parts, which read_snapshot_dir would
+    # Write to .tmp FIRST, promote + clean stale parts only AFTER the
+    # job succeeds: deleting up front tied to a lazy manifest
+    # destroyed the previous snapshot the moment the manifest was
+    # BUILT, with nothing replacing it until (unless) the caller ran
+    # an action, and in-place overwrites left a partially-failed
+    # rerun as a mixed-generation directory (see _write).  With
+    # tmp-then-promote, a failed job leaves only dead .tmp files
+    # beside the intact previous snapshot (read_snapshot_dir matches
+    # .xlsx/.csv only), and a successful one atomically-per-file
+    # renames every new part before removing the leftovers (a wider
+    # previous run's extra parts, which read_snapshot_dir would
     # otherwise silently union with today's rows — same
     # REPLACE-on-rerun contract as write_snapshot's partition
     # overwrite).
-    manifest = df.mapInPandas(_write, schema=schema).collect()
+    manifest = df.mapInPandas(_write, schema=schema_internal).collect()
+    for r in manifest:
+        os.replace(r.tmp, r.file)
     written = {os.path.basename(r.file) for r in manifest}
     for stale in os.listdir(out_dir):
-        if (
+        full = os.path.join(out_dir, stale)
+        if stale.endswith(".tmp") and stale.startswith("part-"):
+            os.remove(full)  # losers/orphans from failed attempts
+        elif (
             stale.startswith("part-")
             and stale.endswith((".xlsx", ".csv"))
             and stale not in written
         ):
-            os.remove(os.path.join(out_dir, stale))
-    return df.sparkSession.createDataFrame(manifest, schema=schema)
+            os.remove(full)
+    return df.sparkSession.createDataFrame(
+        [(r.file, r.n_rows) for r in manifest], schema=schema
+    )
 
 
 def read_snapshot_dir(spark, path: str) -> DataFrame:

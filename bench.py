@@ -223,10 +223,13 @@ def run_canary(spark, sf_dir: str) -> dict:
     # plateau and reads ~2-3x the box's true single-thread latency.
     for _ in range(CANARY_WARMUP):
         scan_agg()
-    # Sample host counters AFTER the warm-up burns so canary.host
-    # covers exactly the timed window — pre-r15 records sampled before
-    # the (r14-added) warm-up, silently widening what "canary window
-    # steal" meant relative to pre-r14 records.
+    # Per-probe host windows (ADVICE r14, tightened r15): sample AFTER
+    # the warm-up burns and attribute IMMEDIATELY after the timed
+    # runs, so canary.host covers exactly the timed scheduler-canary
+    # window — r14 records sampled before the warm-up (wider window);
+    # the parallel probe below gets its own window for the same
+    # reason (its all-core warm-up shuffles are the steal-prone phase
+    # and must not contaminate this attribution).
     host_before = _host_cpu_sample()
     samples: list[float] = []
     for _ in range(CANARY_RUNS):
@@ -238,6 +241,7 @@ def run_canary(spark, sf_dir: str) -> dict:
         "runs": samples,
         "min": min(samples),
         "median": sorted(samples)[len(samples) // 2],
+        "host": _host_attribution(host_before),
     }
     # Parallel-throughput canary (round-12 run-5 finding): on this
     # class of host, single-thread job latency and ALL-CORE shuffle
@@ -272,6 +276,7 @@ def run_canary(spark, sf_dir: str) -> dict:
         # steady ~0.3-0.5 s), so time only post-warm-up runs.
         for _ in range(CANARY_PARALLEL_WARMUP):
             shuffle_agg()
+        phost_before = _host_cpu_sample()
         psamples: list[float] = []
         for _ in range(CANARY_RUNS):
             t0 = time.time()
@@ -283,10 +288,10 @@ def run_canary(spark, sf_dir: str) -> dict:
             "runs": psamples,
             "min": min(psamples),
             "median": sorted(psamples)[len(psamples) // 2],
+            "host": _host_attribution(phost_before),
         }
     except Exception as exc:  # noqa: BLE001 — diagnostic, not a gate
         out["parallel"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    out["host"] = _host_attribution(host_before)
     return out
 
 

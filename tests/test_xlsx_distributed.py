@@ -89,6 +89,48 @@ def test_failed_rerun_preserves_previous_snapshot(spark, tmp_path):
     assert read_snapshot_dir(spark, out).count() == N_ROWS
 
 
+def test_partially_failed_rerun_leaves_no_mixed_generation(spark, tmp_path):
+    # The sharper failure mode (code-review r15): with in-place
+    # overwrites, a rerun whose job fails AFTER some tasks completed
+    # left today's parts 0..k silently unioned with yesterday's
+    # k+1..n.  Tasks now write attempt-unique .tmp files and the
+    # driver promotes only after the whole job succeeds, so a partial
+    # failure must leave the previous snapshot byte-identical and a
+    # later successful rerun must sweep the orphaned .tmp files.
+    import pytest
+
+    out = str(tmp_path / "snap")
+    write_snapshot_partitioned(_fixture(spark), out)
+    before = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith((".xlsx", ".csv"))
+    }
+    # partition 0 is clean and small; partition 1 raises mid-scan
+    mixed = (
+        spark.range(4)
+        .repartition(2, "id")
+        .select(
+            F.when(F.col("id") == 2, F.raise_error(F.lit("partial boom")))
+            .otherwise(F.col("id").cast("string"))
+            .alias("opportunity_id")
+        )
+    )
+    with pytest.raises(Exception, match="partial boom"):
+        write_snapshot_partitioned(mixed, out)
+    after = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith((".xlsx", ".csv"))
+    }
+    assert after == before  # same files, untouched mtimes
+    assert read_snapshot_dir(spark, out).count() == N_ROWS
+    # a successful rerun promotes cleanly and sweeps any orphan .tmp
+    write_snapshot_partitioned(_fixture(spark), out)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    assert read_snapshot_dir(spark, out).count() == N_ROWS
+
+
 def test_roundtrip_is_lossless(spark, tmp_path):
     out = str(tmp_path / "snap")
     df = _fixture(spark)
