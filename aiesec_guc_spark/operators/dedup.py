@@ -302,57 +302,75 @@ def lsh_candidate_pairs(band_rows: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def shingle_sets(shingles: DataFrame, id_col: str) -> DataFrame:
+    """(id, _sh_set): per-doc array of DISTINCT shingles, built in ONE
+    map-side-combinable pass (``collect_set`` dedups while it
+    aggregates, so no separate corpus-wide ``.distinct()`` shuffle).
+    Array ORDER is engine-chosen and nondeterministic — every consumer
+    reads only set sizes (``size`` / ``size(array_intersect(...))``),
+    which are order-invariant, so no output value depends on it."""
+    return (
+        shingles.select(F.col(id_col), "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_sh_set"))
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     shingles: DataFrame,
     id_col: str,
     *,
-    pre_distinct: bool = False,
+    pre_grouped: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs.
 
-    intersection via shingle equi-join restricted to candidates;
-    |A ∪ B| = |A| + |B| - |A ∩ B|.  Cost scales with candidate count,
-    not corpus size.
+    r15 shape (guide §2.3/§2.4): each doc's distinct shingles collapse
+    to ONE array row (``shingle_sets``); a candidate pair is verified
+    by two doc-keyed joins and a per-row ``size(array_intersect)`` —
+    |A ∪ B| = |A| + |B| − |A ∩ B|.  The pre-r15 shape exploded every
+    candidate against the (id, shingle) rows (a join carrying
+    Σ|A| rows), re-aggregated per pair, and joined sizes back: four
+    more exchanges over strictly more rows for the same exact counts.
+    Cost still scales with candidate count, not corpus size; a doc's
+    array is bounded by the doc's own shingle count (the same rows the
+    exploded join carried per candidate).
 
-    ``pre_distinct=True`` declares ``shingles`` is ALREADY a
-    materialized distinct (id, shingle) frame — callers that verify
-    several candidate sets against one corpus (the band sweep) build
-    it once instead of paying the explode+distinct per call.
+    ``pre_grouped=True`` declares ``shingles`` is ALREADY a
+    materialized ``shingle_sets`` frame — callers that verify several
+    candidate sets against one corpus (the band sweep) build it once
+    instead of paying the grouped collect per call.
     """
-    # Both reused subtrees are eagerly materialized: `pairs` feeds the
-    # intersection aggregation AND the final left join, and the
-    # distinct shingle set feeds three consumers (sizes + both join
-    # sides) — each would otherwise recompute per consumer (and a
-    # *lazy* persist hits the cache race described in `materialize`).
+    # Both reused subtrees are eagerly materialized: `pairs` feeds no
+    # self-join here but callers hand us lazily-derived candidate
+    # frames whose upstream (band join) must compute exactly once, and
+    # the set frame feeds BOTH doc-keyed join sides — each would
+    # otherwise recompute per consumer (and a *lazy* persist hits the
+    # cache race described in `materialize`).
     pairs = materialize(pairs)
-    shd = (
-        shingles
-        if pre_distinct
-        else materialize(shingles.select(F.col(id_col), "shingle").distinct())
+    sets_ = shingles if pre_grouped else materialize(shingle_sets(shingles, id_col))
+    sa = sets_.select(
+        F.col(id_col).alias("doc_a"), F.col("_sh_set").alias("_set_a")
     )
-    sizes = shd.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    xa = shd.select(F.col(id_col).alias("doc_a"), "shingle")
-    xb = shd.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(xa, on="doc_a")
-        .join(xb, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("icnt"))
+    sb = sets_.select(
+        F.col(id_col).alias("doc_b"), F.col("_sh_set").alias("_set_b")
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        pairs.join(inter, on=["doc_a", "doc_b"], how="left")
-        .withColumn("icnt", F.coalesce(F.col("icnt"), F.lit(0)))
-        .join(sa, on="doc_a")
+        pairs.join(sa, on="doc_a")
         .join(sb, on="doc_b")
+        .withColumn(
+            "icnt", F.size(F.array_intersect("_set_a", "_set_b"))
+        )
         .select(
             "doc_a",
             "doc_b",
             (
                 F.col("icnt").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("icnt"))
+                / (
+                    F.size("_set_a")
+                    + F.size("_set_b")
+                    - F.col("icnt")
+                )
             ).alias("jaccard"),
         )
     )

@@ -47,21 +47,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # r15: carry a per-row changed flag INSIDE the round's
+        # materialized frame instead of joining new vs old labels
+        # afterwards — the convergence check becomes a filter-count
+        # over the already-checkpointed result (zero extra shuffles)
+        # where the old shape paid a full labels⋈labels join per round
+        # (guide §2.4: remove shuffles outright).
         new_labels = materialize(
             labels.join(nmin, labels["id"] == nmin["src"], "left").select(
                 labels["id"],
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nlabel"), F.col("label"))
+                    < F.col("label")
+                ).alias("_chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break
@@ -77,7 +82,15 @@ def connected_components(
 def _large_star(sym: DataFrame) -> DataFrame:
     """One large-star round: every node u links its strictly-larger
     neighbors to min(N(u) ∪ {u}).  Input/output: symmetric edge list
-    (u, v) — output is deduped and NOT symmetric."""
+    (u, v) — output is NOT symmetric and MAY carry duplicates (two
+    neighbors of v can emit the same (v, m) link).
+
+    r15: no trailing ``.distinct()`` — the alternation always feeds
+    this output into ``_small_star``, whose grouped ``min`` is
+    duplicate-invariant and whose own final ``.distinct()`` dedups the
+    relinked rows, so the extra corpus-wide shuffle per round bought
+    nothing (guide §2.4: a distinct on data a downstream aggregate
+    dedups anyway is a removable exchange)."""
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
     return (
@@ -85,7 +98,6 @@ def _large_star(sym: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 

@@ -25,12 +25,47 @@ count-over-all-rows either.
 
 from __future__ import annotations
 
+import os
 from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import materialize
+
+
+def _range_partitions(df: DataFrame) -> int:
+    """Scale-adaptive range-partition count for the offset-merge
+    operators (optimization guide §2: derive partitioning from input
+    size, never from a constant tuned for one deployment).
+
+    The old constant — ``defaultParallelism`` — under-partitions as the
+    input grows: on a 100 TB cluster it makes each range partition hold
+    rows/total-cores (tens of GB per sort task — spill, then OOM).
+    Instead, take the MAX of the session's parallelism and the count
+    that sizes partitions to ``SPARK_GRAFT_RANGE_PART_BYTES`` (default
+    64 MB) from Catalyst's plan-size estimate.  Never go BELOW the
+    session's parallelism: the estimate is of (compressed, projected)
+    plan bytes, and shrinking the count serializes the CPU-bound
+    sort+window that follows — measured this round: lineitem's ~11 MB
+    parquet estimate mapped to 2 range partitions and quadrupled
+    ``weighted_median_price``.  The upper clamp (16×parallelism) keeps
+    a garbage estimate (LogicalRDD inputs default to
+    ``spark.sql.defaultSizeInBytes``) from exploding the task count;
+    the driver-side offset merge stays O(#partitions) either way.
+    """
+    spark = df.sparkSession
+    fallback = max(spark.sparkContext.defaultParallelism, 2)
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:  # pragma: no cover — py4j surface drift
+        return fallback
+    if size <= 0 or size >= (1 << 50):  # absent/garbage estimate
+        return fallback
+    target = int(os.environ.get("SPARK_GRAFT_RANGE_PART_BYTES", str(64 << 20)))
+    return max(fallback, min((size + target - 1) // target, 16 * fallback))
 
 
 def exact_global_rank(
@@ -55,7 +90,7 @@ def exact_global_rank(
     self-joins on it compute the ranking once.
     """
     spark = df.sparkSession
-    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    nparts = _range_partitions(df)
     exprs = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
     ranged = materialize(
         df.repartitionByRange(nparts, *exprs).withColumn(
@@ -148,7 +183,7 @@ def exact_global_cummax(
     of y in x-descending order.
     """
     spark = df.sparkSession
-    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    nparts = _range_partitions(df)
     exprs = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
     ranged = materialize(
         df.repartitionByRange(nparts, *exprs).withColumn(

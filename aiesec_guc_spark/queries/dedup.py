@@ -648,6 +648,17 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution on which THIS variant wins ~3× (stop-grams carry
     >99% of the blocked candidate volume and fall outside every
     prefix).
+
+    Re-examined r15 (optimization round), kept as-is after paired
+    A/B measurements: (a) replacing the ranking window with a per-doc
+    sorted array + slice() timed EQUAL on the build phase (1.36 s vs
+    1.51 s warm at sf0.1 — the doc-keyed exchange dominates either
+    way) and (b) verifying candidates by per-pair array_intersect
+    instead of the exploded gram join timed 1.5× SLOWER (7.98 s →
+    11.71 s warm) because this corpus's prefix excludes almost
+    nothing, so candidate volume × set size favors the codegen'd
+    join.  The array-verify shape IS the r15 win where candidates are
+    sparse — see operators/dedup.jaccard_verify.
     """
     t = 0.2
     # Feeds the frequency agg, the per-doc ranking, and verification
@@ -1588,30 +1599,26 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation; the dedicated fix is min-wise hashing on
     the smaller side's shingles only — same band-join shape.)
     """
+    from ..operators.dedup import shingle_sets
+
     docs = _eligible_docs(spark, sf_dir)
     sigs = _shared_sigs(spark, sf_dir)
     cand = materialize(
         lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
     )
-    shd = materialize(
-        shingle_rows(docs, "doc_id", "text").distinct()
-    )
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    xa = shd.select(F.col("doc_id").alias("doc_a"), "shingle")
-    xb = shd.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(xa, on="doc_a")
-        .join(xb, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("icnt"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # r15: per-doc shingle-SET arrays + per-row array_intersect replace
+    # the exploded candidate⋈shingle join, the per-pair re-aggregation,
+    # and the two size join-backs (same shape change as jaccard_verify;
+    # sizes are array lengths, exact as before).
+    sets_ = materialize(shingle_sets(shingle_rows(docs, "doc_id", "text"), "doc_id"))
+    sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("_sh_set").alias("_set_a"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("_sh_set").alias("_set_b"))
     return (
-        cand.join(inter, on=["doc_a", "doc_b"], how="left")
-        .withColumn("icnt", F.coalesce(F.col("icnt"), F.lit(0)))
-        .join(sa, on="doc_a")
+        cand.join(sa, on="doc_a")
         .join(sb, on="doc_b")
+        .withColumn("icnt", F.size(F.array_intersect("_set_a", "_set_b")))
+        .withColumn("sz_a", F.size("_set_a").cast("bigint"))
+        .withColumn("sz_b", F.size("_set_b").cast("bigint"))
         .filter(F.lit(2) * F.col("icnt") >= F.least("sz_a", "sz_b"))
         .select(
             "doc_a",
@@ -1856,18 +1863,21 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded as degenerate) and a verification bounded by ITS
     candidates.  Precision uses the ×10000-div fixed-point idiom.
     """
-    from ..operators.dedup import lsh_band_keys, materialize, shingle_rows
+    from ..operators.dedup import (
+        lsh_band_keys,
+        materialize,
+        shingle_rows,
+        shingle_sets,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     sigs = materialize(minhash_signatures(d, "doc_id", "text"))
-    # ONE distinct-shingle build shared by every config's verification
-    # (the corpus-sized explode+distinct is the sweep's dominant cost;
-    # per-config it would run #configs times)
-    shd = materialize(
-        shingle_rows(d, "doc_id", "text")
-        .select("doc_id", "shingle")
-        .distinct()
-    )
+    # ONE per-doc shingle-SET build shared by every config's
+    # verification (the corpus-sized explode+grouped-collect is the
+    # sweep's dominant cost; per-config it would run #configs times) —
+    # r15: built directly as the array frame jaccard_verify consumes,
+    # one grouped collect instead of distinct + per-call explode joins.
+    shd = materialize(shingle_sets(shingle_rows(d, "doc_id", "text"), "doc_id"))
 
     out = None
     for b, r in LSH_SWEEP:
@@ -1878,7 +1888,7 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = lsh_candidate_pairs(
             lsh_band_keys(sigs, "doc_id", n_bands=b, n_rows=r), "doc_id"
         )
-        ver = jaccard_verify(cand, shd, "doc_id", pre_distinct=True)
+        ver = jaccard_verify(cand, shd, "doc_id", pre_grouped=True)
         is_dup = (F.col("jaccard") >= SWEEP_DUP_J).cast("int")
         row = ver.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidates"),

@@ -1226,6 +1226,15 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total weight lands as a driver literal.  The pick is a
     filtered min (an exact selected value, cast to double only at the
     output edge).
+
+    Examined and deliberately NOT pre-aggregated (r15, guide §2.3):
+    collapsing to a per-price weight histogram before the rank is
+    output-equivalent (first price whose end-of-group cumulative
+    reaches half ≡ first row's price), but ``l_extendedprice`` is 97%
+    unique in this corpus (583 k distinct / 600 k rows at sf0.1 — the
+    TPC-H price formula is near-injective at every SF), so the "pre-"
+    aggregation reduced nothing and simply ADDED a full shuffle:
+    measured warm 2.05 s → 2.29 s in a paired A/B.  Reverted.
     """
     from ..operators.quantiles import exact_global_rank
 

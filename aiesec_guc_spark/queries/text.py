@@ -1047,7 +1047,13 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     term_tok = cur.select("term", F.size("toks").alias("n_tok"))
-    joined = doc_terms.join(term_tok, on="term", how="left")
+    # r15: the per-word token counts are VOCABULARY-sized (bounded by
+    # the tokenizer's training vocab, tiny next to the exploded
+    # per-occurrence term stream) — broadcast them so the fact-sized
+    # doc_terms side is never shuffled for this join (guide §3.1; the
+    # planner cannot see this from the deep merge-round plan's size
+    # estimate, hence the explicit hint).
+    joined = doc_terms.join(F.broadcast(term_tok), on="term", how="left")
     n_tok_eff = F.coalesce(F.col("n_tok"), F.length("term"))
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_terms"),

@@ -506,10 +506,17 @@ def suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame
     ship − order date > 60 days (no receipt/commit columns), same
     definition as shipping_lateness_priority.
 
-    Scale: lineitem⋈orders on orderkey (one fact-fact shuffle); the
-    per-order distinct pair two-phases on that same key; the waiter
-    join moves only late lineitems of qualifying orders; supplier dim
-    broadcasts for the final name roll-up.
+    Scale (r15): lineitem⋈orders on orderkey (one fact-fact shuffle);
+    the per-order distinct pair is a WINDOW over that same orderkey
+    partitioning — ``size(collect_set(...) over (partition by
+    l_orderkey))`` ≡ the decorrelated ``countDistinct`` aggregate, but
+    it rides the join's exchange (guide §2.4: a window partitioned
+    like the preceding join adds no shuffle) where the old
+    aggregate-then-join-back shape recomputed the entire fact join a
+    second time for the join-back side.  Orders qualify with exactly
+    ONE late supplier, so the per-(order, supplier) dedup collapses to
+    a grouped pick on l_orderkey — again exchange-free on the same
+    key; the supplier dim broadcasts for the final name roll-up.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -522,18 +529,28 @@ def suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame
             F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, 1
         ).otherwise(0).alias("is_late"),
     )
-    per_order = lates.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supps"),
+    w = Window.partitionBy("l_orderkey")
+    # collect_set skips NULLs, exactly like COUNT(DISTINCT CASE ...).
+    enriched = lates.withColumn(
+        "n_supps", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supps",
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).over(w)
+        ),
     )
+    # n_late_supps == 1 ⇒ every late row of the order names the SAME
+    # supplier, so one row per qualifying order ≡ DISTINCT (supp, ord).
     waiters = (
-        lates.filter(F.col("is_late") == 1)
-        .join(per_order, on="l_orderkey")
-        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
-        .select("l_suppkey", "l_orderkey")
-        .distinct()
+        enriched.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("l_suppkey").alias("l_suppkey"))
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -607,13 +624,20 @@ def shipping_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    tot = h.groupBy("suppkey").agg(F.sum("cnt").alias("n"))
+    # r15: per-supplier total as a WINDOW over the histogram instead of
+    # a separate aggregate joined back — the old shape recomputed the
+    # fact join + histogram once per consumer (h fed both `tot` and the
+    # join), and paid two extra exchanges; both windows and the final
+    # roll-up share the suppkey partitioning established once
+    # (guide §2.4).
     w = (
         Window.partitionBy("suppkey")
         .orderBy("days")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = h.join(tot, "suppkey").withColumn("cum", F.sum("cnt").over(w))
+    cum = h.withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("suppkey"))
+    ).withColumn("cum", F.sum("cnt").over(w))
     return cum.groupBy("suppkey").agg(
         F.max("n").cast("bigint").alias("n_shipments"),
         F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("days")))
