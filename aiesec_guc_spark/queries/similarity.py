@@ -458,7 +458,19 @@ def _assign_nearest(e: DataFrame, cents: DataFrame) -> DataFrame:
     Broadcast cross join (K rows) + skinny argmax: only
     (vec_id, cid, sim) rows enter the groupBy shuffle, and max_by's
     order key (sim, -cid) reproduces the oracle's ROW_NUMBER
-    ``ORDER BY sim DESC, cid ASC`` tie-break."""
+    ``ORDER BY sim DESC, cid ASC`` tie-break.
+
+    Re-examined r15 (optimization round), kept after a paired A/B:
+    collecting the K materialized centroids to driver literals and
+    computing the argmax as one narrow ``greatest`` expression (no
+    cross-join shuffle, no argmax re-aggregation, no join-back in the
+    Lloyd update) measured SLOWER — sim_ivf_flat build 5.3 s → 8.6 s,
+    pq_adc warm 3.5 s → 4.5 s at sf0.1 on a comparable box window —
+    because a 16-way interpreted HOF expression tree per row costs
+    more than the join machinery it replaced, and unrolling it into
+    codegen would recompile per round (fresh literals each round).
+    The oracle stayed green bit-for-bit either way; the join form is
+    simply the faster physical shape here."""
     en = e.withColumn("nrm", F.sqrt(hof_dot(F.col("emb"), F.col("emb"))))
     cn = cents.withColumn("cnrm", F.sqrt(hof_dot(F.col("cvec"), F.col("cvec"))))
     sim = hof_dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
