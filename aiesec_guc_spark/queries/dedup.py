@@ -649,16 +649,29 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     >99% of the blocked candidate volume and fall outside every
     prefix).
 
-    Re-examined r15 (optimization round), kept as-is after paired
-    A/B measurements: (a) replacing the ranking window with a per-doc
-    sorted array + slice() timed EQUAL on the build phase (1.36 s vs
-    1.51 s warm at sf0.1 — the doc-keyed exchange dominates either
-    way) and (b) verifying candidates by per-pair array_intersect
-    instead of the exploded gram join timed 1.5× SLOWER (7.98 s →
-    11.71 s warm) because this corpus's prefix excludes almost
-    nothing, so candidate volume × set size favors the codegen'd
-    join.  The array-verify shape IS the r15 win where candidates are
-    sparse — see operators/dedup.jaccard_verify.
+    Re-examined r15 (optimization round): (a) replacing the ranking
+    window with a per-doc sorted array + slice() timed EQUAL on the
+    build phase (1.36 s vs 1.51 s warm at sf0.1 — the doc-keyed
+    exchange dominates either way; kept the window) and (b) verifying
+    candidates by per-pair array_intersect instead of the exploded
+    gram join timed 1.5× SLOWER (7.98 s → 11.71 s warm) because this
+    corpus's prefix excludes almost nothing, so candidate volume ×
+    set size favors the codegen'd join.  The array-verify shape IS
+    the r15 win where candidates are sparse — see
+    operators/dedup.jaccard_verify.
+
+    r15 change that DID land (suffix-decomposed verification — the
+    PPJoin paper's own verify step): the candidate aggregation counts
+    each pair's PREFIX-overlap for free (``groupBy().count()`` rides
+    the exact exchange the old ``.distinct()`` paid), and since
+    |A∩B| = |Apre∩Bpre| + |A∩Bsuf| + |Asuf∩Bpre| (pre/suf partition
+    each doc's gram set), verification only probes the two SUFFIX
+    cross-terms.  Suffixes are the ``ceil(t·sz)−1`` most-frequent
+    grams (~20% of rows here), so the exploded verify stream shrank
+    27.9M → 10.8M rows at sf0.1 and can never exceed the old volume
+    (suffix ⊂ full set).  Measured interleaved A/B at sf0.1: 8.8-13.4
+    s → 5.0-8.0 s warm, identical output (127,787 rows, exceptAll
+    diff 0 both directions).
     """
     t = 0.2
     # Feeds the frequency agg, the per-doc ranking, and verification
@@ -670,19 +683,22 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("gfreq")
     )
     rk_w = Window.partitionBy("doc_id").orderBy("gfreq", "gram")
-    ranked = (
+    # One materialized frame carries the full ranked gram stream with
+    # an in_prefix flag: it feeds both candidate-join sides AND all
+    # four verification probe sides, so the freq join + ranking window
+    # run once (the pre-r15 shape materialized the prefix subset only
+    # and re-read the raw gram frame for verification).
+    ranked = materialize(
         gd.join(freq, on=["lang", "source", "gram"])
         .withColumn("rk", F.row_number().over(rk_w))
         .join(sizes, on="doc_id")
+        .withColumn(
+            "in_prefix",
+            F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1,
+        )
+        .select("lang", "source", "doc_id", "sz", "gram", "in_prefix")
     )
-    # The prefix frame feeds BOTH candidate-join sides; materialized so
-    # the freq join + ranking window run once, not twice (measured
-    # 12.2 s → 7.0 s warm at sf0.1).
-    prefix = materialize(
-        ranked.filter(
-            F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-        ).select("lang", "source", "doc_id", "sz", "gram")
-    )
+    prefix = ranked.filter("in_prefix")
     pa = prefix.select(
         "lang", "source", F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"), "gram",
@@ -691,23 +707,59 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source", F.col("doc_id").alias("doc_b"),
         F.col("sz").alias("sz_b"), "gram",
     )
-    cand = (
+    # groupBy+count replaces the old .distinct() on the SAME exchange
+    # (both are partial-agg + hash exchange + final-agg on these six
+    # columns) and yields pre_icnt = |Apre ∩ Bpre| as a free
+    # by-product.  Materialized: three consumers (the two suffix
+    # probes + the final assembly) would otherwise re-run the
+    # near-quadratic candidate join each.
+    cand = materialize(
         pa.join(pb, on=["lang", "source", "gram"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
             F.least("sz_a", "sz_b")
             >= F.lit(t) * F.greatest("sz_a", "sz_b")
         )
-        .select("lang", "source", "doc_a", "doc_b", "sz_a", "sz_b")
-        .distinct()
-    )
-    ga = gd.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = gd.select(F.col("doc_id").alias("doc_b"), "gram")
-    verified = (
-        cand.join(ga, on="doc_a")
-        .join(gb, on=["doc_b", "gram"])
         .groupBy("lang", "source", "doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("icnt"))
+        .agg(F.count(F.lit(1)).alias("pre_icnt"))
+    )
+    pair = ["lang", "source", "doc_a", "doc_b", "sz_a", "sz_b"]
+    ga_full = ranked.select(F.col("doc_id").alias("doc_a"), "gram")
+    ga_suf = ranked.filter(~F.col("in_prefix")).select(
+        F.col("doc_id").alias("doc_a"), "gram"
+    )
+    gb_suf = ranked.filter(~F.col("in_prefix")).select(
+        F.col("doc_id").alias("doc_b"), "gram"
+    )
+    gb_pre = prefix.select(F.col("doc_id").alias("doc_b"), "gram")
+    # |A ∩ Bsuf|: explode each pair by doc_b's suffix grams, probe
+    # doc_a's full set.
+    c1 = (
+        cand.select(*pair)
+        .join(gb_suf, on="doc_b")
+        .join(ga_full, on=["doc_a", "gram"])
+        .groupBy(*pair)
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    # |Asuf ∩ Bpre|: explode by doc_a's suffix grams, probe doc_b's
+    # prefix — together with pre_icnt and c1 this covers A∩B exactly
+    # (pre/suf partition each doc's distinct gram set).
+    c2 = (
+        cand.select(*pair)
+        .join(ga_suf, on="doc_a")
+        .join(gb_pre, on=["doc_b", "gram"])
+        .groupBy(*pair)
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    verified = (
+        cand.join(c1, on=pair, how="left")
+        .join(c2, on=pair, how="left")
+        .withColumn(
+            "icnt",
+            F.col("pre_icnt")
+            + F.coalesce(F.col("c1"), F.lit(0))
+            + F.coalesce(F.col("c2"), F.lit(0)),
+        )
         .withColumn(
             "jaccard",
             F.col("icnt").cast("double")
