@@ -470,7 +470,19 @@ def _assign_nearest(e: DataFrame, cents: DataFrame) -> DataFrame:
     more than the join machinery it replaced, and unrolling it into
     codegen would recompile per round (fresh literals each round).
     The oracle stayed green bit-for-bit either way; the join form is
-    simply the faster physical shape here."""
+    simply the faster physical shape here.
+
+    Second r15 experiment, also reverted after interleaved A/B: a
+    ``carry=`` variant that rode payload columns (emb / label+emb)
+    through the argmax as a ``max_by(struct(cid, emb), key)`` value so
+    the Lloyd update and the IVF list build could drop their vec_id
+    join-backs.  Oracle stayed bit-identical, but it measured
+    consistently SLOWER on matched canary windows (ann_recall cold
+    9.75-10.06 → 10.49-10.71 s, pq_adc 4.05-4.67 → 4.84-5.02 s):
+    max_by over an array-carrying struct falls off the primitive
+    codegen'd hash-agg path onto object aggregation buffers, which
+    costs more per row than the corpus⋈corpus SMJ it removed.  The
+    skinny-argmax + join-back pair stays."""
     en = e.withColumn("nrm", F.sqrt(hof_dot(F.col("emb"), F.col("emb"))))
     cn = cents.withColumn("cnrm", F.sqrt(hof_dot(F.col("cvec"), F.col("cvec"))))
     sim = hof_dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
