@@ -308,7 +308,19 @@ def shingle_sets(shingles: DataFrame, id_col: str) -> DataFrame:
     aggregates, so no separate corpus-wide ``.distinct()`` shuffle).
     Array ORDER is engine-chosen and nondeterministic — every consumer
     reads only set sizes (``size`` / ``size(array_intersect(...))``),
-    which are order-invariant, so no output value depends on it."""
+    which are order-invariant, so no output value depends on it.
+
+    MEMORY ASSUMPTION (r16, per ADVICE): one row now holds a whole
+    document's distinct shingle set, and ``jaccard_verify`` carries
+    TWO such arrays per candidate row — so per-task memory is bounded
+    by (largest doc's shingle count) × (its candidate fan-out), where
+    the old exploded join streamed those same rows without per-doc
+    concentration.  Fine for document-shaped corpora (a doc's distinct
+    shingles ≤ its token count; this repo's corpora top out at
+    thousands per doc).  If a pathological input appears (single docs
+    with 10⁸+ distinct shingles), cap via a pre-filter on
+    ``size(_sh_set)`` and route oversized docs through the exploded
+    verify instead — do not silently drop them."""
     return (
         shingles.select(F.col(id_col), "shingle")
         .groupBy(id_col)

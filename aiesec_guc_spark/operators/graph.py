@@ -85,6 +85,14 @@ def _large_star(sym: DataFrame) -> DataFrame:
     (u, v) — output is NOT symmetric and MAY carry duplicates (two
     neighbors of v can emit the same (v, m) link).
 
+    CONTRACT (r16, per ADVICE): the output is ONLY valid as input to
+    ``_small_star`` — its grouped ``min`` is duplicate-invariant and
+    its trailing ``.distinct()`` dedups the relinked rows.  A direct
+    consumer that counts rows or compares edge sets against this
+    output would silently mis-count; add the dedup back at the call
+    site if one ever appears (sole caller today:
+    ``connected_components_star``).
+
     r15: no trailing ``.distinct()`` — the alternation always feeds
     this output into ``_small_star``, whose grouped ``min`` is
     duplicate-invariant and whose own final ``.distinct()`` dedups the

@@ -64,8 +64,22 @@ def _range_partitions(df: DataFrame) -> int:
         return fallback
     if size <= 0 or size >= (1 << 50):  # absent/garbage estimate
         return fallback
-    target = int(os.environ.get("SPARK_GRAFT_RANGE_PART_BYTES", str(64 << 20)))
+    target = _range_part_target_bytes()
     return max(fallback, min((size + target - 1) // target, 16 * fallback))
+
+
+def _range_part_target_bytes() -> int:
+    """Validated SPARK_GRAFT_RANGE_PART_BYTES (r16, per ADVICE): a
+    non-numeric value raised ValueError and 0/negative divided by zero
+    or produced nonsense counts, crashing every offset-merge query —
+    bad input now falls back to the 64 MB default."""
+    default = 64 << 20
+    raw = os.environ.get("SPARK_GRAFT_RANGE_PART_BYTES", str(default))
+    try:
+        target = int(raw)
+    except ValueError:
+        return default
+    return target if target > 0 else default
 
 
 def exact_global_rank(

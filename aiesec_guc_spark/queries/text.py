@@ -1047,13 +1047,35 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     term_tok = cur.select("term", F.size("toks").alias("n_tok"))
-    # r15: the per-word token counts are VOCABULARY-sized (bounded by
-    # the tokenizer's training vocab, tiny next to the exploded
-    # per-occurrence term stream) — broadcast them so the fact-sized
-    # doc_terms side is never shuffled for this join (guide §3.1; the
-    # planner cannot see this from the deep merge-round plan's size
-    # estimate, hence the explicit hint).
-    joined = doc_terms.join(F.broadcast(term_tok), on="term", how="left")
+    # r15 added an explicit broadcast of the (term → n_tok) side so
+    # the exploded per-occurrence stream never shuffles for this join
+    # (guide §3.1; the planner can't size the deep merge-round plan).
+    # r16 (ADVICE): that side is the corpus's DISTINCT WORD SET —
+    # corpus-derived and Heaps'-law-growing, NOT bounded by a fixed
+    # tokenizer vocab — so the hint is gated on the corpus scan's
+    # Catalyst size estimate.  Below the cap (default 1 GiB of corpus:
+    # Heaps V ≈ 50·N_tok^0.6 ⇒ ≲5M terms ≈ 150 MB framed, inside
+    # broadcast comfort) the hint keeps the shuffle-free shape; above
+    # it the planner/AQE picks, which scales where a forced broadcast
+    # would OOM the driver.
+    import os as _os
+
+    try:
+        _cap = int(
+            _os.environ.get("SPARK_GRAFT_BPE_BCAST_CORPUS_BYTES", str(1 << 30))
+        )
+    except ValueError:
+        _cap = 1 << 30
+    try:
+        _est = int(
+            d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:  # pragma: no cover — py4j surface drift
+        _est = -1
+    vocab_side = (
+        F.broadcast(term_tok) if 0 < _est <= max(_cap, 1) else term_tok
+    )
+    joined = doc_terms.join(vocab_side, on="term", how="left")
     n_tok_eff = F.coalesce(F.col("n_tok"), F.length("term"))
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_terms"),

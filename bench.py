@@ -130,6 +130,15 @@ def summarize_runs(
     return d
 
 
+def queries_all_map(timings: dict[str, float], detail: dict[str, dict]) -> dict:
+    """{name: [cold, trusted_warm]} for every successfully-timed query
+    — the full-registry map the stdout line publishes (r16, VERDICT
+    r15 item 2) so the driver's PERF/scaling can compare all queries
+    instead of the top-5 overlap.  Errored queries carry no timings
+    and are excluded here exactly as they are from "queries"."""
+    return {n: [detail[n]["cold"], trusted_warm(detail[n])] for n in sorted(timings)}
+
+
 def trusted_warm(d: dict) -> float | None:
     """The warm seconds a TOTAL may add for one detail row.
 
@@ -535,6 +544,16 @@ def main() -> None:
                 # subtotals + the 5 slowest individual queries.  The
                 # complete per-query map lives in detail_file.
                 "queries": slowest,
+                # r16 (VERDICT r15 item 2): the driver's PERF/scaling
+                # comparison consumes THIS line, and with only the
+                # top-5 overlap it could grade 2 of 225 queries.
+                # Publish every query as {name: [cold, trusted_warm]}
+                # — additions-only; "queries" stays the top-5 for
+                # compatibility.  Size check: 225 entries ≈ 9 kB,
+                # total line ≈ 11 kB, safely under the ~20 kB driver
+                # stdout truncation that nulled BENCH_r07/r08 (the
+                # full 20 kB+ detail stays in detail_file).
+                "queries_all": queries_all_map(timings, detail),
                 "families": families,
                 "n_queries": len(timings),
                 # Bounded error summary: a systemic failure (say 200

@@ -121,3 +121,51 @@ def test_host_attribution_reads_linux_counters():
     # off-Linux / first-sample-failed path degrades to loadavg-only
     degraded = bench._host_attribution(None)
     assert "steal_pct" not in degraded
+
+
+def test_queries_all_map_publishes_cold_and_trusted_warm():
+    """r16: the stdout line's full-registry map — cold is the raw
+    first run; the warm slot follows trusted_warm (build-free warm_min
+    when one exists, else the build-excluded cold), and errored
+    queries (absent from timings) never appear."""
+    from bench import queries_all_map
+
+    detail = {
+        "b": summarize_runs([3.0, 1.2, 1.4], [[], [], []]),
+        "a": summarize_runs([9.0, 2.1, 2.0], [[("sig", 7.0)], [], []]),
+        "crashed": {"n": 1, "err": "Boom"},
+    }
+    timings = {"b": 3.0, "a": 9.0}
+    qa = queries_all_map(timings, detail)
+    assert list(qa) == ["a", "b"]  # sorted, errored row excluded
+    assert qa["b"] == [3.0, 1.2]
+    assert qa["a"] == [9.0, 2.0]  # warm pool is build-free
+
+
+def test_queries_all_map_warm_falls_back_when_every_warm_paid_a_build():
+    from bench import queries_all_map
+
+    detail = {"q": summarize_runs([9.0, 8.0], [[("sig", 7.0)], [("sig", 6.0)]])}
+    qa = queries_all_map({"q": 9.0}, detail)
+    # warm_min absorbed a rebuild -> trusted_warm falls back to
+    # cold_ex_shared, so the published warm can't show a phantom.
+    assert qa["q"] == [9.0, 2.0]
+
+
+def test_range_part_target_bytes_validates_env(monkeypatch):
+    """r16 (ADVICE): a non-numeric / zero / negative override of
+    SPARK_GRAFT_RANGE_PART_BYTES must fall back to the 64 MB default
+    instead of crashing every offset-merge query."""
+    from aiesec_guc_spark.operators.quantiles import _range_part_target_bytes
+
+    default = 64 << 20
+    monkeypatch.delenv("SPARK_GRAFT_RANGE_PART_BYTES", raising=False)
+    assert _range_part_target_bytes() == default
+    monkeypatch.setenv("SPARK_GRAFT_RANGE_PART_BYTES", "not-a-number")
+    assert _range_part_target_bytes() == default
+    monkeypatch.setenv("SPARK_GRAFT_RANGE_PART_BYTES", "0")
+    assert _range_part_target_bytes() == default
+    monkeypatch.setenv("SPARK_GRAFT_RANGE_PART_BYTES", "-5")
+    assert _range_part_target_bytes() == default
+    monkeypatch.setenv("SPARK_GRAFT_RANGE_PART_BYTES", str(128 << 20))
+    assert _range_part_target_bytes() == 128 << 20
