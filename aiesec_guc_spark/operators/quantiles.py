@@ -56,13 +56,14 @@ def _range_partitions(df: DataFrame) -> int:
     """
     spark = df.sparkSession
     fallback = max(spark.sparkContext.defaultParallelism, 2)
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
-    except Exception:  # pragma: no cover — py4j surface drift
-        return fallback
-    if size <= 0 or size >= (1 << 50):  # absent/garbage estimate
+    # r16 fix: the original inline int(...sizeInBytes().toString())
+    # raised AttributeError on runtimes where py4j auto-converts the
+    # scala BigInt to a plain int, silently disabling the size-derived
+    # count — the shared accessor handles both surfaces.
+    from ..plans.stats import plan_size_bytes
+
+    size = plan_size_bytes(df)
+    if size is None:  # absent/garbage estimate
         return fallback
     target = _range_part_target_bytes()
     return max(fallback, min((size + target - 1) // target, 16 * fallback))

@@ -97,6 +97,77 @@ def hof_dot(a: Column, b: Column) -> Column:
     )
 
 
+#: Measured unrolled-vs-HOF crossover in DOT EVALUATIONS per plan
+#: instance (r12/r15, dedup_embedding_cosine docstring): the unrolled
+#: kernel pays a ~3-4 s whole-stage recompile on EVERY plan instance
+#: (the generated source embeds instance-specific references, so the
+#: codegen cache never hits across runs — measured r16:
+#: cosine_topk's build is 3.6-7.7 s unrolled vs 0.5-1.4 s HOF at
+#: 2,000 rows, identical output), and that constant amortizes only
+#: past ~600k evaluations, where the interpreted fold's ~100× per-eval
+#: cost takes over.
+UNROLLED_DOT_MIN_EVALS = 600_000
+
+
+def _unrolled_min_evals() -> int:
+    """Validated SPARK_GRAFT_UNROLLED_DOT_MIN_EVALS override (same
+    env hygiene as quantiles._range_part_target_bytes): bad input
+    falls back to the measured default instead of crashing."""
+    import os
+
+    raw = os.environ.get(
+        "SPARK_GRAFT_UNROLLED_DOT_MIN_EVALS", str(UNROLLED_DOT_MIN_EVALS)
+    )
+    try:
+        v = int(raw)
+    except ValueError:
+        return UNROLLED_DOT_MIN_EVALS
+    return v if v > 0 else UNROLLED_DOT_MIN_EVALS
+
+
+def estimated_scan_rows(df, min_row_bytes: int = 256) -> int | None:
+    """Conservative row-count estimate for an embedding-shaped scan,
+    from Catalyst's optimized-plan size estimate (same source as
+    quantiles._range_partitions).
+
+    ``min_row_bytes`` is a LOWER bound on the on-disk bytes of one row
+    (a 64×float32 embedding alone is 256 B and compresses poorly), so
+    the division OVER-estimates rows — which biases the kernel gate
+    below toward ``unrolled``, the scale-safe side.  None when the
+    estimate is absent or garbage (LogicalRDD default-size etc.);
+    callers must treat None as "assume big"."""
+    from ..plans.stats import plan_size_bytes
+
+    size = plan_size_bytes(df)
+    if size is None:
+        return None
+    return max(1, size // max(min_row_bytes, 1))
+
+
+def adaptive_dot(
+    a: Column, b: Column, est_evals: float | None, dim: int = EMBEDDING_DIM
+) -> Column:
+    """Dot product with the kernel chosen by ESTIMATED evaluation
+    count per plan instance — the size-adaptive form of the
+    unrolled-vs-HOF crossover documented per call site since r12
+    (optimization guide §1.2/§2: derive the physical shape from input
+    size, never hard-pick one deployment's winner).
+
+    ``est_evals >= UNROLLED_DOT_MIN_EVALS`` (or unknown ``None``) →
+    ``unrolled_dot``: the ~3-4 s per-instance compile amortizes and
+    each evaluation runs ~100× faster in codegen — the 100 TB shape.
+    Below the crossover → ``hof_dot``: the compile never pays for
+    itself on a small input (the r15 IVF measurements: interpreting
+    64 multiply-adds beats recompiling, 3× end-to-end).
+
+    Both kernels fold 0.0 + t1 + ... + tn in index order, so the
+    resulting doubles are BIT-IDENTICAL — the choice can never change
+    a query's output, only its plan."""
+    if est_evals is None or est_evals >= _unrolled_min_evals():
+        return unrolled_dot(a, b, dim)
+    return hof_dot(a, b)
+
+
 def cosine(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:
     return unrolled_dot(a, b, dim) / (
         F.sqrt(unrolled_dot(a, a, dim)) * F.sqrt(unrolled_dot(b, b, dim))

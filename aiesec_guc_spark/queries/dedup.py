@@ -1013,12 +1013,26 @@ FROM pairs WHERE cosine > 0.3
 """
 
 
-def _dot(a, b) -> F.Column:
-    from ..operators.similarity import EMBEDDING_DIM, unrolled_dot
+def _dot(a, b, est_evals=None) -> F.Column:
+    from ..operators.similarity import adaptive_dot
 
-    # Unrolled for codegen — bit-identical to the HOF fold / the
-    # oracle's list_sum (see operators/similarity.py).
-    return unrolled_dot(a, b, EMBEDDING_DIM)
+    # r16: size-gated kernel (bit-identical doubles either way — see
+    # operators/similarity.py adaptive_dot).  Below the measured ~600k
+    # evaluation crossover the unrolled form's per-plan-instance
+    # recompile dominates; above it (any production corpus) the
+    # codegen'd unrolled form wins ~100× per evaluation.  est_evals
+    # None = assume big (unrolled), the scale-safe default.
+    return adaptive_dot(a, b, est_evals)
+
+
+#: The fixture corpora's within-label candidate fan-out (pairs per
+#: row ≈ block_size/2 ≈ 100 at every SF — FIXTURES.md labels are
+#: ~uniform).  Used only to ESTIMATE the blocked-pair volume for the
+#: kernel gate from the scan's row estimate without paying an extra
+#: counting job; any real corpus is orders of magnitude past the
+#: crossover on the row estimate alone, so gate precision only
+#: matters in the local band where both kernels are seconds apart.
+_EMB_PAIR_FANOUT = 100
 
 
 # Any label block above this row count is subdivided by hyperplane-LSH
@@ -1046,12 +1060,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dot-impl trade, measured at sf0.1 (~200 k blocked pairs): the
     unrolled dot's constant ~4 s whole-stage recompile does NOT
     amortize (interpreted HOF runs the same query in ~1.5-2 s), and
-    the crossover is ≈600 k pairs — but blocked pair count grows
-    linearly with the corpus, so any production scale sits far past
-    the crossover and unrolled is kept deliberately."""
-    from ..operators.similarity import subdivide_oversized_blocks
+    the crossover is ≈600 k pairs — blocked pair count grows linearly
+    with the corpus, so any production scale sits far past the
+    crossover.  r16: instead of hard-picking the production winner,
+    the kernel is SIZE-GATED on that measured crossover
+    (operators/similarity.py adaptive_dot): the estimated pair volume
+    (scan rows × fixture fan-out) selects HOF below ~600 k
+    evaluations and unrolled above — each deployment gets its
+    measured-fastest physical shape, and the doubles are
+    bit-identical either way."""
+    from ..operators.similarity import estimated_scan_rows, subdivide_oversized_blocks
 
-    e = fan_out_scan(spark, load_table(spark, sf_dir, "embeddings"))
+    base = load_table(spark, sf_dir, "embeddings")
+    # r16 kernel gate: per-ROW norms gate on the row estimate; the
+    # per-PAIR dot gates on rows × the fixture fan-out (≈ the 200k
+    # pairs at sf0.1 where HOF measured 1.5-2 s vs unrolled 4-4.6 s —
+    # the crossover documented below).  Estimates read the parquet
+    # scan BEFORE fan_out_scan (LogicalRDD estimates are garbage).
+    rows = estimated_scan_rows(base)
+    pair_evals = None if rows is None else rows * _EMB_PAIR_FANOUT
+    e = fan_out_scan(spark, base)
     guarded = subdivide_oversized_blocks(
         e, ["label"], "embedding", max_block_size=EMB_BLOCK_CAP, on_oversize="error"
     )
@@ -1065,7 +1093,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sub_block",
             "vec_id",
             "embedding",
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+            F.sqrt(
+                _dot(F.col("embedding"), F.col("embedding"), rows)
+            ).alias("nrm"),
         )
     )
     a = with_norm.select(
@@ -1083,7 +1113,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(b, on=["label", "sub_block"]).filter(F.col("vec_a") < F.col("vec_b"))
-    cosine = _dot(F.col("emb_a"), F.col("emb_b")) / (
+    cosine = _dot(F.col("emb_a"), F.col("emb_b"), pair_evals) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.similarity import (
     EMBEDDING_DIM,
+    adaptive_dot,
+    estimated_scan_rows,
     hof_dot,
     hof_weighted_sum,
     plane_weights,
@@ -48,6 +50,13 @@ def _dot(a: Column, b: Column) -> Column:
     # Statically-unrolled for the corpus dimension — stays inside
     # whole-stage codegen (the generic HOF fold is interpreted and
     # ~100x slower in all-pairs loops; see operators/similarity.py).
+    # r16: sites whose evaluation volume is corpus-LINEAR (per-row
+    # norms, probe×N scoring) now route through ``adaptive_dot`` with
+    # a per-site evaluation estimate instead of this unconditional
+    # unrolled form — the ~3-4 s per-plan-instance recompile never
+    # amortizes below ~600k evaluations (measured crossover, see
+    # operators/similarity.py UNROLLED_DOT_MIN_EVALS).  Results are
+    # bit-identical either way (same fold order).
     return unrolled_dot(a, b, EMBEDDING_DIM)
 
 
@@ -91,6 +100,16 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         e = load_table(spark, sf_dir, "embeddings")
+        # r16: evaluation volume here is corpus-LINEAR (2 dots per
+        # corpus row), so the kernel is size-gated: below the ~600k
+        # crossover the unrolled form's per-instance recompile
+        # (measured 3.6-7.7 s vs 0.5-1.4 s HOF on this build at sf0.1)
+        # never amortizes; at production scan sizes the gate picks the
+        # codegen'd unrolled form.  Bit-identical doubles either way.
+        rows = estimated_scan_rows(e)
+        dot = lambda a, b: adaptive_dot(  # noqa: E731
+            a, b, None if rows is None else 2 * rows
+        )
         # The probe's norm is hoisted to the (1-row) probe side:
         # computing sqrt(dot(p,p)) per corpus row would add 64 codegen
         # terms and a third more per-row flops for a value that never
@@ -100,7 +119,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe = e.orderBy("vec_id").limit(1).select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("p"),
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
         )
         scored = (
             e.join(F.broadcast(probe))
@@ -109,9 +128,9 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "label",
                 (
-                    _dot(F.col("embedding"), F.col("p"))
+                    dot(F.col("embedding"), F.col("p"))
                     / (
-                        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
                         * F.col("p_nrm")
                     )
                 ).alias("cosine"),
@@ -754,19 +773,36 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, the same plan holds with the probe side bucketed instead of
     broadcast."""
     e = load_table(spark, sf_dir, "embeddings")
+    # r16: evaluation volume is |probes|×N pairs + N per-row norms —
+    # corpus-linear at a fixed probe count — so the kernel is
+    # size-gated on the same measured ~600k-eval crossover as
+    # cosine_topk (see operators/similarity.py adaptive_dot).
+    rows = estimated_scan_rows(e)
+    dot = lambda a, b: adaptive_dot(  # noqa: E731
+        a, b, None if rows is None else (KNN_PROBES + 1) * rows
+    )
     probes = e.orderBy("vec_id").limit(KNN_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("p"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("p_nrm"),
+    )
+    # The corpus row's norm is hoisted out of the per-pair expression
+    # (one dot per ROW instead of one per probe×row pair — the same
+    # hoist the probe side always had).  Same double: sqrt(dot(e,e))
+    # is computed from the identical expression, only once.
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     scored = (
-        e.join(F.broadcast(probes), e.vec_id != F.col("probe_id"))
+        en.join(F.broadcast(probes), en.vec_id != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
             (
-                _dot(F.col("embedding"), F.col("p"))
-                / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("p_nrm"))
+                dot(F.col("embedding"), F.col("p"))
+                / (F.col("nrm") * F.col("p_nrm"))
             ).alias("cosine"),
         )
     )
@@ -801,11 +837,13 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap scan every embedding pipeline runs before indexing."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    # r16: one dot per row — size-gated kernel (see adaptive_dot).
+    rows = estimated_scan_rows(e)
     return e.select(
         "vec_id",
         "label",
         F.size(emb).cast("int").alias("dim"),
-        F.round(F.sqrt(_dot(emb, emb)), 9).alias("l2_norm"),
+        F.round(F.sqrt(adaptive_dot(emb, emb, rows)), 9).alias("l2_norm"),
         F.round(
             F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
             / F.size(emb),
@@ -1319,8 +1357,12 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import exact_global_rank
 
     e = load_table(spark, sf_dir, "embeddings")
+    # r16: one dot per row — size-gated kernel (see adaptive_dot).
     norms = e.select(
-        "vec_id", _dot(F.col("embedding"), F.col("embedding")).alias("norm2")
+        "vec_id",
+        adaptive_dot(
+            F.col("embedding"), F.col("embedding"), estimated_scan_rows(e)
+        ).alias("norm2"),
     )
     r1, n, _ = exact_global_rank(norms, ["norm2", "vec_id"])
     med = r1.agg(

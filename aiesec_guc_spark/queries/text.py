@@ -1060,20 +1060,19 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would OOM the driver.
     import os as _os
 
+    from ..plans.stats import plan_size_bytes
+
     try:
         _cap = int(
             _os.environ.get("SPARK_GRAFT_BPE_BCAST_CORPUS_BYTES", str(1 << 30))
         )
     except ValueError:
         _cap = 1 << 30
-    try:
-        _est = int(
-            d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
-    except Exception:  # pragma: no cover — py4j surface drift
-        _est = -1
+    _est = plan_size_bytes(d)
     vocab_side = (
-        F.broadcast(term_tok) if 0 < _est <= max(_cap, 1) else term_tok
+        F.broadcast(term_tok)
+        if _est is not None and _est <= max(_cap, 1)
+        else term_tok
     )
     joined = doc_terms.join(vocab_side, on="term", how="left")
     n_tok_eff = F.coalesce(F.col("n_tok"), F.length("term"))
