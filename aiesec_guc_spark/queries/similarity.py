@@ -1478,9 +1478,34 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = e.filter(F.col("vec_id") % MAXSIM_QUERY_MOD != 0)
 
+    # r16: the 16 fused sub-dots are one 256-term expression per pair —
+    # the same compile-vs-interpret trade as adaptive_dot, gated here
+    # on pair volume in dim-64-dot equivalents (each pair scores
+    # 16×16-dim sub-dots ≈ 4 full-width dots; pairs ≈ rows²/97).
+    # Measured at sf0.1 (~41k true pairs): unrolled 3.4-7.1 s vs HOF
+    # 2.8-3.2 s, identical rows.  Both sub-dot forms fold the same
+    # index order ⇒ bit-identical doubles.
+    from ..operators.similarity import _unrolled_min_evals
+
+    rows = estimated_scan_rows(e)
+    est_evals = (
+        None if rows is None else 4 * (rows * rows) // MAXSIM_QUERY_MOD
+    )
+    use_unrolled = est_evals is None or est_evals >= _unrolled_min_evals()
+
     def subdot(a: Column, b: Column, oa: int, ob: int) -> Column:
         from functools import reduce
 
+        if not use_unrolled:
+            return F.aggregate(
+                F.zip_with(
+                    F.slice(a, oa + 1, MAXSIM_SUBDIM),
+                    F.slice(b, ob + 1, MAXSIM_SUBDIM),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         terms = [
             F.element_at(a, oa + k).cast("double")
             * F.element_at(b, ob + k).cast("double")
@@ -1831,47 +1856,55 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = raw.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(m).cast("int").alias("m"),
-                F.expr(f"slice(emb, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})").alias(
-                    "semb"
-                ),
-            )
-            for m in range(PQ_M)
-        ]
-    )
-    sub = e.select("vec_id", F.explode(subs).alias("s")).select(
-        "vec_id",
-        F.col("s.m").alias("m"),
-        (F.col("vec_id") * PQ_M + F.col("s.m")).alias("sid"),
-        F.col("s.semb").alias("semb"),
-    )
-    train = sub.select(F.col("sid").alias("vec_id"), F.col("semb").alias("emb"))
-    cb = _kmeans_centroids(train, dim=PQ_SUBDIM)
 
-    codes = (
-        _assign_nearest(train, cb)
-        .select(
-            F.expr(f"vec_id div {PQ_M}").alias("ovec"),
-            (F.col("vec_id") % PQ_M).cast("int").alias("m"),
-            "cid",
+    # r16 (VERDICT r15 item 1): the corpus prep — trained codebook →
+    # codes → reconstructed (quantized) vectors — is INGEST-time work
+    # a production deployment pays once, so it goes through the same
+    # shared_frame machinery as the IVF/LSH/int8 arms instead of
+    # re-training per invocation; probe scoring below stays live
+    # per-run work.  Deterministic (md5 seed + decimal means), so the
+    # shared frame is bit-stable across consumers.
+    def build_recon() -> DataFrame:
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(m).cast("int").alias("m"),
+                    F.expr(f"slice(emb, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})").alias(
+                        "semb"
+                    ),
+                )
+                for m in range(PQ_M)
+            ]
         )
-    )
-    # recon has exactly one downstream consumer (scored → top-k), so
-    # no materialize: an eager checkpoint here would pay an extra job
-    # and executor-storage residency for zero reuse.
-    recon = (
-        codes.join(F.broadcast(cb), "cid")
-        .groupBy("ovec")
-        .agg(
-            F.expr(
-                "flatten(transform(array_sort(collect_list(struct(m, cvec))),"
-                " s -> s.cvec))"
-            ).alias("remb")
+        sub = e.select("vec_id", F.explode(subs).alias("s")).select(
+            "vec_id",
+            F.col("s.m").alias("m"),
+            (F.col("vec_id") * PQ_M + F.col("s.m")).alias("sid"),
+            F.col("s.semb").alias("semb"),
         )
-    )
+        train = sub.select(F.col("sid").alias("vec_id"), F.col("semb").alias("emb"))
+        cb = _kmeans_centroids(train, dim=PQ_SUBDIM)
+
+        codes = (
+            _assign_nearest(train, cb)
+            .select(
+                F.expr(f"vec_id div {PQ_M}").alias("ovec"),
+                (F.col("vec_id") % PQ_M).cast("int").alias("m"),
+                "cid",
+            )
+        )
+        return (
+            codes.join(F.broadcast(cb), "cid")
+            .groupBy("ovec")
+            .agg(
+                F.expr(
+                    "flatten(transform(array_sort(collect_list(struct(m, cvec))),"
+                    " s -> s.cvec))"
+                ).alias("remb")
+            )
+        )
+
+    recon = _shared(spark, "sim_pq_recon", sf_dir, build_recon)
     probe = e.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("probe_id"),
         F.col("emb").alias("p"),
