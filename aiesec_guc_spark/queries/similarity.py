@@ -471,13 +471,32 @@ LIMIT {TOPK}
 """
 
 
-def _assign_nearest(e: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_nearest(
+    e: DataFrame,
+    cents: DataFrame,
+    est_rows: int | None = None,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
     """(vec_id, cid) of each vector's nearest centroid by cosine.
 
     Broadcast cross join (K rows) + skinny argmax: only
     (vec_id, cid, sim) rows enter the groupBy shuffle, and max_by's
     order key (sim, -cid) reproduces the oracle's ROW_NUMBER
     ``ORDER BY sim DESC, cid ASC`` tie-break.
+
+    r16: the corpus-side dots (per-row norm, row×centroid sim) route
+    through ``adaptive_dot`` — their per-plan-instance evaluation
+    volume is rows and rows×K, which crosses the unrolled kernel's
+    ~600k amortization point at production scan sizes even though the
+    PER-ROW count is bounded by K (the r12 note this replaces compared
+    the wrong denominator: the compile amortizes over the instance's
+    total evals, not per-row evals).  Locally the estimate stays far
+    below the crossover, so the plan keeps the interpreted HOF fold —
+    bit-identical doubles either way (same fold order).  The
+    centroid-side norm stays HOF unconditionally: K rows per instance
+    can never amortize a compile.  ``est_rows=None`` means "assume
+    big" (scale-safe unrolled), so callers without a scan estimate get
+    the 100 TB shape.
 
     Re-examined r15 (optimization round), kept after a paired A/B:
     collecting the K materialized centroids to driver literals and
@@ -502,9 +521,14 @@ def _assign_nearest(e: DataFrame, cents: DataFrame) -> DataFrame:
     codegen'd hash-agg path onto object aggregation buffers, which
     costs more per row than the corpus⋈corpus SMJ it removed.  The
     skinny-argmax + join-back pair stays."""
-    en = e.withColumn("nrm", F.sqrt(hof_dot(F.col("emb"), F.col("emb"))))
+    sim_evals = None if est_rows is None else est_rows * IVF_K
+    en = e.withColumn(
+        "nrm", F.sqrt(adaptive_dot(F.col("emb"), F.col("emb"), est_rows, dim))
+    )
     cn = cents.withColumn("cnrm", F.sqrt(hof_dot(F.col("cvec"), F.col("cvec"))))
-    sim = hof_dot(F.col("emb"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+    sim = adaptive_dot(F.col("emb"), F.col("cvec"), sim_evals, dim) / (
+        F.col("nrm") * F.col("cnrm")
+    )
     return (
         en.crossJoin(F.broadcast(cn))
         .select("vec_id", "cid", sim.alias("sim"))
@@ -540,6 +564,7 @@ def _kmeans_centroids(
     earlier round — and its corpus scans — once per consumer."""
     from ..operators.dedup import materialize
 
+    est_rows = estimated_scan_rows(e)
     cents = materialize(
         e.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(IVF_K)
@@ -547,7 +572,7 @@ def _kmeans_centroids(
     )
     dec = _MEAN_DEC.lower()
     for _ in range(iters):
-        assign = _assign_nearest(e, cents)
+        assign = _assign_nearest(e, cents, est_rows, dim)
         means = (
             e.join(assign, "vec_id")
             .groupBy("cid")
@@ -609,15 +634,15 @@ def similarity_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # Final assignment against the trained centroids — same broadcast
         # argmax as the training rounds (see _assign_nearest: skinny rows,
-        # hoisted norms, deterministic max_by tie-break).  Dots are the
-        # interpreted HOF fold, not the unrolled form: every stage here
-        # evaluates ≤ K dots per row, so the unrolled expression's
-        # multi-second whole-stage recompile (it embeds broadcast relation
-        # ids, so no codegen-cache hit across plan instances) costs far
-        # more than interpreting 64 multiply-adds — measured 3× faster
-        # end-to-end.  Fold order matches unrolled_dot and the oracle's
-        # list_sum, so hashes still match.
-        assign = _assign_nearest(e, cents)
+        # hoisted norms, deterministic max_by tie-break).  Corpus-side
+        # dots are size-gated (adaptive_dot): locally the estimate sits
+        # far below the crossover so the plan keeps the interpreted HOF
+        # fold (measured 3× faster end-to-end at this SF — the unrolled
+        # form recompiles per plan instance); at production scan sizes
+        # the same gate picks the codegen'd kernel.  Fold order matches
+        # unrolled_dot and the oracle's list_sum, so hashes still match.
+        est_rows = estimated_scan_rows(e)
+        assign = _assign_nearest(e, cents, est_rows)
         lists = materialize(e.join(assign, "vec_id"))
 
         probe = e.orderBy("vec_id").limit(1).select(
@@ -639,13 +664,19 @@ def similarity_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = lists.join(F.broadcast(pcents), "cid").filter(
             F.col("vec_id") != F.col("probe_id")
         )
+        # Candidate scoring is corpus-linear (rows×NPROBE/K pairs) —
+        # same size gate; est_rows over-estimates the candidate count,
+        # biasing toward the scale-safe unrolled side.
         scored = cand.select(
             "vec_id",
             "label",
             F.col("cid").cast("bigint").alias("cid"),
             (
-                hof_dot(F.col("emb"), F.col("p"))
-                / (F.sqrt(hof_dot(F.col("emb"), F.col("emb"))) * F.col("p_nrm"))
+                adaptive_dot(F.col("emb"), F.col("p"), est_rows)
+                / (
+                    F.sqrt(adaptive_dot(F.col("emb"), F.col("emb"), est_rows))
+                    * F.col("p_nrm")
+                )
             ).alias("cosine"),
         )
         return (
@@ -1885,8 +1916,13 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         train = sub.select(F.col("sid").alias("vec_id"), F.col("semb").alias("emb"))
         cb = _kmeans_centroids(train, dim=PQ_SUBDIM)
 
+        # Sub-vector rows = PQ_M × corpus rows (the estimate rides the
+        # pre-explode scan, so scale it up by the static fan-out).
+        sub_rows = estimated_scan_rows(e)
         codes = (
-            _assign_nearest(train, cb)
+            _assign_nearest(
+                train, cb, None if sub_rows is None else sub_rows * PQ_M, PQ_SUBDIM
+            )
             .select(
                 F.expr(f"vec_id div {PQ_M}").alias("ovec"),
                 (F.col("vec_id") % PQ_M).cast("int").alias("m"),
@@ -1910,6 +1946,9 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("p"),
         F.sqrt(hof_dot(F.col("emb"), F.col("emb"))).alias("p_nrm"),
     )
+    # ADC scoring is corpus-linear — size-gated like every other
+    # corpus-side dot (HOF locally, unrolled at production scan sizes).
+    adc_rows = estimated_scan_rows(e)
     scored = (
         recon.join(e.select("vec_id", "label"), recon.ovec == F.col("vec_id"))
         .crossJoin(F.broadcast(probe))
@@ -1918,8 +1957,11 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             (
-                hof_dot(F.col("remb"), F.col("p"))
-                / (F.sqrt(hof_dot(F.col("remb"), F.col("remb"))) * F.col("p_nrm"))
+                adaptive_dot(F.col("remb"), F.col("p"), adc_rows)
+                / (
+                    F.sqrt(adaptive_dot(F.col("remb"), F.col("remb"), adc_rows))
+                    * F.col("p_nrm")
+                )
             ).alias("cosine_pq"),
         )
     )

@@ -114,3 +114,26 @@ def test_range_partitions_engages_size_estimate(spark, sf_dir):
     finally:
         q._range_part_target_bytes = old
     assert floor < n_up <= 16 * floor
+
+
+def test_assign_nearest_gate_and_equivalence(spark, sf_dir):
+    """_assign_nearest picks HOF below the crossover and unrolled for
+    unknown/huge estimates (the 100 TB side), with identical rows."""
+    from aiesec_guc_spark.catalog import load_table
+    from aiesec_guc_spark.queries.similarity import _assign_nearest, IVF_K
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = (
+        e.orderBy("vec_id")
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
+    )
+    small = _assign_nearest(e, cents, est_rows=10)
+    big = _assign_nearest(e, cents, est_rows=None)  # assume-big → unrolled
+    assert "aggregate(" in small._jdf.queryExecution().analyzed().toString()
+    assert "element_at" in big._jdf.queryExecution().analyzed().toString()
+    a = sorted((r.vec_id, r.cid) for r in small.collect())
+    b = sorted((r.vec_id, r.cid) for r in big.collect())
+    assert a == b and a
