@@ -116,12 +116,13 @@ def run_streaming_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    # _drain_to_memory runs the stateful stage at 8 partitions (store
-    # init dominates bounded drains) and restores the session conf.
+    # _drain_to_memory sizes the stateful stage's partition count from
+    # the source (floor 8 — Python-stateful drains are Arrow-worker-
+    # parallelism-bound; see _state_partitions) and restores the conf.
     # Update-mode memory sink appends one row per key per batch; the
     # final value per user is the row from the last batch it appeared
     # in — with the single-file corpus there is exactly one.
-    t = _drain_to_memory(spark, out, query_name, "update")
+    t = _drain_to_memory(spark, out, query_name, "update", sf_dir=sf_dir)
     from pyspark.sql import Window, functions as F
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -241,7 +242,7 @@ def run_streaming_twap(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    t = _drain_to_memory(spark, out, query_name, "update")
+    t = _drain_to_memory(spark, out, query_name, "update", sf_dir=sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     final = (
         t.withColumn("_rn", F.row_number().over(w))

@@ -137,3 +137,25 @@ def test_assign_nearest_gate_and_equivalence(spark, sf_dir):
     a = sorted((r.vec_id, r.cid) for r in small.collect())
     b = sorted((r.vec_id, r.cid) for r in big.collect())
     assert a == b and a
+
+
+def test_stream_state_partitions_scale_adaptive(spark, sf_dir, monkeypatch):
+    """Local corpora resolve to the floor (8 — unchanged drain plans);
+    a tiny per-partition target proves the size path engages; bad env
+    falls back to the default instead of crashing."""
+    from aiesec_guc_spark.streaming.incremental import (
+        _state_partitions,
+        _stream_state_part_bytes,
+        STREAM_STATE_PART_BYTES,
+    )
+
+    assert _state_partitions(spark, sf_dir) == "8"
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PART_BYTES", "1024")
+    n_up = int(_state_partitions(spark, sf_dir))
+    cap = max(16 * spark.sparkContext.defaultParallelism, 16)
+    assert 8 < n_up <= cap
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PART_BYTES", "nope")
+    assert _stream_state_part_bytes() == STREAM_STATE_PART_BYTES
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PART_BYTES", "-5")
+    assert _stream_state_part_bytes() == STREAM_STATE_PART_BYTES
+    assert _state_partitions(spark, "/nonexistent-dir-xyz") == "8"
