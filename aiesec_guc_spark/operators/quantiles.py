@@ -83,10 +83,56 @@ def _range_part_target_bytes() -> int:
     return target if target > 0 else default
 
 
+def _single_part_cap_bytes() -> int:
+    """Byte cap under which the offset-merge machinery is pure
+    overhead and the one-partition window plan is the least-work plan
+    (r16, guide §1.2: choose the algorithm by input size).
+
+    Defaults to the SAME per-range-partition byte target as
+    ``_range_partitions`` — if the whole input fits inside ONE range
+    partition's budget, splitting it across ``defaultParallelism``
+    range partitions buys no parallelism the task size needed, while
+    paying a range-sampling pass, a checkpoint, a driver offset
+    collect and a broadcast join per call.  ``SPARK_GRAFT_RANK_SMALL_BYTES``
+    overrides (validated like its siblings); <= 0 disables the small
+    path outright (the plan-shape tests use this to pin the scale
+    plan).
+    """
+    raw = os.environ.get("SPARK_GRAFT_RANK_SMALL_BYTES")
+    if raw is None:
+        return _range_part_target_bytes()
+    try:
+        return int(raw)
+    except ValueError:
+        return _range_part_target_bytes()
+
+
+def _fits_single_partition(df: DataFrame, est_bytes: int | None) -> bool:
+    """True when ``df`` is estimated to fit in a single range
+    partition's byte budget, so the operators below may plan ONE
+    partitioned-by-nothing window instead of the offset merge.
+
+    ``est_bytes`` lets a caller supply its own upper bound for inputs
+    whose Catalyst estimate is absent (None falls back to the plan
+    estimate; unknown estimates pick the scale-safe offset path).
+    The estimate is of the operator's INPUT plan — at production scan
+    sizes it is orders of magnitude above the cap, so the offset
+    merge is untouched exactly where it matters.
+    """
+    cap = _single_part_cap_bytes()
+    if cap <= 0:
+        return False
+    from ..plans.stats import plan_size_bytes
+
+    size = est_bytes if est_bytes is not None else plan_size_bytes(df)
+    return size is not None and size <= cap
+
+
 def exact_global_rank(
     df: DataFrame,
     order_exprs: list[str | Column],
     sum_col: str | None = None,
+    est_bytes: int | None = None,
 ) -> tuple[DataFrame, int, object]:
     """Append an exact global ``_grank`` (= ``row_number`` over
     ``order_exprs``) — and, when ``sum_col`` is given, an exact
@@ -103,10 +149,46 @@ def exact_global_rank(
 
     The returned frame is materialized (lineage-truncated), so
     self-joins on it compute the ranking once.
+
+    Size gate (r16, guide §1.2): when the input plan's byte estimate
+    fits one range partition's budget (``_fits_single_partition``),
+    the offset-merge machinery cannot add parallelism the task size
+    needed and its fixed costs (range-sampling pass, checkpoint,
+    driver collect, broadcast join) dominate — so the operator plans
+    the direct one-partition window instead.  Both paths produce
+    IDENTICAL ranks/cumsums: same strict total order, same
+    ``row_number``/running-sum semantics, exact decimal arithmetic in
+    both (float ``sum_col`` totals could differ in last-bit rounding
+    between the two fold orders; every registry caller sums decimals).
+    Unknown estimates take the offset path — the scale-safe side.
     """
     spark = df.sparkSession
+    exprs_gate = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
+    if _fits_single_partition(df, est_bytes):
+        w = Window.orderBy(*exprs_gate)
+        out = df.withColumn("_grank", F.row_number().over(w).cast("long"))
+        if sum_col is not None:
+            out = out.withColumn(
+                "_gcumsum",
+                F.sum(sum_col).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+        out = materialize(out)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        if sum_col is not None:
+            aggs.append(F.sum(sum_col).alias("_s"))
+        trow = out.agg(*aggs).collect()[0]
+        total = trow["_n"]
+        tsum = None
+        if sum_col is not None:
+            sum_type = dict(out.dtypes)["_gcumsum"]
+            tsum = trow["_s"]
+            if tsum is None:  # empty input — match the offset path's seed
+                tsum = Decimal(0) if sum_type.startswith("decimal") else 0
+        return out, total, tsum
     nparts = _range_partitions(df)
-    exprs = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
+    exprs = exprs_gate
     ranged = materialize(
         df.repartitionByRange(nparts, *exprs).withColumn(
             "_pid", F.spark_partition_id()
@@ -153,7 +235,12 @@ def exact_global_rank(
     return out.drop(*drop), racc, sacc
 
 
-def exact_ntile(df: DataFrame, order_cols: list[str], n_buckets: int) -> DataFrame:
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    est_bytes: int | None = None,
+) -> DataFrame:
     """Append an exact ``bucket`` column (1..n_buckets, native-ntile
     semantics over ``order_cols``) without any global sort.
 
@@ -161,7 +248,7 @@ def exact_ntile(df: DataFrame, order_cols: list[str], n_buckets: int) -> DataFra
     tie-break key) — equal keys across a partition boundary would
     otherwise make the range partitioning's split nondeterministic.
     """
-    ranked, total, _ = exact_global_rank(df, list(order_cols))
+    ranked, total, _ = exact_global_rank(df, list(order_cols), est_bytes=est_bytes)
     q, rem = divmod(total, n_buckets)
     cut = rem * (q + 1)
     grank = F.col("_grank")
@@ -181,6 +268,7 @@ def exact_global_cummax(
     df: DataFrame,
     order_exprs: list[str | Column],
     max_col: str,
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """Append ``_gcummax_excl``: the exact running max of ``max_col``
     over all STRICTLY EARLIER rows in the global order (exclusive
@@ -196,10 +284,22 @@ def exact_global_cummax(
     Used by the Pareto-frontier (skyline) query: dominance against
     "any strictly-better-on-x row" is exactly an exclusive prefix max
     of y in x-descending order.
+
+    Size gate (r16): same single-partition small path as
+    ``exact_global_rank`` — a one-window LAZY plan (no totals are
+    returned, so the small path runs zero extra jobs; a caller that
+    consumes the result twice recomputes the tiny window, which is
+    cheaper than the checkpoint it replaces).
     """
     spark = df.sparkSession
-    nparts = _range_partitions(df)
     exprs = [F.col(c) if isinstance(c, str) else c for c in order_exprs]
+    if _fits_single_partition(df, est_bytes):
+        w = Window.orderBy(*exprs)
+        return df.withColumn(
+            "_gcummax_excl",
+            F.max(max_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+    nparts = _range_partitions(df)
     ranged = materialize(
         df.repartitionByRange(nparts, *exprs).withColumn(
             "_pid", F.spark_partition_id()

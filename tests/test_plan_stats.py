@@ -159,3 +159,47 @@ def test_stream_state_partitions_scale_adaptive(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PART_BYTES", "-5")
     assert _stream_state_part_bytes() == STREAM_STATE_PART_BYTES
     assert _state_partitions(spark, "/nonexistent-dir-xyz") == "8"
+
+
+def test_rank_small_path_gate(spark, sf_dir, monkeypatch):
+    """The r16 offset-merge size gate: sub-cap inputs plan the direct
+    one-partition window (no range repartition anywhere in the plan),
+    the cap is env-validated, and <=0 / unknown estimates keep the
+    scale-safe offset path."""
+    from aiesec_guc_spark.catalog import load_table
+    from aiesec_guc_spark.operators.quantiles import (
+        _fits_single_partition,
+        _single_part_cap_bytes,
+        exact_global_rank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"), "l_orderkey", "l_linenumber"
+    )
+    # tiny local scan: gate engages by default
+    assert _fits_single_partition(li, None)
+    ranked, n, _ = exact_global_rank(li, ["price", "l_orderkey", "l_linenumber"])
+    assert n == li.count()
+    # the small path checkpointed a one-window plan: nothing range-
+    # partitioned survives in the returned frame's lineage, and the
+    # physical plan that produced it had no RangePartitioning (probe
+    # the un-checkpointed shape directly)
+    from pyspark.sql import Window as W
+
+    probe = li.withColumn(
+        "_grank", F.row_number().over(W.orderBy("price", "l_orderkey", "l_linenumber"))
+    )
+    assert "rangepartitioning" not in probe._jdf.queryExecution().executedPlan().toString().lower()
+
+    # env validation: bad values fall back to the range-partition target
+    monkeypatch.setenv("SPARK_GRAFT_RANK_SMALL_BYTES", "nope")
+    assert _single_part_cap_bytes() == 64 << 20
+    # <=0 disables the small path outright
+    monkeypatch.setenv("SPARK_GRAFT_RANK_SMALL_BYTES", "0")
+    assert not _fits_single_partition(li, None)
+    # unknown estimate -> scale-safe offset path
+    monkeypatch.delenv("SPARK_GRAFT_RANK_SMALL_BYTES")
+    assert not _fits_single_partition(li, 1 << 60)  # caller says huge
+    rdd_df = spark.createDataFrame([(1.0, 1, 1)], "price double, l_orderkey int, l_linenumber int")
+    # est_bytes hint engages the gate regardless of plan stats
+    assert _fits_single_partition(rdd_df, 10)

@@ -3,6 +3,7 @@ designed around must actually appear in the executed plan."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -96,25 +97,36 @@ def test_multiprobe_broadcasts_probe_buckets(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_deciles_has_no_single_partition_window(spark, sf_dir):
+def test_deciles_has_no_single_partition_window(spark, sf_dir, monkeypatch):
     # Exact ntile is computed via range-partitioned local ranks + an
-    # offset merge — the plan must never funnel all rows through one
-    # window task (Exchange SinglePartition feeding a Window).
+    # offset merge — at scale the plan must never funnel all rows
+    # through one window task (Exchange SinglePartition feeding a
+    # Window).  The r16 size gate picks a one-partition window for
+    # sub-64MB inputs, so pin the SCALE plan with the gate disabled.
+    monkeypatch.setenv("SPARK_GRAFT_RANK_SMALL_BYTES", "0")
     df = spark_queries()["customer_acctbal_deciles"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "Window" in plan  # local per-range-partition row_number
     assert "SinglePartition" not in plan
 
 
-def test_offset_merge_rank_queries_have_no_global_window(spark, sf_dir):
+def test_offset_merge_rank_queries_have_no_global_window(
+    spark, sf_dir, monkeypatch
+):
     # The five global-rank queries route through the offset-merge
-    # exact rank (operators/quantiles.py): physical Window nodes must
-    # ALL be partitioned — a partition-less Window would funnel the
-    # whole ranked frame through one task at 100 TB.  (String-matching
-    # "SinglePartition" would false-positive on the legitimate final
-    # 1-row aggregates, so this inspects WindowExec.partitionSpec.)
+    # exact rank (operators/quantiles.py): at scale, physical Window
+    # nodes must ALL be partitioned — a partition-less Window would
+    # funnel the whole ranked frame through one task at 100 TB.
+    # (String-matching "SinglePartition" would false-positive on the
+    # legitimate final 1-row aggregates, so this inspects
+    # WindowExec.partitionSpec.)  The r16 size gate is disabled so the
+    # test pins the scale plan, not the small-input plan the tiny test
+    # corpus would otherwise pick (the small path's window also hides
+    # behind the materialize checkpoint, making the default assertion
+    # vacuous here).
     from aiesec_guc_spark.plans.explain import global_window_count
 
+    monkeypatch.setenv("SPARK_GRAFT_RANK_SMALL_BYTES", "0")
     for name in (
         "funnel_conversion_latency",
         "pareto_revenue_concentration",
@@ -665,15 +677,18 @@ def test_curation_queries_shapes(spark, sf_dir):
         assert r["n_kept"] == min(r["n_before"], r["n_target"])
 
 
-def test_exact_global_rank_matches_naive_window(spark):
-    """exact_global_rank (the offset-merge primitive now under eight
-    registry queries) must reproduce the naive global row_number AND
-    inclusive running sum bit-for-bit on a skewed input — including a
-    descending order and decimal cumulative sums — while planning no
-    partition-less Window."""
+@pytest.mark.parametrize("small_bytes", ["0", str(1 << 30)])
+def test_exact_global_rank_matches_naive_window(spark, monkeypatch, small_bytes):
+    """exact_global_rank must reproduce the naive global row_number
+    AND inclusive running sum bit-for-bit on a skewed input —
+    including a descending order and decimal cumulative sums — on
+    BOTH paths of the r16 size gate: the offset merge (gate disabled:
+    no partition-less Window in the plan) and the single-partition
+    small path (gate forced wide open)."""
     from aiesec_guc_spark.operators.quantiles import exact_global_rank
     from aiesec_guc_spark.plans.explain import global_window_count
 
+    monkeypatch.setenv("SPARK_GRAFT_RANK_SMALL_BYTES", small_bytes)
     n = 20_000
     # 99% of rows share one hot key; unique id breaks ties
     df = spark.range(n).select(
@@ -690,7 +705,11 @@ def test_exact_global_rank_matches_naive_window(spark):
         r["id"]: (r["_grank"], r["_gcumsum"])
         for r in ranked.collect()
     }
-    assert global_window_count(ranked) == 0
+    if small_bytes == "0":
+        assert global_window_count(ranked) == 0
+    # both paths return the same schema (grank long, cumsum exact sum dtype)
+    assert dict(ranked.dtypes)["_grank"] == "bigint"
+    assert dict(ranked.dtypes)["_gcumsum"].startswith("decimal")
 
     w = Window.orderBy(F.desc("v"), F.asc("id"))
     naive = df.select(
@@ -723,12 +742,15 @@ def test_exact_global_rank_empty_and_single_row(spark):
     assert [r["_grank"] for r in ranked.collect()] == [1]
 
 
-def test_round8_ops_plan_shapes(spark, sf_dir):
+def test_round8_ops_plan_shapes(spark, sf_dir, monkeypatch):
     # E140/E142/E143 scale shapes: the CMS probe set and the MaxSim
     # query set broadcast (never a fact-sized shuffle side); the
     # embedding-QA ranks run through the offset merge (no
-    # partition-less Window); nothing plans a cartesian product.
+    # partition-less Window — r16 size gate disabled so the scale
+    # plan is what gets pinned); nothing plans a cartesian product.
     from aiesec_guc_spark.plans.explain import global_window_count
+
+    monkeypatch.setenv("SPARK_GRAFT_RANK_SMALL_BYTES", "0")
 
     q = spark_queries()
     cms = q["events_heavy_hitters_cms"](spark, sf_dir)
@@ -789,14 +811,17 @@ def test_boilerplate_screen_broadcasts_source_totals(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_exact_global_cummax_matches_naive_window(spark):
+@pytest.mark.parametrize("small_bytes", ["0", str(1 << 30)])
+def test_exact_global_cummax_matches_naive_window(spark, monkeypatch, small_bytes):
     """exact_global_cummax (under pareto_frontier_customers) must
     reproduce the naive EXCLUSIVE global prefix max bit-for-bit on a
-    skewed input — NULL for the global first row — while planning no
-    partition-less Window."""
+    skewed input — NULL for the global first row — on BOTH paths of
+    the r16 size gate (offset merge plans no partition-less Window;
+    the small path IS the one-window plan)."""
     from aiesec_guc_spark.operators.quantiles import exact_global_cummax
     from aiesec_guc_spark.plans.explain import global_window_count
 
+    monkeypatch.setenv("SPARK_GRAFT_RANK_SMALL_BYTES", small_bytes)
     n = 20_000
     df = spark.range(n).select(
         F.when(F.col("id") % 100 < 99, 7).otherwise(F.col("id") % 100).alias("v"),
@@ -804,7 +829,7 @@ def test_exact_global_cummax_matches_naive_window(spark):
         ((F.col("id") * 37) % 1009).cast("double").alias("y"),
     )
     swept = exact_global_cummax(df, [F.desc("v"), F.asc("id")], "y")
-    assert global_window_count(swept) == 0
+    assert global_window_count(swept) == (0 if small_bytes == "0" else 1)
     got = {r["id"]: r["_gcummax_excl"] for r in swept.collect()}
 
     w = Window.orderBy(F.desc("v"), F.asc("id"))
@@ -817,11 +842,14 @@ def test_exact_global_cummax_matches_naive_window(spark):
     assert sum(1 for x in got.values() if x is None) == 1  # global first row
 
 
-def test_pareto_frontier_no_global_window(spark, sf_dir):
+def test_pareto_frontier_no_global_window(spark, sf_dir, monkeypatch):
     # E151: the skyline sweep must never plan a partition-less window
-    # or a cartesian dominance product.
+    # or a cartesian dominance product AT SCALE — pinned with the r16
+    # size gate disabled (the tiny test corpus legitimately takes the
+    # one-window small path by default).
     from aiesec_guc_spark.plans.explain import global_window_count
 
+    monkeypatch.setenv("SPARK_GRAFT_RANK_SMALL_BYTES", "0")
     df = spark_queries()["pareto_frontier_customers"](spark, sf_dir)
     assert global_window_count(df) == 0
     assert "CartesianProduct" not in formatted_plan(df)
