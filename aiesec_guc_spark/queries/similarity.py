@@ -1524,46 +1524,80 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     use_unrolled = est_evals is None or est_evals >= _unrolled_min_evals()
 
-    def subdot(a: Column, b: Column, oa: int, ob: int) -> Column:
-        from functools import reduce
+    if use_unrolled:
 
-        if not use_unrolled:
+        def subdot(a: Column, b: Column, oa: int, ob: int) -> Column:
+            from functools import reduce
+
+            terms = [
+                F.element_at(a, oa + k).cast("double")
+                * F.element_at(b, ob + k).cast("double")
+                for k in range(1, MAXSIM_SUBDIM + 1)
+            ]
+            return reduce(lambda acc, t: acc + t, terms)
+
+        maxes = [
+            F.greatest(
+                *[
+                    subdot(
+                        F.col("qe"),
+                        F.col("embedding"),
+                        i * MAXSIM_SUBDIM,
+                        j * MAXSIM_SUBDIM,
+                    )
+                    for j in range(MAXSIM_SUBVECS)
+                ]
+            )
+            for i in range(MAXSIM_SUBVECS)
+        ]
+        pair_src = d.join(F.broadcast(q))
+    else:
+        # r16b: slice each side's sub-vectors ONCE PER ROW before the
+        # pair join — the HOF form previously re-sliced both 64-wide
+        # arrays inside every (i, j) sub-dot, 32 array allocations per
+        # scored pair, all interpreted.  slice-then-zip_with folds the
+        # same index order as zip_with-over-slices, so the doubles are
+        # bit-identical; only where the slice happens moves.
+        q = q.select(
+            "query_id",
+            *[
+                F.slice("qe", i * MAXSIM_SUBDIM + 1, MAXSIM_SUBDIM).alias(
+                    f"_q{i}"
+                )
+                for i in range(MAXSIM_SUBVECS)
+            ],
+        )
+        d_pre = d.select(
+            "vec_id",
+            *[
+                F.slice(
+                    "embedding", j * MAXSIM_SUBDIM + 1, MAXSIM_SUBDIM
+                ).alias(f"_d{j}")
+                for j in range(MAXSIM_SUBVECS)
+            ],
+        )
+
+        def subdot_pre(i: int, j: int) -> Column:
             return F.aggregate(
                 F.zip_with(
-                    F.slice(a, oa + 1, MAXSIM_SUBDIM),
-                    F.slice(b, ob + 1, MAXSIM_SUBDIM),
+                    F.col(f"_q{i}"),
+                    F.col(f"_d{j}"),
                     lambda x, y: x.cast("double") * y.cast("double"),
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-        terms = [
-            F.element_at(a, oa + k).cast("double")
-            * F.element_at(b, ob + k).cast("double")
-            for k in range(1, MAXSIM_SUBDIM + 1)
-        ]
-        return reduce(lambda acc, t: acc + t, terms)
 
-    maxes = [
-        F.greatest(
-            *[
-                subdot(
-                    F.col("qe"),
-                    F.col("embedding"),
-                    i * MAXSIM_SUBDIM,
-                    j * MAXSIM_SUBDIM,
-                )
-                for j in range(MAXSIM_SUBVECS)
-            ]
-        )
-        for i in range(MAXSIM_SUBVECS)
-    ]
+        maxes = [
+            F.greatest(*[subdot_pre(i, j) for j in range(MAXSIM_SUBVECS)])
+            for i in range(MAXSIM_SUBVECS)
+        ]
+        pair_src = d_pre.join(F.broadcast(q))
+
     score = maxes[0]
     for m in maxes[1:]:
         score = score + m
-    scored = d.join(F.broadcast(q)).select(
-        "query_id", "vec_id", score.alias("maxsim")
-    )
+    scored = pair_src.select("query_id", "vec_id", score.alias("maxsim"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("vec_id"))

@@ -203,3 +203,24 @@ def test_rank_small_path_gate(spark, sf_dir, monkeypatch):
     rdd_df = spark.createDataFrame([(1.0, 1, 1)], "price double, l_orderkey int, l_linenumber int")
     # est_bytes hint engages the gate regardless of plan stats
     assert _fits_single_partition(rdd_df, 10)
+
+
+def test_maxsim_presliced_hof_equals_unrolled(spark, sf_dir, monkeypatch):
+    """similarity_maxsim's two sub-dot forms (r16b pre-sliced HOF below
+    the crossover, unrolled at/above it) must return identical rows —
+    slice-then-zip_with folds the same index order as
+    zip_with-over-slices, so even the doubles are bit-equal."""
+    from aiesec_guc_spark.queries import spark_queries
+
+    q = spark_queries()["similarity_maxsim"]
+    monkeypatch.setenv("SPARK_GRAFT_UNROLLED_DOT_MIN_EVALS", "1")
+    unrolled = q(spark, sf_dir)
+    assert "element_at" in unrolled._jdf.queryExecution().analyzed().toString()
+    monkeypatch.setenv("SPARK_GRAFT_UNROLLED_DOT_MIN_EVALS", str(10**15))
+    hof = q(spark, sf_dir)
+    ana = hof._jdf.queryExecution().analyzed().toString()
+    # the pre-sliced sub-vectors sit in the join inputs, not the score
+    assert "zip_with" in ana and "slice(" in ana
+    a = sorted(map(tuple, unrolled.collect()))
+    b = sorted(map(tuple, hof.collect()))
+    assert a == b and a

@@ -84,6 +84,13 @@ def test_flag_on_results_identical_for_consumer_queries(spark, sf_dir):
         "brand_pagerank",
         "dedup_connected_components",
         "similarity_ann_lsh",
+        # r16b joiners: simhash fingerprints, BPE trained state, the
+        # curation pipeline's survivor/CC stages
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "bpe_learn_merges",
+        "bpe_apply_tokenize",
+        "curate_training_corpus",
     ]
 
     def run_all():
