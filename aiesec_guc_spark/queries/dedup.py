@@ -235,6 +235,29 @@ def _shared_char_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DISTINCT shingle-set arrays over the eligible docs — the
+    verify-side primitive of the whole MinHash family.  Before r16c,
+    ``jaccard_verify`` rebuilt it internally per call and the band
+    sweep / containment built their own copies, so the corpus-sized
+    explode + grouped collect ran once per query invocation; it is
+    corpus prep (a pure function of the corpus), so it now rides
+    ``shared_frame`` like the signature table.  Row-identical to
+    building over the FULL documents table: a doc below SHINGLE_WORDS
+    tokens yields zero shingles, hence appears in neither frame."""
+    from ..operators.dedup import shingle_sets
+
+    return shared_frame(
+        spark,
+        f"shingle_sets:{sf_dir}",
+        lambda: shingle_sets(
+            shingle_rows(_eligible_docs(spark, sf_dir), "doc_id", "text"),
+            "doc_id",
+        ),
+        off_materialize=True,
+    )
+
+
 def _minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared five-stage MinHash pipeline: eligible docs →
     signatures → banded keys → bucket-join candidates → exact-Jaccard
@@ -246,11 +269,14 @@ def _minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused across those consumers (see ``shared_frame``)."""
 
     def build() -> DataFrame:
-        docs = _eligible_docs(spark, sf_dir)
         sigs = _shared_sigs(spark, sf_dir)
         pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
-        sh = shingle_rows(docs, "doc_id", "text")
-        return jaccard_verify(pairs, sh, "doc_id")
+        # r16c: verify against the shared per-doc set frame (identical
+        # to the rows-form build jaccard_verify did internally).
+        return jaccard_verify(
+            pairs, _shared_shingle_sets(spark, sf_dir), "doc_id",
+            pre_grouped=True,
+        )
 
     return shared_frame(spark, f"minhash_jaccard_pairs:{sf_dir}", build)
 
@@ -339,12 +365,14 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin bit-for-bit.
     """
     k = MINHASH_BANDS * MINHASH_ROWS
-    docs = _eligible_docs(spark, sf_dir)
     # signatures feed band keys AND both estimate-join sides —
     # materialized even with sharing off (cache-race protection)
     sigs = _shared_sigs(spark, sf_dir, off_materialize=True)
     pairs = lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
-    exact = jaccard_verify(pairs, shingle_rows(docs, "doc_id", "text"), "doc_id")
+    # r16c: the shared set frame replaces the rows-form internal build
+    exact = jaccard_verify(
+        pairs, _shared_shingle_sets(spark, sf_dir), "doc_id", pre_grouped=True
+    )
 
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -1673,7 +1701,9 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    scored = jaccard_verify(cand, shingle_rows(docs, "doc_id", "text"), "doc_id")
+    scored = jaccard_verify(
+        cand, _shared_shingle_sets(spark, sf_dir), "doc_id", pre_grouped=True
+    )
     per_new = scored.groupBy("doc_a").agg(
         F.count(F.lit(1)).alias("n_candidates"),
         F.max("jaccard").alias("best_jaccard"),
@@ -1734,9 +1764,6 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation; the dedicated fix is min-wise hashing on
     the smaller side's shingles only — same band-join shape.)
     """
-    from ..operators.dedup import shingle_sets
-
-    docs = _eligible_docs(spark, sf_dir)
     sigs = _shared_sigs(spark, sf_dir)
     cand = materialize(
         lsh_candidate_pairs(lsh_band_keys(sigs, "doc_id"), "doc_id")
@@ -1744,8 +1771,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: per-doc shingle-SET arrays + per-row array_intersect replace
     # the exploded candidate⋈shingle join, the per-pair re-aggregation,
     # and the two size join-backs (same shape change as jaccard_verify;
-    # sizes are array lengths, exact as before).
-    sets_ = materialize(shingle_sets(shingle_rows(docs, "doc_id", "text"), "doc_id"))
+    # sizes are array lengths, exact as before).  r16c: the set frame
+    # is the shared one (identical build, shared per JVM in the bench).
+    sets_ = _shared_shingle_sets(spark, sf_dir)
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("_sh_set").alias("_set_a"))
     sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("_sh_set").alias("_set_b"))
     return (
@@ -1998,21 +2026,17 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded as degenerate) and a verification bounded by ITS
     candidates.  Precision uses the ×10000-div fixed-point idiom.
     """
-    from ..operators.dedup import (
-        lsh_band_keys,
-        materialize,
-        shingle_rows,
-        shingle_sets,
-    )
+    from ..operators.dedup import lsh_band_keys
 
-    d = load_table(spark, sf_dir, "documents")
-    sigs = materialize(minhash_signatures(d, "doc_id", "text"))
-    # ONE per-doc shingle-SET build shared by every config's
-    # verification (the corpus-sized explode+grouped-collect is the
-    # sweep's dominant cost; per-config it would run #configs times) —
-    # r15: built directly as the array frame jaccard_verify consumes,
-    # one grouped collect instead of distinct + per-call explode joins.
-    shd = materialize(shingle_sets(shingle_rows(d, "doc_id", "text"), "doc_id"))
+    # r16c: both corpus-prep frames come from the family's shared
+    # builders — the signature table (row-identical over full vs
+    # eligible docs: shingle-less docs produce no signature row) and
+    # the per-doc shingle-SET frame every config's verification
+    # consumes (the corpus-sized explode+grouped-collect was the
+    # sweep's dominant cost; r15 already built it once per invocation,
+    # r16c shares it per JVM under the bench flag).
+    sigs = _shared_sigs(spark, sf_dir, off_materialize=True)
+    shd = _shared_shingle_sets(spark, sf_dir)
 
     out = None
     for b, r in LSH_SWEEP:

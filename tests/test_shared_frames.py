@@ -91,6 +91,11 @@ def test_flag_on_results_identical_for_consumer_queries(spark, sf_dir):
         "bpe_learn_merges",
         "bpe_apply_tokenize",
         "curate_training_corpus",
+        # r16c joiners: the shared per-doc shingle-set frame
+        "dedup_minhash_estimate_error",
+        "dedup_containment_pairs",
+        "dedup_incremental_index",
+        "dedup_lsh_band_sweep",
     ]
 
     def run_all():
